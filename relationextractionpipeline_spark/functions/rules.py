@@ -1,0 +1,412 @@
+"""Reference-semantics rules, shared by the Spark UDF stages and the oracle.
+
+Every function here is a pure, deterministic re-expression (NOT a copy) of a
+behavior of ``webersab/relationExtractionPipeline`` (read-only mirror at
+``/root/reference``).  Citations point at the reference implementation so the
+semantics can be checked line by line:
+
+* sentence segmentation            — ``preprocessing.py:101-112`` (T1)
+* BIO span grouping                — ``nel.py:179-208`` (W3)
+* NER/noun overlap merge           — ``nel.py:129-148`` (J2)
+* span map                         — ``nel.py:91-126`` (A3)
+* entity-link record               — ``nel.py:286-315`` (T5 output shape)
+* FIGER lookup default             — ``nel.py:302-306`` (J3)
+* pair gate / predicate / negation — ``binary_relation.py:177-267`` (R1-R9)
+* canonical strings                — ``binary_relation.py:105-132`` (P11-P14)
+
+The reference walks an ``nltk.parse.DependencyGraph``; here a sentence is a
+list of token dicts ``{id, form, lemma, upos, xpos, head, deprel}`` (1-based
+ids, head 0 = root) and the "graph" is just head-pointer chasing — O(1) per
+hop on a Python list, no graph library.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# T1 — sentence segmentation (analog of NLTK Punkt, preprocessing.py:101-112)
+# ---------------------------------------------------------------------------
+
+# Abbreviation guard: don't split after these even though they end with '.'.
+ABBREVIATIONS = frozenset(
+    {"Dr.", "Mr.", "Ms.", "Prof.", "St.", "No.", "vs.", "e.g.", "i.e.", "etc."}
+)
+
+_SENT_BOUNDARY = re.compile(r"(?<=[.!?]) ")
+
+
+def segment_line(line: str) -> List[str]:
+    """Split one line into sentences on terminal punctuation + space.
+
+    The abbreviation guard rejoins splits produced after a known
+    abbreviation.  Deterministic analog of the Punkt call at
+    ``preprocessing.py:111``.
+    """
+    parts = _SENT_BOUNDARY.split(line)
+    out: List[str] = []
+    for p in parts:
+        if out and out[-1].split(" ")[-1] in ABBREVIATIONS:
+            out[-1] = out[-1] + " " + p
+        else:
+            out.append(p)
+    return [s for s in out if s.strip() != ""]
+
+
+def segment_text(text: str) -> List[str]:
+    """Full T1: split text into lines (P1, preprocessing.py:59), drop empty
+    lines (P2, :110), segment each line (:111)."""
+    segs: List[str] = []
+    for line in text.split("\n"):
+        if line != "":
+            segs.extend(segment_line(line))
+    return segs
+
+
+def segment_text_with_lines(text: str) -> List[Tuple[int, str]]:
+    """T1 keeping the line index — the lineage key that lets the per-turn
+    text-equality invariant reconstruct multi-line turns exactly (the new
+    engine's replacement for the reference's positional ``.lines`` sidecar,
+    preprocessing.py:85-98)."""
+    segs: List[Tuple[int, str]] = []
+    for li, line in enumerate(text.split("\n")):
+        if line != "":
+            for s in segment_line(line):
+                segs.append((li, s))
+    return segs
+
+
+# ---------------------------------------------------------------------------
+# T4/W3/J2 — mention detection over a parsed token table
+# ---------------------------------------------------------------------------
+
+
+def ner_tags(tokens: Sequence[Dict], kb_index: Dict[Tuple[str, ...], str],
+             max_len: int = 3) -> List[str]:
+    """Named-entity tags per token: longest-match gazetteer over KB surfaces
+    plus a capitalized-run fallback (deterministic Stanford-NER analog,
+    ner.py:108-143).  Output alphabet mirrors nel.py: '0' or 'ner{k}' with k
+    incrementing per new entity left-to-right (nel.py:204 boundary rule).
+    """
+    n = len(tokens)
+    tags = ["0"] * n
+    counter = 0
+    i = 0
+    while i < n:
+        t = tokens[i]
+        matched = 0
+        for length in range(min(max_len, n - i), 0, -1):
+            key = tuple(str(tokens[i + k]["form"]) for k in range(length))
+            if key in kb_index:
+                matched = length
+                break
+        if matched:
+            counter += 1
+            for k in range(matched):
+                tags[i + k] = f"ner{counter}"
+            i += matched
+        elif t["upos"] == "PROPN":
+            counter += 1
+            j = i
+            while j < n and tokens[j]["upos"] == "PROPN" and tags[j] == "0":
+                # stop the fallback run where a KB match would begin
+                is_kb_start = False
+                for length in range(min(max_len, n - j), 0, -1):
+                    if tuple(str(tokens[j + k]["form"]) for k in range(length)) in kb_index:
+                        is_kb_start = True
+                        break
+                if j > i and is_kb_start:
+                    break
+                tags[j] = f"ner{counter}"
+                j += 1
+            i = j
+        else:
+            i += 1
+    return tags
+
+
+def noun_tags(tokens: Sequence[Dict]) -> List[str]:
+    """Common-entity tags: contiguous NOUN runs become one 'com{k}' span.
+
+    Two-step analog of the reference: NOUN projection
+    (helper_functions.py:33-48) then BIO grouping with identical tags
+    (nel.py:179-208 — same non-O tag and no 'B-' prefix ⇒ contiguous run is a
+    single span).
+    """
+    tags = ["0"] * len(tokens)
+    counter = 0
+    prev_noun = False
+    for i, t in enumerate(tokens):
+        if t["upos"] == "NOUN":
+            if not prev_noun:
+                counter += 1
+            tags[i] = f"com{counter}"
+            prev_noun = True
+        else:
+            prev_noun = False
+    return tags
+
+
+def merge_tags(ner: Sequence[str], com: Sequence[str]) -> List[str]:
+    """J2 — overlap merge, NE wins; an overlapped common span is suppressed
+    at *every* position it occurs (nel.py:129-148)."""
+    overlaps = set()
+    for i in range(len(ner)):
+        if ner[i] != "0" and com[i] != "0":
+            overlaps.add(com[i])
+    merged: List[str] = []
+    for i in range(len(ner)):
+        if ner[i] != "0":
+            merged.append(ner[i])
+        elif com[i] != "0" and com[i] not in overlaps:
+            merged.append(com[i])
+        else:
+            merged.append(ner[i])  # '0'
+    return merged
+
+
+def spans_from_tags(tokens: Sequence[Dict], tags: Sequence[str]) -> List[Dict]:
+    """A3 — fold the merged tag sequence into mention spans.
+
+    Returns mentions ``{start_tok, end_tok, surface, tag, kind}`` with
+    1-based token offsets (the reference keys its map by ``start+1``,
+    nel.py:107) and ``kind = tag[0:3]`` ('ner'/'com', nel.py:308).
+    """
+    mentions: List[Dict] = []
+    cur_tag = "0"
+    start = -1
+    for i in range(len(tags) + 1):
+        tag = tags[i] if i < len(tags) else "0"
+        if tag != cur_tag:
+            if cur_tag != "0":
+                surface = " ".join(str(tokens[k]["form"]) for k in range(start, i))
+                mentions.append(
+                    {
+                        "start_tok": start + 1,
+                        "end_tok": i,
+                        "surface": surface,
+                        "tag": cur_tag,
+                        "kind": cur_tag[0:3],
+                    }
+                )
+            cur_tag = tag
+            start = i
+    return mentions
+
+
+def detect_mentions(tokens: Sequence[Dict],
+                    kb_index: Dict[Tuple[str, ...], str]) -> List[Dict]:
+    """T4 end-to-end: NER analog + noun projection + merge + span fold."""
+    nt = ner_tags(tokens, kb_index)
+    ct = noun_tags(tokens)
+    return spans_from_tags(tokens, merge_tags(nt, ct))
+
+
+# ---------------------------------------------------------------------------
+# T5/J3 — entity linking (AGDISTIS analog + FIGER map)
+# ---------------------------------------------------------------------------
+
+NOT_IN_WIKI_PREFIX = "http://aksw.org/notInWiki/"
+
+
+def link_mention(surface: str,
+                 kb: Dict[str, Tuple[str, float]],
+                 figer_map: Dict[str, str]) -> Tuple[str, str]:
+    """Link one mention surface to (url, figer_type).
+
+    Candidate generation = exact surface lookup in the broadcast KB dict; the
+    best candidate is the KB's highest-prior entry (the dict stores the
+    winner).  Unknown surfaces get the notInWiki URL AGDISTIS emits, which
+    routes P11 through the surface-form branch (binary_relation.py:115-122).
+    FIGER default: missing or empty mapping ⇒ 'none' (nel.py:302-306).
+    """
+    hit = kb.get(surface)
+    if hit is None:
+        url = NOT_IN_WIKI_PREFIX + surface.replace(" ", "_")
+    else:
+        url = hit[0]
+    figer = figer_map.get(url, "none")
+    if figer == "":
+        figer = "none"
+    return url, figer
+
+
+# ---------------------------------------------------------------------------
+# R1-R9 — relation extraction over (tokens, linked mentions)
+# ---------------------------------------------------------------------------
+
+
+def _deps(tokens: Sequence[Dict]) -> Dict[int, Dict[str, List[int]]]:
+    """head-id -> deprel -> [child ids] (the reference's node['deps'])."""
+    deps: Dict[int, Dict[str, List[int]]] = {}
+    for t in tokens:
+        h = int(t["head"])
+        deps.setdefault(h, {}).setdefault(str(t["deprel"]), []).append(int(t["id"]))
+    return deps
+
+
+def _negation(tokens: Sequence[Dict], deps, i: int, neg: bool) -> bool:
+    """R7 — recursive advmod descent looking for xpos PTKNEG
+    (binary_relation.py:177-190)."""
+    if i < 1 or i > len(tokens):
+        return neg
+    children = deps.get(i, {}).get("advmod", [])
+    for n_ in children:
+        if tokens[n_ - 1]["xpos"] == "PTKNEG":
+            neg = True
+    for n_ in children:
+        neg = _negation(tokens, deps, n_, neg)
+    return neg
+
+
+def _xcomp_modifiers(tokens: Sequence[Dict], deps, i: int, mods: List[int]) -> List[int]:
+    """R5 — recursive xcomp descent, skipping PTKNEG (binary_relation.py:193-204)."""
+    for n_ in deps.get(i, {}).get("xcomp", []):
+        if tokens[n_ - 1]["xpos"] != "PTKNEG":
+            mods.append(n_)
+            mods = _xcomp_modifiers(tokens, deps, n_, mods)
+    return mods
+
+
+def _predicate(tokens: Sequence[Dict], deps, ent1: Dict, ent2: Dict) -> Tuple[str, int, bool]:
+    """R1-R6 + R8 detect — predicate linking two mentions
+    (binary_relation.py:236-267)."""
+    pred_string = ""
+    pred_index = -1
+    passive = False
+    t1 = tokens[int(ent1["start_tok"]) - 1]
+    t2 = tokens[int(ent2["start_tok"]) - 1]
+    ent1rel = t1["deprel"]
+    ent2rel = t2["deprel"]
+    if ent1rel in ("nsubj", "nsubj:pass", "dep") and ent2rel in ("obj", "obl", "dep"):
+        if ent1rel == "nsubj:pass":
+            passive = True
+        ent1head = int(t1["head"])
+        ent2head = int(t2["head"])
+        if ent2head >= 1:
+            ent2headhead = int(tokens[ent2head - 1]["head"])
+            ent2headrel = tokens[ent2head - 1]["deprel"]
+        else:
+            ent2headhead, ent2headrel = -1, ""
+        if ent1head == ent2head or (ent2headhead == ent1head and ent2headrel == "xcomp"):
+            if ent1head >= 1:
+                pred_string = str(tokens[ent1head - 1]["lemma"])
+                pred_index = ent1head
+                # R4 — particle verbs
+                for prt in deps.get(ent1head, {}).get("compound:prt", []):
+                    pred_string += "_" + str(tokens[prt - 1]["lemma"])
+                # R5 — xcomp modifiers
+                for mod in _xcomp_modifiers(tokens, deps, pred_index, []):
+                    pred_string += "." + str(tokens[mod - 1]["lemma"])
+                # R6 — prepositions (case children of ent2's start token)
+                for prep in deps.get(int(ent2["start_tok"]), {}).get("case", []):
+                    pred_string += "." + str(tokens[prep - 1]["lemma"])
+    return pred_string, pred_index, passive
+
+
+# P11 — canonical entity string (binary_relation.py:115-122)
+def canonical_entity_string(url: str, surface: str) -> str:
+    if "notInWiki" in url:
+        return surface.replace(" ", "_")
+    return url.split("/")[-1]
+
+
+# P12 — FIGER normalize (binary_relation.py:123-124)
+def figer_normalize(figer: str) -> str:
+    if figer == "none":
+        return "#thing"
+    return "#" + figer.split("/")[1]
+
+
+# P14 — E/G kind flag (binary_relation.py:113-114)
+def kind_flag(kind: str) -> str:
+    return "E" if kind == "ner" else "G"
+
+
+def render_rel_string(subj: str, obj: str, pred: str, subj_figer: str,
+                      obj_figer: str, subj_kind: str, obj_kind: str,
+                      neg: bool, pred_tok: int) -> str:
+    """P13/R9 — the reference's serialized relation
+    (binary_relation.py:125-128): arg-1 name drops the '.'-suffixes, arg-2
+    keeps them."""
+    negs = "NEG__" if neg else ""
+    predicate = pred.split(".")[0] + ".1," + pred + ".2"
+    return "({}({})::{}::{}::{}::{}::{}{}::{}::{})".format(
+        negs, predicate, subj, obj, subj_figer, obj_figer,
+        subj_kind, obj_kind, "0", str(pred_tok),
+    )
+
+
+def extract_relations(tokens: Sequence[Dict], mentions: Sequence[Dict]) -> List[Dict]:
+    """J6 + P8-P10 + R1-R9: emit triples for one sentence.
+
+    ``mentions`` carry link fields ``url`` and ``figer``.  Mirrors
+    ``binary_relation.py:207-233``: ordered pair product over mentions, com-com
+    pairs dropped (P8), self pairs dropped (P9), empty predicates dropped
+    (P10), passive pairs swapped (R8).
+    """
+    deps = _deps(tokens)
+    out: List[Dict] = []
+    for a in range(len(mentions)):
+        for b in range(len(mentions)):
+            if a == b:
+                continue
+            e1, e2 = mentions[a], mentions[b]
+            if e1["kind"] == "com" and e2["kind"] == "com":
+                continue
+            pred_string, pred_index, passive = _predicate(tokens, deps, e1, e2)
+            negation = _negation(tokens, deps, pred_index, False)
+            if passive:
+                e1, e2 = e2, e1
+            if pred_string != "":
+                subj = canonical_entity_string(str(e1["url"]), str(e1["surface"]))
+                obj = canonical_entity_string(str(e2["url"]), str(e2["surface"]))
+                subj_figer = figer_normalize(str(e1["figer"]))
+                obj_figer = figer_normalize(str(e2["figer"]))
+                subj_kind = kind_flag(str(e1["kind"]))
+                obj_kind = kind_flag(str(e2["kind"]))
+                out.append(
+                    {
+                        "subj": subj,
+                        "pred": pred_string,
+                        "obj": obj,
+                        "subj_type": subj_figer,
+                        "obj_type": obj_figer,
+                        "subj_kind": subj_kind,
+                        "obj_kind": obj_kind,
+                        "neg": bool(negation),
+                        "passive": bool(passive),
+                        "pred_tok": int(pred_index),
+                        "rel": render_rel_string(
+                            subj, obj, pred_string, subj_figer, obj_figer,
+                            subj_kind, obj_kind, negation, pred_index,
+                        ),
+                    }
+                )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P16 — sentence reconstruction invariant helper (binary_relation.py:164-174)
+# ---------------------------------------------------------------------------
+
+
+def reconstruct_sentence(tokens: Sequence[Dict]) -> str:
+    return " ".join(str(t["form"]) for t in tokens)
+
+
+def detokenize(tokens: Sequence[Dict]) -> str:
+    """Inverse of the tokenizer for the closed grammar: space-join, but
+    terminal punctuation reattaches to the preceding token.  Together with
+    line/sentence keys this makes per-turn text reconstruction exact — the
+    per-turn text-equality invariant (BASELINE.md; analog of
+    binary_relation.py:164-174)."""
+    parts: List[str] = []
+    for t in tokens:
+        form = str(t["form"])
+        if t["upos"] == "PUNCT" and parts:
+            parts[-1] = parts[-1] + form
+        else:
+            parts.append(form)
+    return " ".join(parts)

@@ -1,0 +1,254 @@
+"""Deterministic synthetic-data generators (FIXTURES.md).
+
+Produces, at several scales, the three tables the KG pipeline consumes:
+
+* ``transcripts(conv_id, turn_idx, role, text, tool, ts)`` — the primary
+  input shape from BASELINE.json ``input_hint``; power-law conversation
+  lengths (the skew fixture), shuffled row order to exercise window-ordered
+  reassembly, seeded RNG (42), no wall clock.
+* ``entity_kb(surface, url, prior)`` — candidate dictionary for linking
+  (broadcast dim; analog of the AGDISTIS service the reference POSTs to,
+  ``agdistis.py:36-53``).
+* ``figer_map(url, figer_type)`` — type dimension (analog of the gzip JSON
+  DBPedia→FIGER map, ``nel.py:211-219``).
+
+Sentence text is drawn from the closed template grammar in
+``functions/lexicon.py`` — one template per reference rule (SURVEY.md §2.8),
+so expected triples are computable by construction via the shared rules.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+from typing import Dict, List, Tuple
+
+import pandas as pd
+
+from relationextractionpipeline_spark.functions import lexicon as lx
+
+SEED = 42
+BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
+
+SCALES = {"tiny": 20, "small": 2000, "bench": 30000}
+
+WIKI_URL_PREFIX = "http://synthetic.kb/resource/"
+NOT_IN_WIKI_PREFIX = "http://aksw.org/notInWiki/"
+
+TOOL_NAMES = ["search", "calculator", "browser", "python"]
+
+
+def entity_url(canonical: str, in_wiki: bool) -> str:
+    slug = canonical.replace(" ", "_")
+    return (WIKI_URL_PREFIX if in_wiki else NOT_IN_WIKI_PREFIX) + slug
+
+
+def gen_entity_kb() -> pd.DataFrame:
+    """One row per (surface, url); prior is a deterministic rank so the link
+    scorer has something to maximize."""
+    rows: List[Tuple[str, str, float]] = []
+    for i, (name, aliases, _figer, in_wiki) in enumerate(lx.ENTITIES):
+        url = entity_url(name, in_wiki)
+        rows.append((name, url, 1.0 - i * 0.001))
+        for j, a in enumerate(aliases):
+            rows.append((a, url, 0.9 - i * 0.001 - j * 0.01))
+    return pd.DataFrame(rows, columns=["surface", "url", "prior"])
+
+
+def gen_figer_map() -> pd.DataFrame:
+    """url -> figer type; ~20% of typed urls deliberately absent and a few
+    mapped to '' to exercise the 'none'→'#thing' default paths
+    (nel.py:302-306, binary_relation.py:123-124)."""
+    rows: List[Tuple[str, str]] = []
+    for i, (name, _aliases, figer, in_wiki) in enumerate(lx.ENTITIES):
+        url = entity_url(name, in_wiki)
+        if figer == "":
+            if i % 2 == 0:
+                rows.append((url, ""))  # present-but-empty ⇒ 'none'
+            continue
+        if i % 5 == 3:
+            continue  # absent ⇒ 'none'
+        rows.append((url, figer))
+    return pd.DataFrame(rows, columns=["url", "figer_type"])
+
+
+# ---------------------------------------------------------------------------
+# sentence templates (FIXTURES.md §3) — each exercises one reference rule
+# ---------------------------------------------------------------------------
+
+
+def _ent(rng: random.Random) -> str:
+    name, aliases, _f, _w = rng.choice(lx.ENTITIES)
+    forms = [name] + aliases
+    return rng.choice(forms)
+
+
+def _com(rng: random.Random) -> str:
+    return "the " + rng.choice(lx.COMMON_NOUNS)
+
+
+def _arg(rng: random.Random) -> str:
+    return _ent(rng) if rng.random() < 0.7 else _com(rng)
+
+
+def _svo(rng):
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_ent(rng)} {v['past']} {_arg(rng)}."
+
+
+def _particle(rng):
+    lemma = rng.choice(lx.PARTICLE_VERBS)
+    v = lx.VERBS[lemma]
+    prt = rng.choice(lx.PARTICLES)
+    return f"{_ent(rng)} {v['past']} {_arg(rng)} {prt}."
+
+
+def _xcomp1(rng):
+    v1 = lx.VERBS[rng.choice(lx.XCOMP_VERBS)]
+    v2 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_ent(rng)} {v1['past']} to {v2['base']} {_arg(rng)}."
+
+
+def _xcomp2(rng):  # depth-2 chain: must emit nothing (R2 single-hop gate)
+    v1 = lx.VERBS[rng.choice(lx.XCOMP_VERBS)]
+    v2 = lx.VERBS[rng.choice(lx.XCOMP_VERBS)]
+    v3 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_ent(rng)} {v1['past']} to {v2['base']} to {v3['base']} {_arg(rng)}."
+
+
+def _prep(rng):
+    v = lx.VERBS[rng.choice(lx.PREP_VERBS)]
+    p = rng.choice(lx.PREPOSITIONS)
+    return f"{_ent(rng)} {v['past']} {p} {_arg(rng)}."
+
+
+def _neg(rng):
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_ent(rng)} not {v['base']} {_arg(rng)}."
+
+
+def _neg_nested(rng):
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    adv = rng.choice(lx.ADVERBS)
+    return f"{_ent(rng)} {adv} not {v['base']} {_arg(rng)}."
+
+
+def _passive(rng):
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_arg(rng)} was {v['part']} by {_ent(rng)}."
+
+
+def _comcom(rng):  # P8: both common ⇒ must emit nothing
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_com(rng)} {v['past']} {_com(rng)}."
+
+
+def _entity_free(rng):  # P7/P10: must emit nothing
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    adv = rng.choice(lx.ADVERBS)
+    return f"{adv} {v['past']}."
+
+
+def _multi(rng):  # 3 mentions ⇒ ordered-pair product (J6)
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    p = rng.choice(lx.PREPOSITIONS)
+    return f"{_ent(rng)} {v['past']} {_ent(rng)} {p} {_arg(rng)}."
+
+
+def _adjacent(rng):  # BIO boundary between two KB entities (W3, nel.py:204)
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_ent(rng)} {_ent(rng)} {v['past']} {_arg(rng)}."
+
+
+TEMPLATES = [
+    (_svo, 22), (_particle, 10), (_xcomp1, 10), (_xcomp2, 4), (_prep, 10),
+    (_neg, 8), (_neg_nested, 4), (_passive, 10), (_comcom, 6),
+    (_entity_free, 6), (_multi, 6), (_adjacent, 4),
+]
+_TOTAL_W = sum(w for _, w in TEMPLATES)
+
+
+def gen_sentence(rng: random.Random) -> str:
+    r = rng.randrange(_TOTAL_W)
+    acc = 0
+    for fn, w in TEMPLATES:
+        acc += w
+        if r < acc:
+            return fn(rng)
+    return _svo(rng)
+
+
+def _conv_len(rng: random.Random) -> int:
+    """Power-law-ish conversation lengths (FIXTURES.md §1 skew fixture)."""
+    r = rng.random()
+    if r < 0.80:
+        return rng.randint(2, 8)
+    if r < 0.99:
+        return rng.randint(9, 40)
+    return rng.randint(200, 1000)
+
+
+def gen_transcripts(n_convs: int, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic transcripts table; rows shuffled (not grouped by conv)."""
+    rng = random.Random(seed)
+    roles = ["user", "assistant", "tool"]
+    recs: List[Tuple[str, int, str, str, str, datetime]] = []
+    for c in range(n_convs):
+        conv_id = f"conv{c:08d}"
+        n_turns = _conv_len(rng)
+        for t in range(n_turns):
+            role = roles[t % 3]
+            tool = rng.choice(TOOL_NAMES) if role == "tool" else ""
+            r = rng.random()
+            if r < 0.04:
+                text = ""  # empty-turn fixture
+            else:
+                n_sents = rng.randint(1, 4)
+                sents = [gen_sentence(rng) for _ in range(n_sents)]
+                if n_sents > 1 and rng.random() < 0.15:
+                    # multi-line turn: newline between two sentence groups
+                    cut = rng.randint(1, n_sents - 1)
+                    text = " ".join(sents[:cut]) + "\n" + " ".join(sents[cut:])
+                else:
+                    text = " ".join(sents)
+            ts = BASE_TS + timedelta(seconds=c * 3600 + t * 7)
+            recs.append((conv_id, t, role, text, tool, ts))
+    rng.shuffle(recs)
+    df = pd.DataFrame(
+        recs, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# materialization + caching
+# ---------------------------------------------------------------------------
+
+DEFAULT_DATA_DIR = os.environ.get(
+    "REX_SPARK_DATA_DIR", os.path.join(os.path.dirname(__file__), "..", "..", "data")
+)
+
+
+def materialize(scale: str, data_dir: str = DEFAULT_DATA_DIR) -> Dict[str, str]:
+    """Write (or reuse cached) parquet for one scale; returns table paths.
+
+    Generation is deterministic, so an existing file is always valid.
+    """
+    n_convs = SCALES[scale]
+    out = os.path.abspath(os.path.join(data_dir, scale))
+    os.makedirs(out, exist_ok=True)
+    paths = {
+        "transcripts": os.path.join(out, "transcripts.parquet"),
+        "entity_kb": os.path.join(out, "entity_kb.parquet"),
+        "figer_map": os.path.join(out, "figer_map.parquet"),
+    }
+    if not os.path.exists(paths["transcripts"]):
+        gen_transcripts(n_convs).to_parquet(paths["transcripts"], index=False)
+    if not os.path.exists(paths["entity_kb"]):
+        gen_entity_kb().to_parquet(paths["entity_kb"], index=False)
+    if not os.path.exists(paths["figer_map"]):
+        gen_figer_map().to_parquet(paths["figer_map"], index=False)
+    return paths
