@@ -1,0 +1,69 @@
+"""Fused turns→triples extractor: one ``mapInPandas`` crossing.
+
+The staged operators (segment → parse → mentions → link → triples) are each
+narrow, so Catalyst pipelines them into one Spark stage — but every pandas
+UDF is a separate Arrow (de)serialization of the intermediate ``tokens`` /
+``mentions`` arrays.  For the hot path that transfer dominates, so this
+operator runs the identical per-turn orchestration
+(``functions/turnproc.extract_turn_triples`` — the same function the oracle
+calls) inside a single ``mapInPandas``: turns in, triple rows out, one Arrow
+crossing, iterator API so broadcast dicts are fetched once per task.
+
+Equality with the staged path is asserted by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.broadcast import Broadcast
+
+from relationextractionpipeline_spark.functions import turnproc
+
+TRIPLE_COLS = [
+    "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj", "subj_type",
+    "obj_type", "subj_kind", "obj_kind", "neg", "passive", "pred_tok", "rel",
+]
+
+OUT_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, subj string, pred string, "
+    "obj string, subj_type string, obj_type string, subj_kind string, "
+    "obj_kind string, neg boolean, passive boolean, pred_tok int, rel string"
+)
+
+
+def extract_triples_fused(
+    transcripts: DataFrame,
+    kb_bc: Broadcast,
+    kb_index_bc: Broadcast,
+    figer_bc: Broadcast,
+) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kb = kb_bc.value
+        kb_index = kb_index_bc.value
+        figer = figer_bc.value
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                for trip in turnproc.extract_turn_triples(
+                    text, kb, kb_index, figer
+                ):
+                    rows.append(
+                        (
+                            conv_id, int(turn_idx), trip["sent_idx"],
+                            trip["subj"], trip["pred"], trip["obj"],
+                            trip["subj_type"], trip["obj_type"],
+                            trip["subj_kind"], trip["obj_kind"],
+                            trip["neg"], trip["passive"], trip["pred_tok"],
+                            trip["rel"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=OUT_SCHEMA
+    )

@@ -1,0 +1,152 @@
+"""T5/J3 — entity linking: candidate generation + link scoring + FIGER typing.
+
+The reference POSTs every entity-bearing sentence to a live AGDISTIS server
+(``nel.py:260-261``, ``agdistis.py:36-53``) and then dict-looks-up the
+DBPedia→FIGER map (``nel.py:302-306``).  Here the linker is deterministic and
+the NEL record schema — not the service — is the stable interface (exactly
+the reference's own design: the Spotlight shim at ``ner_nel.py:235-255``
+re-shapes an alternative service to the same record).
+
+Three interchangeable implementations, all producing identical columns:
+
+1. ``link_mentions_in_row`` — pandas UDF over the ``mentions`` array with a
+   broadcast candidate dict: zero shuffle, the default for the narrow
+   turns→triples fast path.
+2. ``score_links_grouped`` — ``applyInPandas`` grouped by a hashed
+   conversation bucket (BASELINE.json north_star's "batched link-scoring
+   applyInPandas stage"): the shape a context-aware scorer needs (all of a
+   conversation's mentions in one pandas frame).  Bucketing by
+   ``pmod(hash(conv_id), P)`` spreads hot conversations' *groups* evenly;
+   inside a group the scorer is vectorized.
+3. ``link_mentions_broadcast_join`` — pure-native: broadcast-hash equi-joins
+   against the ``entity_kb`` / ``figer_map`` dimension tables (J3/J4).  The
+   scale path when the KB is too big for a Python dict but small enough to
+   broadcast; beyond that the same code degrades gracefully to a shuffled
+   hash join by dropping the hint.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.broadcast import Broadcast
+
+from relationextractionpipeline_spark.functions import rules
+from relationextractionpipeline_spark.plans import schemas
+
+NOT_IN_WIKI_PREFIX = rules.NOT_IN_WIKI_PREFIX
+
+
+def make_link_udf(kb_bc: Broadcast, figer_bc: Broadcast):
+    @F.pandas_udf(schemas.LINKED_MENTIONS)
+    def link_udf(mentions: pd.Series) -> pd.Series:
+        kb: Dict[str, Tuple[str, float]] = kb_bc.value
+        figer: Dict[str, str] = figer_bc.value
+
+        def link_all(ms):
+            out = []
+            for m in ms:
+                d = dict(m)
+                url, fg = rules.link_mention(str(d["surface"]), kb, figer)
+                d["url"] = url
+                d["figer"] = fg
+                out.append(d)
+            return out
+
+        return mentions.map(link_all)
+
+    return link_udf
+
+
+def link_mentions_in_row(with_mentions: DataFrame, kb_bc: Broadcast,
+                         figer_bc: Broadcast) -> DataFrame:
+    return with_mentions.withColumn(
+        "mentions", make_link_udf(kb_bc, figer_bc)("mentions")
+    )
+
+
+def score_links_grouped(
+    mention_rows: DataFrame,
+    kb_bc: Broadcast,
+    figer_bc: Broadcast,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """applyInPandas link scoring grouped by hashed conv bucket.
+
+    Input: exploded mention rows (operators/mentions.explode_mentions).
+    Output: same rows + (url, figer, score).
+    """
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in mention_rows.schema.fields
+    )
+    out_schema = out_fields + ", url string, figer string, score double"
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        kb = kb_bc.value
+        figer = figer_bc.value
+        urls, figs, scores = [], [], []
+        for s in pdf["surface"].astype(str):
+            url, fg = rules.link_mention(s, kb, figer)
+            hit = kb.get(s)
+            urls.append(url)
+            figs.append(fg)
+            scores.append(float(hit[1]) if hit is not None else 0.0)
+        pdf = pdf.copy()
+        pdf["url"] = urls
+        pdf["figer"] = figs
+        pdf["score"] = scores
+        return pdf
+
+    bucketed = mention_rows.repartition(
+        num_buckets, F.pmod(F.hash("conv_id"), F.lit(num_buckets))
+    )
+    return bucketed.groupBy(
+        F.pmod(F.hash("conv_id"), F.lit(num_buckets)).alias("_bucket")
+    ).applyInPandas(
+        lambda key, pdf: score(pdf), schema=out_schema
+    )
+
+
+def link_mentions_broadcast_join(
+    mention_rows: DataFrame, entity_kb: DataFrame, figer_map: DataFrame
+) -> DataFrame:
+    """Native variant: J3 broadcast hash joins, no Python.
+
+    Candidate selection = highest-prior URL per surface (``max_by``), the
+    AGDISTIS-analog disambiguation; unknown surfaces take the notInWiki URL
+    (binary_relation.py:115-122 branch); FIGER default 'none' for absent or
+    empty mappings (nel.py:302-306).
+    """
+    best = entity_kb.groupBy("surface").agg(
+        F.max_by("url", "prior").alias("kb_url"),
+        F.max("prior").alias("score"),
+    )
+    figer = figer_map.select(
+        F.col("url").alias("kb_url2"), F.col("figer_type")
+    )
+    out = (
+        mention_rows.join(F.broadcast(best), "surface", "left")
+        .withColumn(
+            "url",
+            F.coalesce(
+                F.col("kb_url"),
+                F.concat(
+                    F.lit(NOT_IN_WIKI_PREFIX),
+                    F.regexp_replace(F.col("surface"), " ", "_"),
+                ),
+            ),
+        )
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+        .drop("kb_url")
+        .join(
+            F.broadcast(figer), F.col("url") == F.col("kb_url2"), "left"
+        )
+        .withColumn(
+            "figer",
+            F.coalesce(F.nullif(F.col("figer_type"), F.lit("")), F.lit("none")),
+        )
+        .drop("kb_url2", "figer_type")
+    )
+    return out

@@ -1,0 +1,33 @@
+"""T2/T3 — tokenize + tag + dependency-parse as one Arrow-batched stage.
+
+Analog of the reference's UDPipe stage (``udpipe_model.py:33-62``, driven at
+``preprocessing.py:136-152``) with the second-pass UnstableParser
+(``parsing.py:29-59``) folded in: one deterministic parser produces
+``head``/``deprel`` directly (SURVEY.md §2.3 T2/T3).
+
+Model-per-worker pattern: the reference loads its model once per forked
+process (``preprocessing.py:128``); here the "model" is the pure-function
+parser in ``functions/lexicon.py`` — imported once per Python worker at UDF
+deserialization, zero per-batch setup.  A real ML parser would swap in via
+``mapInPandas`` with a module-level lazy singleton; the stage boundary and
+schema would not change.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from relationextractionpipeline_spark.functions import lexicon as lx
+from relationextractionpipeline_spark.plans import schemas
+
+
+@F.pandas_udf(schemas.TOKENS)
+def parse_udf(sent: pd.Series) -> pd.Series:
+    return sent.map(lx.parse_sentence)
+
+
+def parse_sentences(sentences: DataFrame, text_col: str = "sent_text") -> DataFrame:
+    """Adds a ``tokens: array<struct>`` column — the reference's CoNLL-U
+    intermediate files (S4/S5) eliminated in favor of a typed column."""
+    return sentences.withColumn("tokens", parse_udf(F.col(text_col)))

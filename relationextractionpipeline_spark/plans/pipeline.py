@@ -1,0 +1,130 @@
+"""End-to-end KG-construction plan: transcripts → triples/links/types.
+
+Physical design (SURVEY.md §7):
+
+* The turns→triples path is **entirely narrow** — segmentation, parsing,
+  mention detection, linking and extraction are per-turn/per-sentence pure
+  functions, so no shuffle touches the 10^12-turn fact table until the
+  first aggregation.  Long conversations therefore cost nothing here (they
+  are just more turn rows); conversation-level skew only exists where we
+  group by conversation (assembly W2, grouped link scoring), and those paths
+  bucket by ``pmod(hash(conv_id), P)``.
+* Dimension tables (entity KB, FIGER map) are small: they ship to executors
+  once — as Spark broadcast variables for the UDF path, or broadcast-hash
+  joins for the native path (J3/J4) — mirroring the reference loading its
+  type map once per process (``nel.py:246-248``) instead of per sentence.
+* Catalyst pipelines the whole narrow chain into one stage; column pruning
+  pushes the parquet scan down to exactly (conv_id, turn_idx, text).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from relationextractionpipeline_spark.operators import (
+    assemble,
+    fused,
+    link,
+    mentions as mentions_op,
+    parse,
+    segment,
+    triples as triples_op,
+)
+
+
+def load_inputs(spark: SparkSession, paths: Dict[str, str]) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    transcripts = spark.read.parquet(paths["transcripts"])
+    entity_kb = spark.read.parquet(paths["entity_kb"])
+    figer_map = spark.read.parquet(paths["figer_map"])
+    return transcripts, entity_kb, figer_map
+
+
+def build_broadcasts(spark: SparkSession, entity_kb: DataFrame, figer_map: DataFrame):
+    """Collect the dimension tables into broadcast dicts.
+
+    These are dimension tables by construction (the reference's whole KB fits
+    in one gzip JSON dict, ``nel.py:211-219``); a guard keeps an accidentally
+    huge dim from being driver-collected — beyond it, use the
+    broadcast-join linker (operators/link.py) instead.
+    """
+    kb_pdf: pd.DataFrame = entity_kb.toPandas()
+    figer_pdf: pd.DataFrame = figer_map.toPandas()
+    if len(kb_pdf) > 5_000_000:
+        raise ValueError(
+            "entity_kb too large for dict broadcast; use link_mentions_broadcast_join"
+        )
+    kb: Dict[str, Tuple[str, float]] = {}
+    for surface, url, prior in kb_pdf[["surface", "url", "prior"]].itertuples(index=False):
+        cur = kb.get(surface)
+        if cur is None or prior > cur[1]:
+            kb[surface] = (url, float(prior))
+    kb_index = {tuple(s.split(" ")): s for s in kb_pdf["surface"]}
+    figer = dict(zip(figer_pdf["url"], figer_pdf["figer_type"]))
+    sc = spark.sparkContext
+    return sc.broadcast(kb), sc.broadcast(kb_index), sc.broadcast(figer)
+
+
+def run_staged(
+    transcripts: DataFrame,
+    kb_bc,
+    kb_index_bc,
+    figer_bc,
+) -> Dict[str, DataFrame]:
+    """Modular stage-per-operator path (unit-testable; materializes the
+    intermediate tables the reference kept as stage directories)."""
+    sentences = segment.segment_sentences(transcripts)
+    parsed = parse.parse_sentences(sentences)
+    with_mentions = mentions_op.detect_mentions(parsed, kb_index_bc)
+    linked = link.link_mentions_in_row(with_mentions, kb_bc, figer_bc)
+    triples = triples_op.extract_triples(linked)
+    return {
+        "sentences": sentences,
+        "parsed": parsed,
+        "with_mentions": with_mentions,
+        "linked": linked,
+        "triples": triples,
+        "types": triples_op.distinct_types(triples),
+    }
+
+
+def run_fused(
+    transcripts: DataFrame,
+    kb_bc,
+    kb_index_bc,
+    figer_bc,
+) -> DataFrame:
+    """Hot path: one Arrow crossing turns→triples."""
+    return fused.extract_triples_fused(transcripts, kb_bc, kb_index_bc, figer_bc)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    paths: Dict[str, str],
+    mode: str = "fused",
+    input_partitions: Optional[int] = None,
+) -> Dict[str, DataFrame]:
+    """Load → (optionally re-balance) → extract.  Returns named DataFrames.
+
+    ``input_partitions`` re-splits the scan output before the Python stage —
+    the knob that replaces the reference's batch_size/round-robin scheduler
+    (``preprocessing.py:46``, ``helper_functions.py:94-107``).  Rebalancing is
+    round-robin (no key): the extract path is embarrassingly parallel over
+    turns, so no co-location is needed and no key skew is possible.
+    """
+    transcripts, entity_kb, figer_map = load_inputs(spark, paths)
+    if input_partitions:
+        transcripts = transcripts.repartition(input_partitions)
+    kb_bc, kb_index_bc, figer_bc = build_broadcasts(spark, entity_kb, figer_map)
+    if mode == "fused":
+        triples = run_fused(transcripts, kb_bc, kb_index_bc, figer_bc)
+        out = {"triples": triples, "types": triples_op.distinct_types(triples)}
+    else:
+        out = run_staged(transcripts, kb_bc, kb_index_bc, figer_bc)
+    out["transcripts"] = transcripts
+    out["entity_kb"] = entity_kb
+    out["figer_map"] = figer_map
+    out["assembled"] = assemble.assemble_conversations(transcripts)
+    return out

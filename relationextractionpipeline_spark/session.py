@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Replaces the reference's hand-rolled parallelism (``multiprocessing.Pool`` +
+round-robin batch files, ``main.py:51-61,144-151``; ``helper_functions.py:94-107``)
+with Spark's scheduler: AQE on (runtime re-planning + skew-join splitting),
+Arrow on (all Python stages are vectorized pandas UDFs), UTC session time.
+
+In the sandbox this runs ``local[N]`` (single JVM); on a real cluster the same
+session conf ships via ``spark-submit --py-files`` — nothing here is
+local-mode-specific except the optional driver-memory default.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: Optional[str] = None,
+    app_name: str = "rex-spark",
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[Dict[str, str]] = None,
+) -> SparkSession:
+    master = master or os.environ.get("REX_SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        # local[N] → match cores; cluster → leave Spark/AQE defaults alone
+        if master.startswith("local["):
+            n = master[len("local["):-1]
+            shuffle_partitions = os.cpu_count() if n == "*" else max(int(n), 1)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("REX_SPARK_DRIVER_MEM", "16g"))
+    )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

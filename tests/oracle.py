@@ -17,7 +17,7 @@ from typing import Dict, List, Tuple
 import pandas as pd
 
 from relationextractionpipeline_spark.functions import lexicon as lx
-from relationextractionpipeline_spark.functions import rules
+from relationextractionpipeline_spark.functions import rules, turnproc
 
 
 def build_kb_dict(entity_kb: pd.DataFrame) -> Dict[str, Tuple[str, float]]:
@@ -57,24 +57,10 @@ def run_oracle(
     for conv_id, turn_idx, text in zip(
         ordered["conv_id"], ordered["turn_idx"], ordered["text"]
     ):
-        sent_idx = 0
-        for _line_idx, sent in rules.segment_text_with_lines(text):
-            tokens = lx.parse_sentence(sent)
-            mentions = rules.detect_mentions(tokens, kb_index)
-            for m in mentions:
-                url, fg = rules.link_mention(str(m["surface"]), kb, figer)
-                m["url"] = url
-                m["figer"] = fg
-            for trip in rules.extract_relations(tokens, mentions):
-                rows.append(
-                    {
-                        "conv_id": conv_id,
-                        "turn_idx": int(turn_idx),
-                        "sent_idx": sent_idx,
-                        **trip,
-                    }
-                )
-            sent_idx += 1
+        for trip in turnproc.extract_turn_triples(text, kb, kb_index, figer):
+            trip = dict(trip)
+            trip.pop("line_idx", None)
+            rows.append({"conv_id": conv_id, "turn_idx": int(turn_idx), **trip})
     cols = [
         "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
         "subj_type", "obj_type", "subj_kind", "obj_kind", "neg", "passive",

@@ -1,0 +1,101 @@
+"""Parser-analog unit tests: one handcrafted expectation per template family
+(SURVEY.md §5.2) + detokenization round trip over a generated corpus."""
+
+import random
+
+from relationextractionpipeline_spark.functions import lexicon as lx, rules
+from relationextractionpipeline_spark.sources import testgen
+
+
+def _by_form(tokens):
+    return {t["form"]: t for t in tokens}
+
+
+def _tok(tokens, i):
+    return tokens[i - 1]
+
+
+def test_svo_parse():
+    toks = lx.parse_sentence("Ada Lovelace audited Berlin.")
+    d = _by_form(toks)
+    assert d["Ada"]["deprel"] == "nsubj" and d["Ada"]["head"] == d["audited"]["id"]
+    assert d["Lovelace"]["deprel"] == "flat" and d["Lovelace"]["head"] == d["Ada"]["id"]
+    assert d["audited"]["deprel"] == "root" and d["audited"]["head"] == 0
+    assert d["audited"]["lemma"] == "audit"
+    assert d["Berlin"]["deprel"] == "obj" and d["Berlin"]["head"] == d["audited"]["id"]
+    assert d["."]["deprel"] == "punct"
+
+
+def test_particle_parse():
+    toks = lx.parse_sentence("Alan Turing picked the report up.")
+    d = _by_form(toks)
+    assert d["up"]["deprel"] == "compound:prt" and d["up"]["head"] == d["picked"]["id"]
+    assert d["the"]["deprel"] == "det" and d["the"]["head"] == d["report"]["id"]
+    assert d["report"]["deprel"] == "obj"
+
+
+def test_xcomp_parse():
+    toks = lx.parse_sentence("Grace Hopper wanted to audit Berlin.")
+    d = _by_form(toks)
+    assert d["audit"]["deprel"] == "xcomp" and d["audit"]["head"] == d["wanted"]["id"]
+    assert d["to"]["deprel"] == "mark" and d["to"]["head"] == d["audit"]["id"]
+    assert d["Berlin"]["deprel"] == "obj" and d["Berlin"]["head"] == d["audit"]["id"]
+
+
+def test_prep_parse():
+    toks = lx.parse_sentence("Marie Curie relied on Paris.")
+    d = _by_form(toks)
+    assert d["Paris"]["deprel"] == "obl" and d["Paris"]["head"] == d["relied"]["id"]
+    assert d["on"]["deprel"] == "case" and d["on"]["head"] == d["Paris"]["id"]
+
+
+def test_negation_parse_direct_and_nested():
+    toks = lx.parse_sentence("Isaac Newton not trust Berlin.")
+    d = _by_form(toks)
+    assert d["not"]["xpos"] == "PTKNEG"
+    assert d["not"]["deprel"] == "advmod" and d["not"]["head"] == d["trust"]["id"]
+
+    toks = lx.parse_sentence("Isaac Newton really not trust Berlin.")
+    d = _by_form(toks)
+    assert d["not"]["head"] == d["really"]["id"]  # nested advmod chain
+    assert d["really"]["head"] == d["trust"]["id"]
+
+
+def test_passive_parse():
+    toks = lx.parse_sentence("Berlin was audited by Acme Corp.")
+    d = _by_form(toks)
+    assert d["Berlin"]["deprel"] == "nsubj:pass"
+    assert d["was"]["deprel"] == "aux:pass"
+    assert d["Acme"]["deprel"] == "obl"
+    assert d["by"]["deprel"] == "case" and d["by"]["head"] == d["Acme"]["id"]
+
+
+def test_adjacent_entities_split_by_kb():
+    toks = lx.parse_sentence("Ada Lovelace Marie Curie audited Berlin.")
+    d = _by_form(toks)
+    assert d["Ada"]["deprel"] == "nsubj"
+    assert d["Marie"]["deprel"] == "appos" and d["Marie"]["head"] == d["Ada"]["id"]
+    assert d["Curie"]["deprel"] == "flat" and d["Curie"]["head"] == d["Marie"]["id"]
+
+
+def test_unknown_capitalized_run_is_propn():
+    toks = lx.parse_sentence("Zanzibar Holdings audited Berlin.")
+    d = _by_form(toks)
+    assert d["Zanzibar"]["upos"] == "PROPN" and d["Zanzibar"]["deprel"] == "nsubj"
+    assert d["Holdings"]["deprel"] == "flat"
+
+
+def test_detokenize_round_trip_generated():
+    rng = random.Random(7)
+    for _ in range(500):
+        s = testgen.gen_sentence(rng)
+        toks = lx.parse_sentence(s)
+        assert rules.detokenize(toks) == s
+        assert [t["id"] for t in toks] == list(range(1, len(toks) + 1))
+
+
+def test_multiword_numeric_and_unicode_surfaces():
+    toks = lx.parse_sentence("42 audited São Paulo.")
+    d = _by_form(toks)
+    assert d["42"]["upos"] == "PROPN" and d["42"]["deprel"] == "nsubj"
+    assert d["São"]["deprel"] == "obj" and d["Paulo"]["deprel"] == "flat"

@@ -1,0 +1,158 @@
+"""Distributed correctness: P/R gate vs the sequential oracle, staged≡fused,
+invariants (text equality, lineage), metamorphic partition invariance
+(SURVEY.md §5.1/§5.3/§5.4; BASELINE.md gates)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import assemble, link, mentions as mentions_op
+from relationextractionpipeline_spark.plans import pipeline
+from tests import oracle as orc
+
+TRIPLE_KEY = [
+    "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj", "subj_type",
+    "obj_type", "subj_kind", "obj_kind", "neg", "passive", "pred_tok", "rel",
+]
+
+
+def _triple_set(pdf: pd.DataFrame) -> set:
+    return set(map(tuple, pdf[TRIPLE_KEY].itertuples(index=False)))
+
+
+@pytest.fixture(scope="module")
+def oracle_triples(tiny_pandas):
+    return orc.run_oracle(
+        tiny_pandas["transcripts"], tiny_pandas["entity_kb"], tiny_pandas["figer_map"]
+    )
+
+
+@pytest.fixture(scope="module")
+def run(spark, tiny_paths):
+    return pipeline.run_pipeline(spark, tiny_paths, mode="staged")
+
+
+def _pr(spark_set: set, oracle_set: set):
+    tp = len(spark_set & oracle_set)
+    precision = tp / len(spark_set) if spark_set else 1.0
+    recall = tp / len(oracle_set) if oracle_set else 1.0
+    return precision, recall
+
+
+def test_oracle_produces_triples(oracle_triples):
+    assert len(oracle_triples) > 20  # tiny corpus is non-trivial
+
+
+def test_precision_recall_gate(run, oracle_triples):
+    got = _triple_set(run["triples"].toPandas())
+    want = _triple_set(oracle_triples)
+    p, r = _pr(got, want)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # with shared rules the match should in fact be exact
+    assert got == want
+
+
+def test_fused_equals_staged(spark, tiny_paths, run):
+    fused_run = pipeline.run_pipeline(spark, tiny_paths, mode="fused")
+    a = _triple_set(fused_run["triples"].toPandas())
+    b = _triple_set(run["triples"].toPandas())
+    assert a == b
+
+
+def test_partition_count_does_not_change_triples(spark, tiny_paths, oracle_triples):
+    for n in (1, 7):
+        got = _triple_set(
+            pipeline.run_pipeline(
+                spark, tiny_paths, mode="fused", input_partitions=n
+            )["triples"].toPandas()
+        )
+        assert got == _triple_set(oracle_triples)
+
+
+def test_assembly_round_trip_text_equality(run, tiny_pandas):
+    """Driver-mandated invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering after window-ordered assembly."""
+    back = assemble.explode_back(run["assembled"]).toPandas()
+    src = tiny_pandas["transcripts"]
+    merged = src.merge(
+        back, on=["conv_id", "turn_idx"], suffixes=("_in", "_out"), how="outer",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged["text_in"] == merged["text_out"]).all()
+    assert (merged["role_in"] == merged["role_out"]).all()
+
+
+def test_turn_reconstruction_from_tokens(run, tiny_pandas):
+    """P16 analog, strengthened: detokenized sentences, regrouped by
+    (line_idx), reproduce every non-empty turn's text exactly."""
+    from relationextractionpipeline_spark.functions import rules
+
+    parsed = run["parsed"].toPandas()
+    if parsed.empty:
+        pytest.skip("no sentences")
+    parsed["detok"] = parsed["tokens"].map(lambda ts: rules.detokenize(list(ts)))
+    lines = (
+        parsed.sort_values(["conv_id", "turn_idx", "sent_idx"])
+        .groupby(["conv_id", "turn_idx", "line_idx"])["detok"]
+        .agg(" ".join)
+        .reset_index()
+    )
+    turns = (
+        lines.sort_values(["conv_id", "turn_idx", "line_idx"])
+        .groupby(["conv_id", "turn_idx"])["detok"]
+        .agg("\n".join)
+        .reset_index()
+        .rename(columns={"detok": "reconstructed"})
+    )
+    src = tiny_pandas["transcripts"][["conv_id", "turn_idx", "text"]]
+    merged = turns.merge(src, on=["conv_id", "turn_idx"], how="left")
+    # non-empty turns reconstruct exactly; multi-line turns with interior
+    # empty lines don't occur in the grammar
+    mism = merged[merged["reconstructed"] != merged["text"]]
+    assert mism.empty, mism.head()
+
+
+def test_lineage_every_triple_resolves_to_input_row(run, tiny_pandas):
+    trips = run["triples"].select("conv_id", "turn_idx").distinct().toPandas()
+    src_keys = set(
+        map(tuple, tiny_pandas["transcripts"][["conv_id", "turn_idx"]].itertuples(index=False))
+    )
+    for row in trips.itertuples(index=False):
+        assert (row.conv_id, row.turn_idx) in src_keys
+
+
+def test_types_table_matches_oracle(run, oracle_triples):
+    got = set(run["types"].toPandas()["figer_type"])
+    want = set(oracle_triples["subj_type"]) | set(oracle_triples["obj_type"])
+    assert got == want
+
+
+def test_link_variants_agree(spark, run, tiny_paths):
+    """broadcast-join linker ≡ dict-broadcast linker ≡ applyInPandas scorer."""
+    _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kb_bc, kb_index_bc, figer_bc = pipeline.build_broadcasts(
+        spark, entity_kb, figer_map
+    )
+    mention_rows = mentions_op.explode_mentions(run["with_mentions"])
+
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_id", "url", "figer"]
+    a = link.link_mentions_broadcast_join(mention_rows, entity_kb, figer_map)
+    b = link.score_links_grouped(mention_rows, kb_bc, figer_bc, num_buckets=8)
+    pa = a.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pb = b.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+    # and the in-row variant used by the default path
+    in_row = (
+        run["linked"]
+        .select(
+            "conv_id", "turn_idx", "sent_idx",
+            F.posexplode("mentions").alias("mention_id", "m"),
+        )
+        .select("conv_id", "turn_idx", "sent_idx", "mention_id", "m.url", "m.figer")
+    )
+    pc = in_row.toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pc)
