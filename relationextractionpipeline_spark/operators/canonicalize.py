@@ -1,0 +1,214 @@
+"""Entity/predicate canonicalization: minhash-LSH + connected components.
+
+The genuinely new distributed piece (SURVEY.md §4 custom item 1-2;
+BASELINE.json north_star): cluster entity references that denote the same
+real-world entity, assign one canonical id per cluster, and rewrite the edges
+table onto canonical ids before graph materialization.
+
+Cluster evidence, in order of strength:
+1. same disambiguated URL (alias surfaces already collapse there — the
+   linker's job, nel.py:286-315);
+2. minhash-LSH near-duplicate surface strings, verified by exact shingle
+   Jaccard to kill LSH false positives (notInWiki long tail).
+
+Connected components is iterative min-label propagation over the undirected
+candidate-pair graph with ``localCheckpoint()`` per iteration to cut lineage
+(no GraphFrames dependency).  Alias/URL clusters are stars, so convergence is
+2-3 iterations; the iteration cap guards pathological chains.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from relationextractionpipeline_spark.operators import sketches
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``.
+
+    Min-label propagation: each node repeatedly takes the min of its own
+    label and its neighbors' labels until a fixpoint.  Each iteration is one
+    shuffle (join + groupBy on node); ``localCheckpoint`` truncates lineage so
+    plan size stays O(1) per iteration — without it iteration N replays all
+    N-1 predecessors (SURVEY.md §4).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def candidate_pairs_for_entities(
+    ents: DataFrame,
+    surface_col: str = "surface",
+    url_col: str = "url",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Edges (src,dst) over entity keys: same-URL pairs + verified near-dups.
+
+    Input must be distinct (ent_key, surface, url) rows; ent_key is the
+    canonical entity string (P11 output).
+    """
+    # evidence 1: same URL — star edges to the min key per URL (no pair blowup)
+    url_star = (
+        ents.groupBy(url_col)
+        .agg(F.min("ent_key").alias("root"), F.collect_set("ent_key").alias("ks"))
+        .select(F.col("root").alias("src"), F.explode("ks").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    # evidence 2: LSH near-dup surfaces, Jaccard-verified
+    sigs = sketches.with_minhash(
+        ents.select("ent_key", surface_col).distinct(),
+        surface_col,
+        n_hashes=n_hashes,
+        shingle_k=shingle_k,
+        mode="char",
+    )
+    cand = sketches.lsh_candidate_pairs(sigs, "ent_key", "minhash", bands=bands)
+    surf = ents.select(F.col("ent_key"), F.col(surface_col)).distinct()
+    pairs = (
+        cand.join(
+            surf.select(
+                F.col("ent_key").alias("id_a"), F.col(surface_col).alias("surf_a")
+            ),
+            "id_a",
+        ).join(
+            surf.select(
+                F.col("ent_key").alias("id_b"), F.col(surface_col).alias("surf_b")
+            ),
+            "id_b",
+        )
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sketches.jaccard(
+                    sketches.char_shingles(x or "", shingle_k),
+                    sketches.char_shingles(y or "", shingle_k),
+                )
+                for x, y in zip(a, b)
+            ]
+        )
+
+    near = (
+        pairs.withColumn("j", jac("surf_a", "surf_b"))
+        .where(F.col("j") >= F.lit(jaccard_threshold))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return url_star.union(near).distinct()
+
+
+def canonicalize(
+    triples: DataFrame,
+    links: DataFrame,
+) -> Tuple[DataFrame, DataFrame]:
+    """(entities, edges): cluster entity strings, rewrite triples.
+
+    ``links`` — exploded linked mentions (conv_id, turn_idx, sent_idx,
+    mention_id, surface, kind, url, figer).  ``triples`` — extractor output.
+
+    Returns:
+      entities(entity_id, canonical_id, ent_key, surfaces, urls, types, n_mentions)
+      edges = triples + (subj_id, obj_id) canonical ids.
+    """
+    # distinct entity references with their P11 string as the cluster key
+    ent_key = F.when(
+        F.col("url").contains("notInWiki"),
+        F.regexp_replace(F.col("surface"), " ", "_"),
+    ).otherwise(F.element_at(F.split(F.col("url"), "/"), -1))
+    refs = (
+        links.select(
+            ent_key.alias("ent_key"),
+            "surface",
+            "url",
+            "figer",
+            "kind",
+        )
+    )
+    ents = refs.select("ent_key", "surface", "url").distinct()
+    pair_edges = candidate_pairs_for_entities(ents)
+    comps = connected_components(pair_edges)
+    # singletons (no edges) keep their own key as component
+    keyed = (
+        ents.select("ent_key")
+        .distinct()
+        .join(comps, F.col("ent_key") == F.col("node"), "left")
+        .select(
+            "ent_key",
+            F.coalesce(F.col("component"), F.col("ent_key")).alias("canonical_id"),
+        )
+    )
+    mention_counts = refs.groupBy("ent_key").count()
+    entities = (
+        refs.join(keyed, "ent_key")
+        .groupBy("canonical_id")
+        .agg(
+            F.collect_set("ent_key").alias("keys"),
+            F.collect_set("surface").alias("surfaces"),
+            F.collect_set("url").alias("urls"),
+            F.collect_set("figer").alias("types"),
+            F.count("*").alias("n_mentions"),
+        )
+        .withColumn("entity_id", F.xxhash64("canonical_id"))
+    )
+    key_map = keyed.select(
+        F.col("ent_key"), F.col("canonical_id"), F.xxhash64("canonical_id").alias("eid")
+    )
+    edges = (
+        triples.join(
+            key_map.select(
+                F.col("ent_key").alias("subj"), F.col("eid").alias("subj_id")
+            ),
+            "subj",
+            "left",
+        ).join(
+            key_map.select(
+                F.col("ent_key").alias("obj"), F.col("eid").alias("obj_id")
+            ),
+            "obj",
+            "left",
+        )
+    )
+    return entities, edges

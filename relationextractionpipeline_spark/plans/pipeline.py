@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from relationextractionpipeline_spark.operators import (
     assemble,
+    canonicalize,
     fused,
     link,
     mentions as mentions_op,
@@ -85,9 +86,19 @@ def run_staged(
         "parsed": parsed,
         "with_mentions": with_mentions,
         "linked": linked,
+        "links": mentions_op.explode_mentions(linked),
         "triples": triples,
         "types": triples_op.distinct_types(triples),
     }
+
+
+def materialize_graph(run: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
+    """Canonicalization tail (north_star): cluster entity references
+    (minhash-LSH + connected components) and rewrite triples onto canonical
+    entity ids.  Separate from run_pipeline because CC is iterative (runs
+    Spark actions); callers opt in."""
+    entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+    return {"entities": entities, "edges": edges}
 
 
 def run_fused(

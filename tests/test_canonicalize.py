@@ -1,0 +1,88 @@
+"""Canonicalization: sketches, LSH, connected components, entity clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import canonicalize, sketches
+from relationextractionpipeline_spark.plans import pipeline
+
+
+def test_minhash_deterministic_and_similarity_ordered():
+    a = sketches.minhash_signature(sketches.char_shingles("acme corporation", 3), 64)
+    a2 = sketches.minhash_signature(sketches.char_shingles("acme corporation", 3), 64)
+    b = sketches.minhash_signature(sketches.char_shingles("acme corporatio", 3), 64)
+    c = sketches.minhash_signature(sketches.char_shingles("zzz unrelated", 3), 64)
+    assert a == a2
+    sim_ab = sum(x == y for x, y in zip(a, b)) / 64
+    sim_ac = sum(x == y for x, y in zip(a, c)) / 64
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_simhash_hamming_tracks_similarity():
+    h1 = sketches.simhash64(sketches.word_shingles("the quick brown fox jumps", 2))
+    h2 = sketches.simhash64(sketches.word_shingles("the quick brown fox jumped", 2))
+    h3 = sketches.simhash64(sketches.word_shingles("entirely different words here", 2))
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+
+
+def test_lsh_pairs_find_near_dups(spark):
+    rows = [
+        (1, "binary relation extraction pipeline for german"),
+        (2, "binary relation extraction pipeline for germany"),
+        (3, "totally unrelated content with other words"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    sig = sketches.with_minhash(df, "text", n_hashes=32, shingle_k=3)
+    got = {
+        (r.id_a, r.id_b)
+        for r in sketches.lsh_candidate_pairs(sig, "id", bands=8).collect()
+    }
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_connected_components_chain_and_singleton(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("p", "q")], ["src", "dst"]
+    )
+    comps = dict(
+        (r.node, r.component)
+        for r in canonicalize.connected_components(e).collect()
+    )
+    assert comps["a"] == comps["b"] == comps["c"] == comps["d"] == "a"
+    assert comps["p"] == comps["q"] == "p"
+
+
+@pytest.fixture(scope="module")
+def graph(spark, tiny_paths):
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
+    g = pipeline.materialize_graph(run)
+    return run, g
+
+
+def test_entities_cluster_aliases_by_url(graph):
+    _run, g = graph
+    ents = g["entities"].toPandas()
+    # Ada Lovelace + alias Lovelace must be ONE entity if both occurred
+    ada = ents[ents["surfaces"].map(lambda s: "Ada Lovelace" in list(s))]
+    if not ada.empty:
+        assert len(ada) == 1
+        surfaces = set(ada.iloc[0]["surfaces"])
+        # alias rows (if seen in corpus) folded into the same cluster
+        assert ada.iloc[0]["canonical_id"] == "Ada_Lovelace"
+
+
+def test_edges_fully_resolved(graph):
+    _run, g = graph
+    edges = g["edges"]
+    n = edges.count()
+    assert n > 0
+    assert edges.where(F.col("subj_id").isNull() | F.col("obj_id").isNull()).count() == 0
+
+
+def test_edge_count_matches_triples(graph):
+    run, g = graph
+    assert g["edges"].count() == run["triples"].count()
