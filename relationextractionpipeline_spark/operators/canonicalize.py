@@ -45,6 +45,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # sym is re-scanned every iteration: checkpoint it once so the
+        # (possibly expensive) upstream candidate generation — LSH banding,
+        # Jaccard verification — runs exactly once, not once per iteration
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -166,6 +170,9 @@ def canonicalize(
             "figer",
             "kind",
         )
+        # refs feeds candidate generation, the entities rollup and the key
+        # map — checkpoint so the UDF pipeline upstream runs once
+        .localCheckpoint()
     )
     ents = refs.select("ent_key", "surface", "url").distinct()
     pair_edges = candidate_pairs_for_entities(ents)

@@ -1,0 +1,183 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond the reference's scope (it has no dedup), but first-class for a 100 TB
+corpus engine.  Five strategies, cheapest→richest; all deterministic:
+
+* exact           — hash groupBy on content (one shuffle, map-side combine)
+* MinHash+LSH     — shingle → signature → band → bucket-join (operators/sketches)
+* SimHash         — 64-bit fingerprint; banded hamming join, native bit_count
+* n-gram Jaccard  — exact set similarity via an inverted shingle index
+                    (explode + self-join on shingle + count ratio; no UDF)
+* embedding cosine— near-dup via vector similarity (see operators/similarity)
+
+Scale design: every strategy is one-or-two shuffles keyed by content-derived
+values (never doc ids), so hot documents can't skew; quadratic pair expansion
+is bounded by bucket caps (sketches.lsh_candidate_pairs) or min-shingle
+prefiltering (ngram path keeps only pairs sharing ≥1 shingle, then computes
+the exact ratio from counted intersections — no full cross join anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from relationextractionpipeline_spark.operators import sketches
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(keeper, n_dups) per distinct content; keeper = min id."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic winner)."""
+    keep = exact_dup_groups(df, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by estimated Jaccard (signature
+    agreement ratio — unbiased estimator, no second text pass)."""
+    sigs = sketches.with_minhash(
+        df.select(id_col, text_col), text_col, n_hashes=n_hashes,
+        shingle_k=shingle_k, mode="word",
+    )
+    cand = sketches.lsh_candidate_pairs(sigs, id_col, "minhash", bands=bands)
+    s = sigs.select(F.col(id_col), F.col("minhash"))
+    est = (
+        cand.join(s.select(F.col(id_col).alias("id_a"),
+                           F.col("minhash").alias("sig_a")), "id_a")
+        .join(s.select(F.col(id_col).alias("id_b"),
+                       F.col("minhash").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("sig_a"),
+        )
+    )
+    return est.where(F.col("est_jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit fingerprint into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), bucket-join on
+    chunk, verify with native bit_count(xor).  No UDF past the signature."""
+    sh = sketches.with_simhash(
+        df.select(id_col, text_col), text_col, shingle_k=shingle_k, mode="word"
+    )
+    chunks = sh.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select("chunk_idx", "chunk_val", F.col("_id").alias("id_a"),
+                      F.col("simhash").alias("sim_a"))
+    b = chunks.select("chunk_idx", "chunk_val", F.col("_id").alias("id_b"),
+                      F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", sketches.hamming64(F.col("sim_a"), F.col("sim_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via an inverted index — pure native ops.
+
+    |A∩B| comes from counting shared distinct shingles (join on shingle),
+    |A∪B| = |A|+|B|-|A∩B|.  The shingle join only produces pairs that share
+    content, so cost is output-bound, not |docs|².
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.sequence(
+                            F.lit(0),
+                            F.greatest(
+                                F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+                                - n,
+                                F.lit(0),
+                            ),
+                        ),
+                        lambda i: i
+                        <= F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n
+                        ),
+                        " ",
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        grams.select(F.col("_id").alias("id_a"), "gram")
+        .join(grams.select(F.col("_id").alias("id_b"), "gram"), "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"),
+                                F.col("n_grams").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("n_grams").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

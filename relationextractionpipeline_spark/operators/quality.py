@@ -1,0 +1,93 @@
+"""Text analysis for training-data curation: language-ID, quality scoring,
+token counting, fingerprinting.
+
+All native Column expressions (JVM-side, whole-stage codegen) — zero Python.
+Every builder is mirrored 1:1 by an ANSI-SQL oracle in ``__spark_entry__``,
+so each is independently verified against DuckDB by the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deterministic per-language stopword anchors for the n-gram/lexical heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ein"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "fr": ["le", "les", "et", "des", "une", "est"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie-break priority
+
+# word-ish BPE-style pre-tokenizer: letter runs | digit runs | single symbol
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_chars_calc", F.length(t))
+        .withColumn(
+            "n_words",
+            F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+                F.size(words(t))
+            ),
+        )
+        .withColumn("n_tokens", F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)))
+    )
+
+
+def _stop_hits(text_col: Column, stops) -> Column:
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(words(F.lower(text_col)), lambda w: F.array_contains(arr, w)))
+
+
+def with_langid(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    t = F.col(text_col)
+    hits = {lang: _stop_hits(t, sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties (priority order)
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length band, punctuation ratio,
+    stopword ratio, mean word length → [0,1] composite."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words(t)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    stop_all = [w for sw in LANG_STOPWORDS.values() for w in sw]
+    n_stop = _stop_hits(t, stop_all)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    length_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    score = F.round(
+        0.4 * length_score
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0))),
+        6,
+    )
+    return (
+        df.withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality_score", score)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 (cross-engine reproducible) + a 16-hex-prefix
+    shard key usable for fingerprint-range partition pruning."""
+    t = F.col(text_col)
+    return df.withColumn("fingerprint", F.md5(t)).withColumn(
+        "fp_bucket", F.substring(F.md5(t), 1, 4)
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine`` / ``dot`` — native Column builders (``zip_with`` +
+  ``aggregate`` in double precision, left-to-right fold so results are
+  bit-reproducible and comparable with a sequential oracle).
+* ``brute_force_topk`` — exact baseline: broadcast the (small) query set
+  against the corpus, window ``row_number`` per query.  One broadcast join +
+  one shuffle on query_id; corpus never shuffles.
+* ``lsh_bucketed_topk`` — scale path: deterministic random-hyperplane LSH
+  buckets; queries only compare against their bucket (and optional
+  multi-probe neighbors).  Recall<1 by construction; the bucket sweep is a
+  bucket-keyed equi-join, so a 100× corpus just means more buckets, not a
+  wider cross product.
+* ``embedding_near_dup_pairs`` — cosine near-dup (dedup strategy #5),
+  bucket-joined the same way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches by id).
+
+    ``queries`` columns: (query_id, embedding).  Deterministic tie-break on
+    (cos desc, neighbor id asc).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+    ).crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    ).withColumn(
+        "cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane_bucket_udf(n_planes: int, dim: int, seed: int = 42):
+    """Deterministic random-hyperplane signs; the plane matrix is derived
+    from the seed once per Python worker (model-per-worker pattern)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        mat = np.vstack(vecs.map(np.asarray).to_numpy())
+        signs = (mat @ planes) > 0
+        out = np.zeros(len(vecs), dtype=np.int32)
+        for j in range(n_planes):
+            out |= signs[:, j].astype(np.int32) << j
+        return pd.Series(out)
+
+    return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    return df.withColumn(out_col, _hyperplane_bucket_udf(n_planes, dim, seed)(F.col(vec_col)))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane bucket."""
+    c = with_lsh_bucket(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                        vec_col, n_planes, dim)
+    q = with_lsh_bucket(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        "_qvec", n_planes, dim,
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within LSH buckets (approximate)."""
+    b = with_lsh_bucket(df.select(id_col, vec_col), vec_col, n_planes, dim)
+    a = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    c = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .distinct()
+    )
