@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}`` plus KG throughput fields (turns/sec — the BASELINE.md metric).
+
+Each query is forced with a full-column hash aggregate so Catalyst cannot
+prune the computed columns away; timings therefore cover the real work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from relationextractionpipeline_spark.session import get_spark  # noqa: E402
+from relationextractionpipeline_spark.sources import testgen  # noqa: E402
+
+BENCH_QUERIES = [
+    "kg_triples",
+    "kg_assembly",
+    "q1_lineitem_agg",
+    "q_join_revenue_by_nation",
+    "q_window_user_sessions",
+    "q_top_words",
+    "q_doc_token_stats",
+    "q_quality",
+    "q_langid",
+    "q_dedup_exact_groups",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_embed_topk",
+]
+
+
+def force(df: DataFrame) -> int:
+    """Force full evaluation of every column (defeat column pruning)."""
+    row = df.select(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+    ).collect()[0]
+    return int(row["n"])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = 0.1
+
+    # pre-materialize the synthetic transcripts outside the timed region
+    paths = testgen.materialize(entrymod._scale_for(sf_dir))
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="rex-spark-bench",
+        shuffle_partitions=cpus,
+        extra_conf={
+            # CPU-bound Python stages: size input splits for ≥2 task waves
+            # per core rather than by bytes (see tools/kg_job.py)
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        counts[name] = force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    n_turns = spark.read.parquet(paths["transcripts"]).count()
+    kg_sec = timings["kg_triples"]
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": cpus,
+        "kg_turns": n_turns,
+        "kg_triples": counts["kg_triples"],
+        "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

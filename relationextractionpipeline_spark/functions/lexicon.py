@@ -177,6 +177,7 @@ def all_entity_surfaces() -> List[str]:
 
 
 _SURFACE_TOKEN_TUPLES = None
+_SURFACE_FIRST = None
 
 
 def surface_token_index() -> Dict[Tuple[str, ...], str]:
@@ -188,6 +189,17 @@ def surface_token_index() -> Dict[Tuple[str, ...], str]:
             idx[tuple(s.split(" "))] = s
         _SURFACE_TOKEN_TUPLES = idx
     return _SURFACE_TOKEN_TUPLES
+
+
+def surface_first_index() -> Dict[str, List[int]]:
+    """first token -> candidate match lengths (desc) — longest-match fast path."""
+    global _SURFACE_FIRST
+    if _SURFACE_FIRST is None:
+        first: Dict[str, List[int]] = {}
+        for tup in surface_token_index():
+            first.setdefault(tup[0], []).append(len(tup))
+        _SURFACE_FIRST = {w: sorted(set(ls), reverse=True) for w, ls in first.items()}
+    return _SURFACE_FIRST
 
 
 MAX_SURFACE_TOKENS = 3
@@ -286,6 +298,16 @@ def _entity_chunks(forms: Sequence[str], cats: Sequence[str]) -> List[Tuple[int,
     analog so mention spans and parse chunks agree (SURVEY.md §2.3 T4).
     """
     idx = surface_token_index()
+    first = surface_first_index()
+
+    def match_at(k: int, j: int) -> int:
+        lengths = first.get(forms[k])
+        if lengths:
+            for length in lengths:
+                if length <= j - k + 1 and tuple(forms[k:k + length]) in idx:
+                    return length
+        return 0
+
     chunks: List[Tuple[int, int]] = []
     i = 0
     n = len(forms)
@@ -300,24 +322,13 @@ def _entity_chunks(forms: Sequence[str], cats: Sequence[str]) -> List[Tuple[int,
         # longest-match segmentation within [i, j]
         k = i
         while k <= j:
-            matched = None
-            for length in range(min(MAX_SURFACE_TOKENS, j - k + 1), 0, -1):
-                if tuple(forms[k:k + length]) in idx:
-                    matched = length
-                    break
-            if matched is None:
-                # capitalized run not in KB: greedy single-entity span to run end
-                m = k
-                while m <= j and tuple(forms[m:m + 1]) not in idx:
-                    # extend until a KB match would start
-                    nxt_is_kb = False
-                    for length in range(min(MAX_SURFACE_TOKENS, j - m), 0, -1):
-                        if m + 1 <= j and tuple(forms[m + 1:m + 1 + length]) in idx:
-                            nxt_is_kb = True
-                            break
+            matched = match_at(k, j)
+            if matched == 0:
+                # capitalized run not in KB: greedy single-entity span until
+                # a position where a KB match would start
+                m = k + 1
+                while m <= j and match_at(m, j) == 0:
                     m += 1
-                    if nxt_is_kb:
-                        break
                 chunks.append((k, m - 1))
                 k = m
             else:

@@ -82,6 +82,23 @@ def segment_text_with_lines(text: str) -> List[Tuple[int, str]]:
 # ---------------------------------------------------------------------------
 
 
+# first-word index cache per gazetteer dict (keyed by object identity):
+# {first_token: sorted lengths desc}.  Avoids constructing candidate tuples
+# at every token position — the inner-loop hotspot at scale.
+_GAZ_FIRST_CACHE: Dict[int, Dict[str, List[int]]] = {}
+
+
+def _gaz_first(kb_index: Dict[Tuple[str, ...], str]) -> Dict[str, List[int]]:
+    got = _GAZ_FIRST_CACHE.get(id(kb_index))
+    if got is None:
+        first: Dict[str, List[int]] = {}
+        for tup in kb_index:
+            first.setdefault(tup[0], []).append(len(tup))
+        got = {w: sorted(set(ls), reverse=True) for w, ls in first.items()}
+        _GAZ_FIRST_CACHE[id(kb_index)] = got
+    return got
+
+
 def ner_tags(tokens: Sequence[Dict], kb_index: Dict[Tuple[str, ...], str],
              max_len: int = 3) -> List[str]:
     """Named-entity tags per token: longest-match gazetteer over KB surfaces
@@ -89,34 +106,34 @@ def ner_tags(tokens: Sequence[Dict], kb_index: Dict[Tuple[str, ...], str],
     ner.py:108-143).  Output alphabet mirrors nel.py: '0' or 'ner{k}' with k
     incrementing per new entity left-to-right (nel.py:204 boundary rule).
     """
+    first = _gaz_first(kb_index)
     n = len(tokens)
+    forms = [str(t["form"]) for t in tokens]
     tags = ["0"] * n
     counter = 0
+
+    def match_at(i: int) -> int:
+        lengths = first.get(forms[i])
+        if lengths:
+            for length in lengths:
+                if length <= n - i and tuple(forms[i : i + length]) in kb_index:
+                    return length
+        return 0
+
     i = 0
     while i < n:
-        t = tokens[i]
-        matched = 0
-        for length in range(min(max_len, n - i), 0, -1):
-            key = tuple(str(tokens[i + k]["form"]) for k in range(length))
-            if key in kb_index:
-                matched = length
-                break
+        matched = match_at(i)
         if matched:
             counter += 1
             for k in range(matched):
                 tags[i + k] = f"ner{counter}"
             i += matched
-        elif t["upos"] == "PROPN":
+        elif tokens[i]["upos"] == "PROPN":
             counter += 1
             j = i
             while j < n and tokens[j]["upos"] == "PROPN" and tags[j] == "0":
                 # stop the fallback run where a KB match would begin
-                is_kb_start = False
-                for length in range(min(max_len, n - j), 0, -1):
-                    if tuple(str(tokens[j + k]["form"]) for k in range(length)) in kb_index:
-                        is_kb_start = True
-                        break
-                if j > i and is_kb_start:
+                if j > i and match_at(j):
                     break
                 tags[j] = f"ner{counter}"
                 j += 1

@@ -31,7 +31,7 @@ from relationextractionpipeline_spark.functions import lexicon as lx
 SEED = 42
 BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
-SCALES = {"tiny": 20, "small": 2000, "bench": 30000}
+SCALES = {"tiny": 20, "small": 2000, "bench": 30000, "scaling": 120000}
 
 WIKI_URL_PREFIX = "http://synthetic.kb/resource/"
 NOT_IN_WIKI_PREFIX = "http://aksw.org/notInWiki/"
@@ -246,7 +246,18 @@ def materialize(scale: str, data_dir: str = DEFAULT_DATA_DIR) -> Dict[str, str]:
         "figer_map": os.path.join(out, "figer_map.parquet"),
     }
     if not os.path.exists(paths["transcripts"]):
-        gen_transcripts(n_convs).to_parquet(paths["transcripts"], index=False)
+        df = gen_transcripts(n_convs)
+        # shard into a directory of parquet files so the Spark scan
+        # parallelizes without a repartition shuffle (a single file is one
+        # input split regardless of row groups)
+        n_shards = max(1, min(64, len(df) // 8000))
+        tmp = paths["transcripts"] + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        for s in range(n_shards):
+            df.iloc[s::n_shards].to_parquet(
+                os.path.join(tmp, f"part-{s:05d}.parquet"), index=False
+            )
+        os.replace(tmp, paths["transcripts"])
     if not os.path.exists(paths["entity_kb"]):
         gen_entity_kb().to_parquet(paths["entity_kb"], index=False)
     if not os.path.exists(paths["figer_map"]):

@@ -1,0 +1,65 @@
+"""Checkpoint/resume: kill-and-resume skips completed stages; byte-identical
+triples; fingerprint invalidation recomputes (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from relationextractionpipeline_spark.plans import manifests, pipeline
+from tests.test_pipeline import TRIPLE_KEY, _triple_set
+
+
+def _events(runner):
+    return {(e["stage"], e["action"]) for e in runner.events}
+
+
+def test_checkpoint_then_resume(spark, tiny_paths, tmp_path):
+    ck = str(tmp_path / "ck")
+
+    # first (cold) run: everything computed
+    r1 = manifests.run_checkpointed(spark, tiny_paths, ck)
+    t1 = _triple_set(r1["triples"].toPandas())
+    assert _events(r1["runner"]) == {
+        ("sentences", "computed"), ("linked", "computed"), ("triples", "computed"),
+    }
+    m = r1["runner"].read_manifest("triples")
+    assert m["rows"] == len(t1)
+    assert m["partitions"] and all(p["rows"] >= 0 for p in m["partitions"])
+
+    # simulate a kill after stage 2: drop the triples checkpoint only
+    shutil.rmtree(os.path.join(ck, "triples"))
+    os.remove(os.path.join(ck, "triples._manifest.json"))
+
+    r2 = manifests.run_checkpointed(spark, tiny_paths, ck)
+    assert _events(r2["runner"]) == {
+        ("sentences", "resumed"), ("linked", "resumed"), ("triples", "computed"),
+    }
+    assert _triple_set(r2["triples"].toPandas()) == t1
+
+    # full resume: nothing recomputed
+    r3 = manifests.run_checkpointed(spark, tiny_paths, ck)
+    assert _events(r3["runner"]) == {
+        ("sentences", "resumed"), ("linked", "resumed"), ("triples", "resumed"),
+    }
+    assert _triple_set(r3["triples"].toPandas()) == t1
+
+
+def test_checkpointed_matches_direct(spark, tiny_paths, tmp_path):
+    ck = str(tmp_path / "ck2")
+    r = manifests.run_checkpointed(spark, tiny_paths, ck)
+    direct = pipeline.run_pipeline(spark, tiny_paths, mode="fused")
+    assert _triple_set(r["triples"].toPandas()) == _triple_set(
+        direct["triples"].toPandas()
+    )
+
+
+def test_fingerprint_invalidation(spark, tiny_paths, tmp_path):
+    ck = str(tmp_path / "ck3")
+    manifests.run_checkpointed(spark, tiny_paths, ck)
+    # touch the input → new fingerprint → stale checkpoints must recompute
+    os.utime(tiny_paths["transcripts"], (1, 1))
+    r = manifests.run_checkpointed(spark, tiny_paths, ck)
+    assert _events(r["runner"]) == {
+        ("sentences", "computed"), ("linked", "computed"), ("triples", "computed"),
+    }

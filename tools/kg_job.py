@@ -1,0 +1,79 @@
+"""One full KG pipeline run, as a standalone job: read transcripts →
+fused extraction → write triples parquet.  Used by tools/bench_scaling.py at
+two parallelism levels (local[N] vs local[4N]) — the sandbox stand-in for the
+north rule's N→4N-executor scaling measurement.
+
+Usage: python tools/kg_job.py <cpus> <scale> <out_dir>
+Prints one JSON line: {"cpus": N, "turns": T, "triples": R, "sec": S,
+"turns_per_sec": X}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from relationextractionpipeline_spark.session import get_spark  # noqa: E402
+from relationextractionpipeline_spark.sources import testgen  # noqa: E402
+from relationextractionpipeline_spark.plans import pipeline  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    scale = sys.argv[2]
+    out_dir = sys.argv[3]
+    paths = testgen.materialize(scale)
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"rex-kg-job-{cpus}",
+        shuffle_partitions=cpus,
+        extra_conf={
+            # CPU-bound Python stage: bytes are a bad proxy for cost, so cut
+            # input splits far below the 128MB default — ≥2 task waves per
+            # core smooths stragglers and hides Python-worker spin-up
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
+    n_turns = transcripts.count()
+    kb_bc, kb_index_bc, figer_bc = pipeline.build_broadcasts(
+        spark, entity_kb, figer_map
+    )
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    # warm-up: spin up the Python UDF workers + JIT before the timed region.
+    # hash-sampled filter (not limit) so every input partition keeps a slice
+    # and every core's Python worker gets warmed, not just one task's.
+    from pyspark.sql import functions as F
+
+    warm = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(50)) == 0)
+    pipeline.run_fused(warm, kb_bc, kb_index_bc, figer_bc).count()
+    t0 = time.time()
+    # sharded input ⇒ the scan parallelizes natively; the extract path is
+    # narrow end-to-end (no shuffle between read and write)
+    triples = pipeline.run_fused(transcripts, kb_bc, kb_index_bc, figer_bc)
+    triples.write.mode("overwrite").parquet(out_dir)
+    sec = time.time() - t0
+    n_triples = spark.read.parquet(out_dir).count()
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "turns": n_turns,
+                "triples": n_triples,
+                "sec": round(sec, 3),
+                "turns_per_sec": round(n_turns / sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
