@@ -56,7 +56,7 @@ def near_dup_pairs_minhash(
     sigs = sketches.with_minhash(
         df.select(id_col, text_col), text_col, n_hashes=n_hashes,
         shingle_k=shingle_k, mode="word",
-    )
+    ).persist()  # reused by LSH banding and both verification joins
     cand = sketches.lsh_candidate_pairs(sigs, id_col, "minhash", bands=bands)
     s = sigs.select(F.col(id_col), F.col("minhash"))
     est = (
@@ -85,10 +85,18 @@ def near_dup_pairs_simhash(
     text_col: str = "text",
     shingle_k: int = 3,
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dups: band the 64-bit fingerprint into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), bucket-join on
-    chunk, verify with native bit_count(xor).  No UDF past the signature."""
+    chunk, verify with native bit_count(xor).  No UDF past the signature.
+
+    ``max_bucket`` bounds the quadratic within-bucket expansion on
+    boilerplate-heavy corpora (many genuinely-similar fingerprints share
+    chunk values): oversized buckets are dropped, trading recall on
+    degenerate content for a hard cost bound — same policy as
+    sketches.lsh_candidate_pairs.
+    """
     sh = sketches.with_simhash(
         df.select(id_col, text_col), text_col, shingle_k=shingle_k, mode="word"
     )
@@ -106,6 +114,11 @@ def near_dup_pairs_simhash(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    chunks = chunks.persist()  # self-join + size pre-pass: sketch UDF once
+    chunks = chunks.join(
+        chunks.groupBy("chunk_idx", "chunk_val").count(),
+        ["chunk_idx", "chunk_val"],
+    ).where(F.col("count") <= max_bucket).drop("count").persist()
     a = chunks.select("chunk_idx", "chunk_val", F.col("_id").alias("id_a"),
                       F.col("simhash").alias("sim_a"))
     b = chunks.select("chunk_idx", "chunk_val", F.col("_id").alias("id_b"),

@@ -23,11 +23,14 @@ from __future__ import annotations
 import zlib
 from typing import List
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 _MASK64 = (1 << 64) - 1
-_PRIME = (1 << 61) - 1  # Mersenne prime for universal hashing
+# Mersenne prime 2^31-1: keeps a*x+b inside int64 so the MinHash inner loop
+# vectorizes in numpy without overflow (a,b,x < 2^31 ⇒ a*x+b < 2^62)
+_PRIME = (1 << 31) - 1
 
 
 def _mix(seed: int) -> int:
@@ -39,7 +42,27 @@ def _mix(seed: int) -> int:
 
 
 def _hash_params(n: int, seed: int = 42):
-    return [(_mix(seed * 1_000_003 + i) | 1, _mix(seed * 2_000_003 + i)) for i in range(n)]
+    return [
+        ((_mix(seed * 1_000_003 + i) % (_PRIME - 1)) | 1,
+         _mix(seed * 2_000_003 + i) % _PRIME)
+        for i in range(n)
+    ]
+
+
+_PARAM_CACHE: dict = {}
+
+
+def _hash_params_np(n: int, seed: int = 42):
+    key = (n, seed)
+    got = _PARAM_CACHE.get(key)
+    if got is None:
+        params = _hash_params(n, seed)
+        got = (
+            np.array([p[0] for p in params], dtype=np.int64),
+            np.array([p[1] for p in params], dtype=np.int64),
+        )
+        _PARAM_CACHE[key] = got
+    return got
 
 
 def char_shingles(text: str, k: int) -> List[int]:
@@ -61,32 +84,31 @@ def word_shingles(text: str, k: int) -> List[int]:
 
 
 def minhash_signature(shingles: List[int], n_hashes: int, seed: int = 42) -> List[int]:
-    params = _hash_params(n_hashes, seed)
+    """Vectorized universal-hash MinHash: sig_i = min_x (a_i·x + b_i) mod p."""
     if not shingles:
         return [0] * n_hashes
-    sig = []
-    for a, b in params:
-        best = _PRIME
-        for x in shingles:
-            v = (a * x + b) % _PRIME
-            if v < best:
-                best = v
-        sig.append(best & 0x7FFFFFFFFFFFFFFF)
-    return sig
+    a, b = _hash_params_np(n_hashes, seed)
+    x = np.unique(np.asarray(shingles, dtype=np.int64) % _PRIME)
+    # (n_hashes, n_shingles) int64 — a,x < 2^31 so products stay in range
+    v = (a[:, None] * x[None, :] + b[:, None]) % _PRIME
+    return v.min(axis=1).tolist()
 
 
 def simhash64(shingles: List[int], seed: int = 42) -> int:
-    """64-bit SimHash over shingle hashes."""
+    """64-bit SimHash over shingle hashes (vectorized bit counting)."""
     if not shingles:
         return 0
-    counts = [0] * 64
-    for x in shingles:
-        h = _mix(x ^ _mix(seed))
-        for bit in range(64):
-            counts[bit] += 1 if (h >> bit) & 1 else -1
+    xs = np.asarray(shingles, dtype=np.uint64) ^ np.uint64(_mix(seed))
+    # splitmix64 finalizer, vectorized
+    z = (xs + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    bits = np.unpackbits(z.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = 2 * bits.sum(axis=0).astype(np.int64) - len(xs)
     out = 0
     for bit in range(64):
-        if counts[bit] > 0:
+        if votes[bit] > 0:
             out |= 1 << bit
     return out & 0x7FFFFFFFFFFFFFFF  # keep in signed-long range
 
@@ -159,11 +181,12 @@ def lsh_candidate_pairs(
         F.posexplode(_band_hashes_col(sig_col, bands)).alias(
             "band_idx", "band_hash"
         ),
-    )
+    ).persist()  # referenced by both self-join sides + the size pre-pass:
+    # persist so the signature UDF upstream runs once, not three times
     sized = banded.join(
         banded.groupBy("band_idx", "band_hash").count(),
         ["band_idx", "band_hash"],
-    ).where(F.col("count") <= max_bucket)
+    ).where(F.col("count") <= max_bucket).persist()
     a = sized.select("band_idx", "band_hash", F.col("_id").alias("id_a"))
     b = sized.select("band_idx", "band_hash", F.col("_id").alias("id_b"))
     return (
