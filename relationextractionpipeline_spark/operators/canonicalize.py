@@ -144,6 +144,62 @@ def candidate_pairs_for_entities(
     return url_star.union(near).distinct()
 
 
+def canonicalize_predicates(
+    triples: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Predicate canonicalization: cluster near-duplicate predicate strings
+    (minhash-LSH over char shingles + CC) → (pred, pred_canonical, pred_id).
+
+    The reference emits raw predicate strings (lemma + particle/xcomp/case
+    suffixes, binary_relation.py:253-266) with no normalization; at corpus
+    scale near-identical predicates ('hand_off.to' / 'hand_off.too' OCR-type
+    variants) fragment the edge set, so the north_star asks for the same
+    LSH+CC treatment entities get.  Verified near-dups cluster; the canonical
+    form is the cluster's min string; singletons map to themselves.
+    """
+    preds = triples.select("pred").distinct().withColumnRenamed("pred", "ent_key")
+    sigs = sketches.with_minhash(
+        preds, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+    ).persist()
+    cand = sketches.lsh_candidate_pairs(sigs, "ent_key", "minhash", bands=bands)
+    pairs = cand.join(
+        preds.select(F.col("ent_key").alias("id_a")), "id_a"
+    ).join(preds.select(F.col("ent_key").alias("id_b")), "id_b")
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sketches.jaccard(
+                    sketches.char_shingles(x or "", shingle_k),
+                    sketches.char_shingles(y or "", shingle_k),
+                )
+                for x, y in zip(a, b)
+            ]
+        )
+
+    near = (
+        pairs.withColumn("j", jac("id_a", "id_b"))
+        .where(F.col("j") >= jaccard_threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps = connected_components(near)
+    return (
+        preds.join(comps, preds["ent_key"] == comps["node"], "left")
+        .select(
+            F.col("ent_key").alias("pred"),
+            F.coalesce(F.col("component"), F.col("ent_key")).alias(
+                "pred_canonical"
+            ),
+        )
+        .withColumn("pred_id", F.xxhash64("pred_canonical"))
+    )
+
+
 def canonicalize(
     triples: DataFrame,
     links: DataFrame,

@@ -93,12 +93,14 @@ def run_staged(
 
 
 def materialize_graph(run: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
-    """Canonicalization tail (north_star): cluster entity references
-    (minhash-LSH + connected components) and rewrite triples onto canonical
-    entity ids.  Separate from run_pipeline because CC is iterative (runs
-    Spark actions); callers opt in."""
+    """Canonicalization tail (north_star): cluster entity references and
+    near-duplicate predicates (minhash-LSH + connected components), rewrite
+    triples onto canonical entity/predicate ids.  Separate from run_pipeline
+    because CC is iterative (runs Spark actions); callers opt in."""
     entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
-    return {"entities": entities, "edges": edges}
+    pred_map = canonicalize.canonicalize_predicates(run["triples"])
+    edges = edges.join(F.broadcast(pred_map), "pred", "left")
+    return {"entities": entities, "edges": edges, "predicates": pred_map}
 
 
 def run_fused(

@@ -86,3 +86,26 @@ def test_edges_fully_resolved(graph):
 def test_edge_count_matches_triples(graph):
     run, g = graph
     assert g["edges"].count() == run["triples"].count()
+
+
+def test_predicate_canonicalization_clusters_near_dups(spark):
+    rows = [
+        ("a", "hand_off.to", "b"), ("a", "hand_off.too", "b"),
+        ("a", "audit", "b"), ("a", "visit", "b"),
+    ]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    m = {
+        r["pred"]: r["pred_canonical"]
+        for r in canonicalize.canonicalize_predicates(
+            t, jaccard_threshold=0.6
+        ).collect()
+    }
+    assert m["hand_off.to"] == m["hand_off.too"]  # near-dups cluster
+    assert m["audit"] == "audit" and m["visit"] == "visit"  # singletons
+    assert m["audit"] != m["visit"]
+
+
+def test_graph_edges_have_pred_ids(graph):
+    _run, g = graph
+    assert g["edges"].where(F.col("pred_id").isNull()).count() == 0
+    assert g["predicates"].count() > 0

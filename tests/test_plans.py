@@ -1,0 +1,66 @@
+"""Physical-plan audits (.explain-driven): the plans we designed for are the
+plans Catalyst actually produces (scale guarantees, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import link, mentions as mentions_op
+from relationextractionpipeline_spark.plans import pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    q = d.where(F.col("n_chars") > 100).select("doc_id", "lang")
+    plan = _plan(q)
+    scan = [l for l in plan.splitlines() if "Scan parquet" in l or "PushedFilters" in l]
+    joined = " ".join(scan)
+    assert "GreaterThan(n_chars" in joined  # predicate reached the scan
+    assert "text" not in joined.split("ReadSchema:")[-1]  # column pruned
+
+
+def test_fused_extract_path_has_no_shuffle(spark, tiny_paths):
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="fused")
+    plan = _plan(run["triples"])
+    assert "Exchange" not in plan  # scan → mapInPandas → rows: fully narrow
+
+
+def test_staged_extract_path_has_no_shuffle(spark, tiny_paths):
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
+    plan = _plan(run["triples"])
+    assert "Exchange" not in plan
+
+
+def test_link_broadcast_join_is_broadcast(spark, tiny_paths):
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
+    _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    rows = mentions_op.explode_mentions(run["with_mentions"])
+    out = link.link_mentions_broadcast_join(rows, entity_kb, figer_map)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # small dims must not sort-merge
+
+
+def test_assembly_is_single_shuffle_with_partial_agg(spark, tiny_paths):
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="fused")
+    plan = _plan(run["assembled"])
+    # exactly one exchange (the groupBy conv_id shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1
+    # map-side partial aggregation present (ObjectHashAggregate partial+final)
+    assert plan.count("Aggregate") >= 2
+
+
+def test_flagship_agg_partial_before_shuffle(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    plan = _plan(df)
+    assert "HashAggregate" in plan and "Exchange" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never full-sorts
