@@ -213,11 +213,31 @@ def spans_from_tags(tokens: Sequence[Dict], tags: Sequence[str]) -> List[Dict]:
 
 
 def detect_mentions(tokens: Sequence[Dict],
-                    kb_index: Dict[Tuple[str, ...], str]) -> List[Dict]:
-    """T4 end-to-end: NER analog + noun projection + merge + span fold."""
+                    kb_index: Dict[Tuple[str, ...], str],
+                    include_common: bool = True,
+                    fuse_adjacent: bool = False) -> List[Dict]:
+    """T4 end-to-end: NER analog + noun projection + merge + span fold.
+
+    ``include_common=False`` selects the reference's alternative NEL-over-
+    NER-only path (``ner_nel.py:31-44`` — no common-entity merge);
+    ``fuse_adjacent=True`` mirrors that path's fusing of adjacent NE spans
+    into one mention (``ner_nel.py:139-142``).
+    """
     nt = ner_tags(tokens, kb_index)
-    ct = noun_tags(tokens)
-    return spans_from_tags(tokens, merge_tags(nt, ct))
+    if fuse_adjacent:
+        fused: List[str] = []
+        prev = "0"
+        for tag in nt:
+            if tag != "0" and prev != "0":
+                tag = prev  # adjacent NE spans merge
+            fused.append(tag)
+            prev = tag
+        nt = fused
+    if include_common:
+        merged = merge_tags(nt, noun_tags(tokens))
+    else:
+        merged = list(nt)
+    return spans_from_tags(tokens, merged)
 
 
 # ---------------------------------------------------------------------------

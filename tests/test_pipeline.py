@@ -71,6 +71,19 @@ def test_partition_count_does_not_change_triples(spark, tiny_paths, oracle_tripl
         assert got == _triple_set(oracle_triples)
 
 
+def test_row_order_does_not_change_triples(spark, tiny_pandas, tiny_paths, oracle_triples):
+    """Metamorphic: permuting input row order never changes the triple set
+    (SURVEY.md §5.4)."""
+    from relationextractionpipeline_spark.plans import pipeline as pl
+
+    shuffled = tiny_pandas["transcripts"].sample(frac=1.0, random_state=7)
+    t = spark.createDataFrame(shuffled)
+    _, entity_kb, figer_map = pl.load_inputs(spark, tiny_paths)
+    kb_bc, kbi_bc, fg_bc = pl.build_broadcasts(spark, entity_kb, figer_map)
+    got = _triple_set(pl.run_fused(t, kb_bc, kbi_bc, fg_bc).toPandas())
+    assert got == _triple_set(oracle_triples)
+
+
 def test_assembly_round_trip_text_equality(run, tiny_pandas):
     """Driver-mandated invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering after window-ordered assembly."""
