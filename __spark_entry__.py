@@ -159,6 +159,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q1_lineitem_agg"] = q1_lineitem_agg
 
+    def q_lineitem_rollup(spark, sf_dir):
+        li = _read(spark, sf_dir, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.count("*").alias("n_rows"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "sum_qty",
+                "n_rows",
+            )
+        )
+
+    q["q_lineitem_rollup"] = q_lineitem_rollup
+
     def q_join_revenue_by_nation(spark, sf_dir):
         o = _read(spark, sf_dir, "orders")
         c = _read(spark, sf_dir, "customer")
@@ -425,6 +443,13 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_lineitem_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_join_revenue_by_nation": """
             SELECT n_name, round(sum(o_totalprice), 4) AS revenue,

@@ -240,7 +240,19 @@ CAT_PRT = "PRT"
 CAT_PUNCT = "PUNCT"
 
 
+_CLASSIFY_CACHE: Dict[str, str] = {}
+
+
 def classify(form: str) -> str:
+    got = _CLASSIFY_CACHE.get(form)
+    if got is None:
+        got = _classify_uncached(form)
+        if len(_CLASSIFY_CACHE) < 1_000_000:  # bounded: corpus vocab is closed
+            _CLASSIFY_CACHE[form] = got
+    return got
+
+
+def _classify_uncached(form: str) -> str:
     if form in SENT_TERMINALS:
         return CAT_PUNCT
     if form == DET_WORD:
