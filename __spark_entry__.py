@@ -352,6 +352,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_topk_lsh"] = q_embed_topk_lsh  # rows-only (approximate)
 
+    def q_embed_topk_ivf(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk(emb, qs, k=5, n_clusters=16, nprobe=4).select(
+            "query_id", "neighbor_id", "cos", "rank"
+        )
+
+    q["q_embed_topk_ivf"] = q_embed_topk_ivf  # rows-only (approximate)
+
     def q_embed_neardup(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.embedding_near_dup_pairs(

@@ -132,6 +132,86 @@ def lsh_bucketed_topk(
     )
 
 
+def _ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int, dim: int,
+                   seed: int = 42, sample: float = 1.0):
+    """Deterministic coarse quantizer: k-means on a driver-collected sample.
+
+    The centroid table is tiny (n_clusters × dim); training on a bounded
+    sample is the standard IVF recipe — at 100 TB you train on ~1M sampled
+    vectors, not the corpus.  Uses numpy Lloyd iterations (seeded, fixed
+    count) rather than pyspark.ml to stay deterministic across partitionings.
+    """
+    pdf = (
+        corpus.select(vec_col).sample(False, sample, seed).limit(100_000).toPandas()
+    )
+    mat = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(10):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _ivf_assign_udf(centroids: "np.ndarray", nprobe: int = 1):
+    """vector → its ``nprobe`` nearest centroid ids (array<int>)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.map(np.asarray).to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``nprobe`` nearest cells only.
+
+    The cell assignment is the partition key, so the search join is a
+    cell-keyed equi-join — corpus scale raises the number of cells, never the
+    width of the join.  Recall grows with ``nprobe`` (exact when
+    nprobe = n_clusters)."""
+    centroids = _ivf_centroids(corpus, vec_col, n_clusters, dim)
+    c_assign = _ivf_assign_udf(centroids, nprobe=1)
+    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+    ).withColumn("cell", F.element_at(c_assign(F.col(vec_col)), 1))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -109,6 +109,39 @@ def test_lsh_topk_subset_of_exact_ranking(spark, emb):
             assert abs(ex[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
 
 
+def test_ivf_topk_recall_against_exact(spark, emb):
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, qs, k=5).toPandas()
+    approx = similarity.ivf_topk(emb, qs, k=5, n_clusters=8, nprobe=4).toPandas()
+    # cosines on shared pairs must be identical; recall must be substantial
+    ex = {(r.query_id, r.neighbor_id): r.cos for r in exact.itertuples()}
+    hits = 0
+    for r in approx.itertuples():
+        if (r.query_id, r.neighbor_id) in ex:
+            hits += 1
+            assert abs(ex[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+    assert hits >= len(exact) * 0.3  # nprobe=4/8 cells → decent recall
+    # exactness when probing every cell
+    full = similarity.ivf_topk(emb, qs, k=5, n_clusters=8, nprobe=8).toPandas()
+    pe = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pf = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (pe["neighbor_id"] == pf["neighbor_id"]).all()
+
+
+def test_ivf_deterministic(spark, emb):
+    qs = emb.where(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.ivf_topk(emb, qs, k=3, n_clusters=8, nprobe=2).toPandas()
+    b = similarity.ivf_topk(emb, qs, k=3, n_clusters=8, nprobe=2).toPandas()
+    cols = ["query_id", "rank"]
+    pa = a.sort_values(cols).reset_index(drop=True)
+    pb = b.sort_values(cols).reset_index(drop=True)
+    assert (pa["neighbor_id"] == pb["neighbor_id"]).all()
+
+
 def test_embedding_near_dup_planted(spark, emb):
     dup = emb.limit(3).select(
         (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
