@@ -244,7 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_events_json_props"] = q_events_json_props
 
     def q_top_words(spark, sf_dir):
-        d = _read(spark, sf_dir, "documents")
+        # documents is one small file → one input split; the explode fans out
+        # ~200× per row, so spread rows across cores before the heavy part
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         return (
             d.select(
                 "doc_id",

@@ -1,0 +1,147 @@
+"""CLI entry point — the analog of the reference's ``python main.py
+config.ini`` lifecycle (SURVEY.md §3.1-3.2).
+
+The reference parses an INI, slices a static stage list via
+``partial_execution``/``start_step``/``end_step`` (``main.py:77-99``),
+hand-schedules batch files over a ``multiprocessing.Pool`` and resumes by
+re-reading a batch-group manifest.  Here:
+
+* config          → argparse (+ optional INI via --config for parity)
+* plan selection  → --mode fused|staged|checkpointed; checkpointed resumes
+                    from per-stage manifests (plans/manifests.py) — the
+                    strictly-stronger replacement for partial execution
+* physical split  → Spark scheduling; --cpus/--shuffle-partitions knobs
+* outputs         → native parquet tables + optional reference-format JSONL/
+                    human/types files (operators/sinks.py)
+
+Example:
+    python -m relationextractionpipeline_spark \
+        --scale small --out /tmp/kg_out --mode checkpointed \
+        --checkpoint-dir /tmp/kg_ck --reference-formats
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(prog="relationextractionpipeline_spark")
+    p.add_argument("--config", help="optional INI file; CLI flags win")
+    p.add_argument("--transcripts", help="input transcripts parquet (dir or file)")
+    p.add_argument("--entity-kb", help="entity_kb parquet")
+    p.add_argument("--figer-map", help="figer_map parquet")
+    p.add_argument("--scale", help="generate/use synthetic scale instead "
+                                   "(tiny|small|bench|scaling)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--mode", default="fused",
+                   choices=["fused", "staged", "checkpointed"])
+    p.add_argument("--checkpoint-dir", help="manifest dir (mode=checkpointed)")
+    p.add_argument("--cpus", type=int, default=os.cpu_count())
+    p.add_argument("--master", default=None)
+    p.add_argument("--graph", action="store_true",
+                   help="also canonicalize + write entities/edges tables")
+    p.add_argument("--reference-formats", action="store_true",
+                   help="also write S12 JSONL / S13 human / S14 types files")
+    args = p.parse_args(argv)
+    if args.config:
+        ini = configparser.ConfigParser()
+        ini.read(args.config)
+        g = ini["general"] if "general" in ini else {}
+        for k in ("transcripts", "entity_kb", "figer_map", "out"):
+            if getattr(args, k.replace("-", "_"), None) is None and k in g:
+                setattr(args, k.replace("-", "_"), g[k])
+    return args
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    from relationextractionpipeline_spark.session import get_spark
+    from relationextractionpipeline_spark.sources import testgen
+    from relationextractionpipeline_spark.plans import manifests, pipeline
+    from relationextractionpipeline_spark.operators import sinks
+
+    if args.scale:
+        paths = testgen.materialize(args.scale)
+    else:
+        if not (args.transcripts and args.entity_kb and args.figer_map):
+            print("need --scale or all of --transcripts/--entity-kb/--figer-map",
+                  file=sys.stderr)
+            return 2
+        paths = {
+            "transcripts": args.transcripts,
+            "entity_kb": args.entity_kb,
+            "figer_map": args.figer_map,
+        }
+    master = args.master or f"local[{args.cpus}]"
+    spark = get_spark(
+        master=master,
+        app_name="rex-spark-cli",
+        shuffle_partitions=args.cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    t0 = time.time()
+    if args.mode == "checkpointed":
+        ck = args.checkpoint_dir or os.path.join(args.out, "_checkpoints")
+        run = manifests.run_checkpointed(spark, paths, ck)
+        # staged intermediates for the reference-format sinks
+        staged = pipeline.run_pipeline(spark, paths, mode="staged")
+        parsed = staged["parsed"]
+        triples = run["triples"]
+    else:
+        run = pipeline.run_pipeline(spark, paths, mode=args.mode)
+        parsed = run.get("parsed")
+        triples = run["triples"]
+
+    os.makedirs(args.out, exist_ok=True)
+    triples.write.mode("overwrite").parquet(os.path.join(args.out, "triples"))
+    n_triples = spark.read.parquet(os.path.join(args.out, "triples")).count()
+
+    if args.graph:
+        staged = run if "links" in run else pipeline.run_pipeline(
+            spark, paths, mode="staged"
+        )
+        g = pipeline.materialize_graph(staged)
+        g["entities"].write.mode("overwrite").parquet(
+            os.path.join(args.out, "entities")
+        )
+        g["edges"].write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
+        g["predicates"].write.mode("overwrite").parquet(
+            os.path.join(args.out, "predicates")
+        )
+
+    if args.reference_formats:
+        if parsed is None:
+            parsed = pipeline.run_pipeline(spark, paths, mode="staged")["parsed"]
+        sinks.reference_jsonl(parsed, triples).select("line").write.mode(
+            "overwrite"
+        ).text(os.path.join(args.out, "binary_relations_jsonl"))
+        sinks.human_readable(parsed, triples).select("block").write.mode(
+            "overwrite"
+        ).text(os.path.join(args.out, "binary_relations_human"))
+        sinks.types_list(triples).write.mode("overwrite").text(
+            os.path.join(args.out, "types")
+        )
+
+    summary = {
+        "mode": args.mode,
+        "master": master,
+        "triples": n_triples,
+        "wall_sec": round(time.time() - t0, 2),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

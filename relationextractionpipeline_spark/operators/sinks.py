@@ -1,0 +1,117 @@
+"""Reference-format output sinks (SURVEY.md §2.1 S12-S14).
+
+The native outputs of this engine are columnar tables (triples / entities /
+edges / types).  These sinks additionally reproduce the reference's exact
+file formats for parity checking:
+
+* S12 JSONL — one object per sentence:
+  ``{"s": …, "date": "Jan 1, 1980 12:00:00 AM", "articleId": …, "lineId": …,
+  "rels": [{"r": "…"}, …]}`` (``binary_relation.py:150-157``).  The ``date``
+  is the reference's hardcoded constant (``:154`` — it drops real
+  timestamps; the native tables keep ``ts``).  ``articleId`` carries the
+  conv_id (the reference emits its batch *file name* there — positional
+  identity we replaced with keys); ``lineId`` is the per-conversation
+  sentence index as a string (``:156``).  Byte-level parity includes
+  ``json.dumps`` default separators (", " / ": ") — hence a (cold-path)
+  pandas UDF rather than ``to_json``.
+* S13 human-readable — ``line: <sentence>`` + one relation string per line +
+  blank line (``binary_relation.py:292-303``), relation string per
+  ``format_relation_string`` (``:270-289``).
+* S14 types list — distinct FIGER types, one per line (``:72-82``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+REFERENCE_DATE = "Jan 1, 1980 12:00:00 AM"
+
+
+def sentence_rollup(parsed: DataFrame, triples: DataFrame) -> DataFrame:
+    """A5 — one row per sentence with its sentence string and relation-string
+    list (empty array for relation-free sentences, which the reference still
+    emits)."""
+    keys = ["conv_id", "turn_idx", "sent_idx"]
+    sent = parsed.select(
+        *keys,
+        F.concat_ws(
+            " ", F.transform("tokens", lambda t: t["form"])
+        ).alias("s"),
+    )
+    rels = triples.groupBy(*keys).agg(
+        F.collect_list(F.struct(F.col("pred_tok"), F.col("rel"))).alias("rs")
+    )
+    rolled = sent.join(rels, keys, "left").select(
+        *keys,
+        "s",
+        F.coalesce(
+            F.transform(F.sort_array("rs"), lambda r: r["rel"]),
+            F.array().cast("array<string>"),
+        ).alias("rels"),
+    )
+    # per-conversation sentence numbering = the reference's per-file lineId
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "sent_idx")
+    return rolled.withColumn("line_id", F.row_number().over(w) - 1)
+
+
+@F.pandas_udf(T.StringType())
+def _ref_json_line(s: pd.Series, conv_id: pd.Series, line_id: pd.Series,
+                   rels: pd.Series) -> pd.Series:
+    out = []
+    for sv, cv, lv, rv in zip(s, conv_id, line_id, rels):
+        obj = {
+            "s": sv,
+            "date": REFERENCE_DATE,
+            "articleId": cv,
+            "lineId": str(int(lv)),
+            "rels": [{"r": r} for r in (rv if rv is not None else [])],
+        }
+        # byte parity with the reference's json.dumps(ensure_ascii=False)
+        out.append(json.dumps(obj, ensure_ascii=False))
+    return pd.Series(out)
+
+
+def reference_jsonl(parsed: DataFrame, triples: DataFrame) -> DataFrame:
+    """S12 — DataFrame of reference-format JSONL lines (one per sentence);
+    write with ``df.write.text`` (append mode ≙ the reference's appends)."""
+    rolled = sentence_rollup(parsed, triples)
+    return rolled.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        _ref_json_line("s", "conv_id", "line_id", "rels").alias("line"),
+    )
+
+
+def human_readable(parsed: DataFrame, triples: DataFrame) -> DataFrame:
+    """S13 — the human-readable block per sentence.
+
+    Note the reference's human strings use ``format_relation_string``
+    (``binary_relation.py:270-289``); our triples carry the S12 ``rel``
+    serialization, so this sink emits that plus the passive flag — the
+    per-sentence block structure ('line: …' + rel-per-line + blank) is
+    format-exact."""
+    rolled = sentence_rollup(parsed, triples)
+    return rolled.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        F.concat(
+            F.lit("line: "),
+            F.col("s"),
+            F.lit("\n"),
+            F.array_join(F.col("rels"), "\n"),
+            F.when(F.size("rels") > 0, F.lit("\n")).otherwise(F.lit("")),
+        ).alias("block"),
+    )
+
+
+def types_list(triples: DataFrame) -> DataFrame:
+    """S14 — distinct FIGER type strings, one per row (``types.txt``)."""
+    return (
+        triples.select(F.explode(F.array("subj_type", "obj_type")).alias("t"))
+        .distinct()
+    )

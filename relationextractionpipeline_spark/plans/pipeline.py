@@ -97,8 +97,13 @@ def materialize_graph(run: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
     near-duplicate predicates (minhash-LSH + connected components), rewrite
     triples onto canonical entity/predicate ids.  Separate from run_pipeline
     because CC is iterative (runs Spark actions); callers opt in."""
-    entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
-    pred_map = canonicalize.canonicalize_predicates(run["triples"])
+    # triples feed entity canonicalization, predicate canonicalization and
+    # the edge rewrite — checkpoint once so the extraction UDF chain doesn't
+    # re-run per consumer (in a production run this is the materialized
+    # triples stage from plans/manifests.py instead)
+    triples = run["triples"].localCheckpoint()
+    entities, edges = canonicalize.canonicalize(triples, run["links"])
+    pred_map = canonicalize.canonicalize_predicates(triples)
     edges = edges.join(F.broadcast(pred_map), "pred", "left")
     return {"entities": entities, "edges": edges, "predicates": pred_map}
 
