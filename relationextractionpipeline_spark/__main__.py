@@ -106,17 +106,19 @@ def main(argv=None) -> int:
     n_triples = spark.read.parquet(os.path.join(args.out, "triples")).count()
 
     if args.graph:
+        from relationextractionpipeline_spark.sources.tableio import TableIO
+
         staged = run if "links" in run else pipeline.run_pipeline(
             spark, paths, mode="staged"
         )
         g = pipeline.materialize_graph(staged)
-        g["entities"].write.mode("overwrite").parquet(
-            os.path.join(args.out, "entities")
-        )
-        g["edges"].write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
-        g["predicates"].write.mode("overwrite").parquet(
-            os.path.join(args.out, "predicates")
-        )
+        io = TableIO(spark, args.out)
+        io.write(g["entities"], "entities")
+        # bucket edges by canonical subject so downstream per-entity joins
+        # and neighborhood queries co-locate (Iceberg bucket(n, subj_id)
+        # transform; parquet partition dirs in the shim)
+        io.write(g["edges"], "edges", bucket_by="subj_id", n_buckets=16)
+        io.write(g["predicates"], "predicates")
 
     if args.reference_formats:
         if parsed is None:

@@ -20,9 +20,16 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def iceberg_available(spark: SparkSession) -> bool:
+def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
+    """True only when BOTH the Iceberg runtime class loads AND the named
+    catalog is configured (py4j attribute access never raises for missing
+    classes — must Class.forName)."""
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            return False
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:  # noqa: BLE001
         return False
@@ -33,7 +40,7 @@ class TableIO:
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.catalog = catalog
-        self.use_iceberg = iceberg_available(spark)
+        self.use_iceberg = iceberg_available(spark, catalog)
 
     def _path(self, name: str) -> str:
         return f"{self.warehouse}/{name}"

@@ -84,6 +84,18 @@ def test_row_order_does_not_change_triples(spark, tiny_pandas, tiny_paths, oracl
     assert got == _triple_set(oracle_triples)
 
 
+def test_empty_input_produces_empty_outputs(spark, tiny_paths):
+    from relationextractionpipeline_spark.plans import pipeline as pl, schemas
+
+    empty = spark.createDataFrame([], schemas.TRANSCRIPTS)
+    _, entity_kb, figer_map = pl.load_inputs(spark, tiny_paths)
+    kb_bc, kbi_bc, fg_bc = pl.build_broadcasts(spark, entity_kb, figer_map)
+    assert pl.run_fused(empty, kb_bc, kbi_bc, fg_bc).count() == 0
+    staged = pl.run_staged(empty, kb_bc, kbi_bc, fg_bc)
+    assert staged["triples"].count() == 0
+    assert staged["links"].count() == 0
+
+
 def test_assembly_round_trip_text_equality(run, tiny_pandas):
     """Driver-mandated invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering after window-ordered assembly."""
