@@ -370,7 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embed_neardup(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.embedding_near_dup_pairs(
-            emb.where(F.col("vec_id") % 5 == 0), threshold=0.3
+            emb.where(F.col("vec_id") % 5 == 0), threshold=0.25, n_planes=4
         )
 
     q["q_embed_neardup"] = q_embed_neardup  # rows-only (approximate)
