@@ -243,6 +243,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_events_json_props"] = q_events_json_props
 
+    def q_events_pivot(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        return (
+            e.groupBy("user_id")
+            .pivot("event_type", kinds)
+            .count()
+            .select(
+                "user_id",
+                *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+            )
+        )
+
+    q["q_events_pivot"] = q_events_pivot
+
     def q_top_words(spark, sf_dir):
         # documents is one small file → one input split; the explode fans out
         # ~200× per row, so spread rows across cores before the heavy part
@@ -496,6 +511,15 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
                    max(json_extract_string(props, '$.k')::BIGINT) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "q_events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
         """,
         "q_top_words": """
             SELECT word, count(*) AS n_occurrences,
