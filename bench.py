@@ -29,8 +29,10 @@ BENCH_QUERIES = [
     "kg_triples",
     "kg_assembly",
     "q1_lineitem_agg",
+    "q_lineitem_rollup",
     "q_join_revenue_by_nation",
     "q_window_user_sessions",
+    "q_events_pivot",
     "q_top_words",
     "q_doc_token_stats",
     "q_quality",
@@ -39,6 +41,7 @@ BENCH_QUERIES = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_embed_topk",
+    "q_embed_topk_ivf",
 ]
 
 

@@ -99,10 +99,8 @@ def score_links_grouped(
         pdf["score"] = scores
         return pdf
 
-    bucketed = mention_rows.repartition(
-        num_buckets, F.pmod(F.hash("conv_id"), F.lit(num_buckets))
-    )
-    return bucketed.groupBy(
+    # the groupBy below is itself the bucket shuffle — no pre-repartition
+    return mention_rows.groupBy(
         F.pmod(F.hash("conv_id"), F.lit(num_buckets)).alias("_bucket")
     ).applyInPandas(
         lambda key, pdf: score(pdf), schema=out_schema
