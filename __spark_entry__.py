@@ -121,10 +121,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_assembly"] = kg_assembly
 
     def kg_links(spark, sf_dir):
-        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
-        return run["links"].select(
+        """Entity links via the north_star's batched applyInPandas
+        link-scoring stage grouped by hashed conv bucket (equality with the
+        in-row and broadcast-join linkers is tested in tests/)."""
+        from relationextractionpipeline_spark.operators import (
+            link as link_op,
+            mentions as mentions_op,
+        )
+
+        paths = _synthetic_paths(sf_dir)
+        transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
+        kb_bc, kbi_bc, figer_bc = pipeline.build_broadcasts(
+            spark, entity_kb, figer_map
+        )
+        staged = pipeline.run_staged(transcripts, kb_bc, kbi_bc, figer_bc)
+        mention_rows = mentions_op.explode_mentions(
+            staged["with_mentions"]
+        )
+        scored = link_op.score_links_grouped(mention_rows, kb_bc, figer_bc)
+        return scored.select(
             "conv_id", "turn_idx", "sent_idx", "mention_id", "surface",
-            "kind", "url", "figer",
+            "kind", "url", "figer", F.round("score", 6).alias("score"),
         )
 
     q["kg_links"] = kg_links

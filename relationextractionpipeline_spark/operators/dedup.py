@@ -146,32 +146,20 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B|.  The shingle join only produces pairs that share
     content, so cost is output-bound, not |docs|².
     """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sliding = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    # documents shorter than n words contribute one whole-text gram (same
+    # rule as sketches.word_shingles and the DuckDB oracle)
+    gram_set = F.array_distinct(
+        F.when(F.size(words) < n, F.array(F.array_join(words, " "))).otherwise(
+            sliding
+        )
+    )
     grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.filter(
-                        F.sequence(
-                            F.lit(0),
-                            F.greatest(
-                                F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
-                                - n,
-                                F.lit(0),
-                            ),
-                        ),
-                        lambda i: i
-                        <= F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n,
-                    ),
-                    lambda i: F.array_join(
-                        F.slice(
-                            F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n
-                        ),
-                        " ",
-                    ),
-                )
-            )
-        ).alias("gram"),
+        F.col(id_col).alias("_id"), F.explode(gram_set).alias("gram")
     )
     sizes = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
     inter = (

@@ -77,6 +77,15 @@ def test_ngram_jaccard_exact_values(spark):
     assert pairs.iloc[0].jaccard == 1.0
 
 
+def test_ngram_jaccard_short_docs_whole_text_gram(spark):
+    # docs shorter than n words: one whole-text gram (word_shingles rule)
+    rows = [(1, "a b"), (2, "a b"), (3, "c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).toPandas()
+    assert len(pairs) == 1
+    assert (pairs.iloc[0].id_a, pairs.iloc[0].id_b) == (1, 2)
+
+
 # --- similarity --------------------------------------------------------------
 
 def test_brute_force_topk_self_similarity(spark, emb):
