@@ -33,12 +33,23 @@ STAGE_CODE_VERSION = "1"  # bump to invalidate all checkpoints on rule changes
 
 
 def input_fingerprint(paths: List[str], extra: str = "") -> str:
+    """Fingerprint of input files (or directories of files): path + size +
+    mtime per contained file, plus the stage-code version."""
     h = hashlib.sha256()
     h.update(STAGE_CODE_VERSION.encode())
     h.update(extra.encode())
-    for p in sorted(paths):
+
+    def add(p: str) -> None:
         st = os.stat(p)
         h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for root, _dirs, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    add(os.path.join(root, f))
+        else:
+            add(p)
     return h.hexdigest()[:24]
 
 

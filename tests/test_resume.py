@@ -57,8 +57,13 @@ def test_checkpointed_matches_direct(spark, tiny_paths, tmp_path):
 def test_fingerprint_invalidation(spark, tiny_paths, tmp_path):
     ck = str(tmp_path / "ck3")
     manifests.run_checkpointed(spark, tiny_paths, ck)
-    # touch the input → new fingerprint → stale checkpoints must recompute
-    os.utime(tiny_paths["transcripts"], (1, 1))
+    # touch the input files → new fingerprint → stale checkpoints recompute
+    t = tiny_paths["transcripts"]
+    targets = (
+        [os.path.join(t, f) for f in os.listdir(t)] if os.path.isdir(t) else [t]
+    )
+    for p in targets:
+        os.utime(p, (1, 1))
     r = manifests.run_checkpointed(spark, tiny_paths, ck)
     assert _events(r["runner"]) == {
         ("sentences", "computed"), ("linked", "computed"), ("triples", "computed"),
