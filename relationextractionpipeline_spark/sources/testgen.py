@@ -251,15 +251,29 @@ def materialize(scale: str, data_dir: str = DEFAULT_DATA_DIR) -> Dict[str, str]:
         # parallelizes without a repartition shuffle (a single file is one
         # input split regardless of row groups)
         n_shards = max(1, min(64, len(df) // 8000))
-        tmp = paths["transcripts"] + ".tmp"
+        tmp = paths["transcripts"] + f".tmp{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         for s in range(n_shards):
             df.iloc[s::n_shards].to_parquet(
                 os.path.join(tmp, f"part-{s:05d}.parquet"), index=False
             )
-        os.replace(tmp, paths["transcripts"])
+        try:
+            os.replace(tmp, paths["transcripts"])
+        except OSError:
+            # a concurrent generator won the publish race; output is
+            # deterministic, so theirs is identical — discard ours
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    def _publish(pdf, dst):
+        # atomic single-file publish (safe under concurrent generators —
+        # output is deterministic, last writer wins with identical bytes)
+        tmp = f"{dst}.tmp{os.getpid()}"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, dst)
+
     if not os.path.exists(paths["entity_kb"]):
-        gen_entity_kb().to_parquet(paths["entity_kb"], index=False)
+        _publish(gen_entity_kb(), paths["entity_kb"])
     if not os.path.exists(paths["figer_map"]):
-        gen_figer_map().to_parquet(paths["figer_map"], index=False)
+        _publish(gen_figer_map(), paths["figer_map"])
     return paths
