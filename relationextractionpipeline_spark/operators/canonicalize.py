@@ -32,15 +32,106 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``.
 
-    Min-label propagation: each node repeatedly takes the min of its own
-    label and its neighbors' labels until a fixpoint.  Each iteration is one
-    shuffle (join + groupBy on node); ``localCheckpoint`` truncates lineage so
-    plan size stays O(1) per iteration — without it iteration N replays all
-    N-1 predecessors (SURVEY.md §4).
+    ``algorithm='star'`` (default): alternating large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — converges in O(log n) rounds regardless of component diameter, the
+    right behavior for the long near-dup chains a 100 TB corpus produces.
+    ``algorithm='minlabel'``: simple min-label propagation (O(diameter)
+    rounds); kept as the reference implementation the star variant is
+    equivalence-tested against.
+
+    Either way each round is a constant number of shuffles and the working
+    edge set is ``localCheckpoint``-ed so plan size stays O(1) per round
+    (SURVEY.md §4).
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
+    return _connected_components_minlabel(edges, src, dst, max_iter)
+
+
+def _connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # work on an undirected simple edge set without self loops
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star(e_: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over the relevant neighborhood ∪ {u}
+        if large:
+            nbrs = e_  # all neighbors
+        else:
+            nbrs = e_.where(F.col("v") < F.col("u"))  # smaller neighbors only
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        if large:
+            # connect strictly larger neighbors to m(u)
+            out = (
+                e_.where(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        else:
+            # connect u and its smaller neighbors to m(u)
+            out = nbrs.join(m, "u").select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(m.select(F.col("u"), F.col("m").alias("v")))
+        # re-symmetrize, drop self loops
+        return (
+            out.select("u", "v")
+            .union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = -1
+    for _ in range(max_iter):
+        e = star(e, large=True).localCheckpoint()
+        e = star(e, large=False).localCheckpoint()
+        # fixpoint when the edge multiset stops changing (count + hash)
+        sig_row = e.select(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint the graph is a union of stars centered at component minima
+    labels = (
+        e.groupBy("u").agg(F.min("v").alias("m"))
+        .select("u", F.least(F.col("u"), F.col("m")).alias("component"))
+    )
+    return (
+        nodes.join(labels, nodes["node"] == labels["u"], "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+
+
+def _connected_components_minlabel(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -56,6 +56,40 @@ def test_connected_components_chain_and_singleton(spark):
     assert comps["p"] == comps["q"] == "p"
 
 
+def test_star_equals_minlabel_on_random_graphs(spark):
+    """Large/small-star ≡ min-label propagation on seeded random graphs,
+    including a long chain (the case star handles in O(log n) rounds)."""
+    import random
+
+    rng = random.Random(99)
+    cases = []
+    # random sparse graph
+    nodes = [f"n{i:03d}" for i in range(60)]
+    cases.append([(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)])
+    # long chain (diameter 40)
+    cases.append([(f"c{i:03d}", f"c{i + 1:03d}") for i in range(40)])
+    # two cliques bridged
+    cases.append(
+        [("x1", f"x{i}") for i in range(2, 6)]
+        + [("y1", f"y{i}") for i in range(2, 6)]
+        + [("x3", "y3")]
+    )
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b] or [("a", "b")]
+        e = spark.createDataFrame(pairs, ["src", "dst"])
+        star = dict(
+            (r.node, r.component)
+            for r in canonicalize.connected_components(e, algorithm="star").collect()
+        )
+        ml = dict(
+            (r.node, r.component)
+            for r in canonicalize.connected_components(
+                e, algorithm="minlabel", max_iter=100
+            ).collect()
+        )
+        assert star == ml
+
+
 @pytest.fixture(scope="module")
 def graph(spark, tiny_paths):
     run = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
