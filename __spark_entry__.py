@@ -147,9 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_links"] = kg_links
 
     def kg_entities(spark, sf_dir):
+        from relationextractionpipeline_spark.operators import canonicalize
+
         run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
-        g = pipeline.materialize_graph(run)
-        return g["entities"].select(
+        entities, _edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return entities.select(
             "canonical_id",
             F.size("keys").alias("n_keys"),
             F.size("surfaces").alias("n_surfaces"),

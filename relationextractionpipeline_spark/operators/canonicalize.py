@@ -105,8 +105,8 @@ def _connected_components_star(
 
     prev_sig = -1
     for _ in range(max_iter):
-        e = star(e, large=True).localCheckpoint()
-        e = star(e, large=False).localCheckpoint()
+        # one checkpoint per round bounds lineage to two star expansions
+        e = star(star(e, large=True), large=False).localCheckpoint()
         # fixpoint when the edge multiset stops changing (count + hash)
         sig_row = e.select(
             F.count("*").alias("n"),
