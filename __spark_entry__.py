@@ -160,6 +160,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entities"] = kg_entities
 
+    def kg_cooccurrence(spark, sf_dir):
+        """Term co-occurrence edges over the driver's documents table — the
+        KG-construction primitive that applies to schema-free corpora (the
+        documents text has no grammar for the rule-based extractor): windowed
+        word-pair counts → weighted edges.  Fully native; SQL-parity."""
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        w = d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos", "word"
+            ),
+        ).where(F.col("word") != "")
+        a = w.select(
+            "doc_id", F.col("pos").alias("pa"), F.col("word").alias("wa")
+        ).withColumn("off", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        b = w.select("doc_id", F.col("pos").alias("pb"), F.col("word").alias("wb"))
+        return (
+            # equi-join on (doc_id, pa+off = pb): output-bound — never the
+            # O(words²)-per-doc self-join a range predicate would produce
+            a.join(
+                b,
+                (a["doc_id"] == b["doc_id"])
+                & (b["pb"] == a["pa"] + a["off"]),
+            )
+            .select(
+                F.least("wa", "wb").alias("w1"),
+                F.greatest("wa", "wb").alias("w2"),
+            )
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("n_cooc"))
+            .orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
+            .limit(50)
+        )
+
+    q["kg_cooccurrence"] = kg_cooccurrence
+
     # ---- generic relational operators, SQL-parity on driver tables -------
     def q1_lineitem_agg(spark, sf_dir):
         li = _read(spark, sf_dir, "lineitem")
@@ -492,6 +530,26 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 6) AS avg_disc,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "kg_cooccurrence": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, words[i] AS word, i AS pos
+                FROM t, UNNEST(generate_series(1, len(words))) AS g(i)
+                WHERE words[i] <> ''
+            )
+            SELECT least(a.word, b.word) AS w1,
+                   greatest(a.word, b.word) AS w2,
+                   count(*) AS n_cooc
+            FROM w a JOIN w b
+              ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+            GROUP BY 1, 2
+            ORDER BY n_cooc DESC, w1 ASC, w2 ASC
+            LIMIT 50
         """,
         "q_lineitem_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
