@@ -250,6 +250,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_join_revenue_by_nation"] = q_join_revenue_by_nation
 
+    def q_customers_with_orders(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        o = _read(spark, sf_dir, "orders")
+        return c.join(
+            o, c.c_custkey == o.o_custkey, "left_semi"
+        ).select("c_custkey", "c_name", "c_mktsegment")
+
+    q["q_customers_with_orders"] = q_customers_with_orders
+
+    def q_customers_without_orders(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        o = _read(spark, sf_dir, "orders")
+        return c.join(
+            o, c.c_custkey == o.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name", "c_mktsegment")
+
+    q["q_customers_without_orders"] = q_customers_without_orders
+
     def q_window_user_sessions(spark, sf_dir):
         e = _read(spark, sf_dir, "events")
         ordered = F.sort_array(
@@ -564,6 +582,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_customers_with_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "q_window_user_sessions": """
             SELECT user_id,

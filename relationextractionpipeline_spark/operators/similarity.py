@@ -193,7 +193,10 @@ def ivf_topk(
     q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col)
-    ).withColumn("cell", F.element_at(c_assign(F.col(vec_col)), 1))
+    ).withColumn("cell", F.element_at(c_assign(F.col(vec_col)), 1)).persist()
+    # persist: the cell assignment UDF would otherwise re-run per downstream
+    # action/join branch; at real scale the assigned corpus is a materialized
+    # index table, written once
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
