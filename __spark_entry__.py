@@ -31,11 +31,18 @@ from relationextractionpipeline_spark.operators import (  # noqa: E402
     similarity,
 )
 from relationextractionpipeline_spark.plans import pipeline  # noqa: E402
-from relationextractionpipeline_spark.sources import testgen  # noqa: E402
+from relationextractionpipeline_spark.sources import oracle_mat, testgen  # noqa: E402
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 _SF_TO_SCALE = {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "bench"}
+
+# the driver's DuckDB correctness pass runs at sf0.01 ⇒ the oracle SQL
+# strings (which cannot take parameters) hardcode the "small"-scale
+# materialization paths
+ORACLE_SCALE = "small"
+DATA_DIR = os.path.abspath(testgen.DEFAULT_DATA_DIR)
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _scale_for(sf_dir: str) -> str:
@@ -44,6 +51,13 @@ def _scale_for(sf_dir: str) -> str:
 
 def _synthetic_paths(sf_dir: str) -> dict:
     return testgen.materialize(_scale_for(sf_dir))
+
+
+def _small_scale(sf_dir: str) -> bool:
+    """True for the scales the DuckDB gate runs at (tiny/small) — sequential
+    oracle materialization is skipped at bench scale so bench.py timings stay
+    pure Spark."""
+    return _scale_for(sf_dir) in ("tiny", "small")
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -65,6 +79,10 @@ def transcripts_from_documents(docs: DataFrame) -> DataFrame:
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = _synthetic_paths(sf_dir)
+    if _small_scale(sf_dir):
+        # cache the sequential-oracle triples so the DuckDB gate can compare
+        # the distributed result against them (sources/oracle_mat.py)
+        oracle_mat.oracle_triples(_scale_for(sf_dir))
     run = pipeline.run_pipeline(spark, paths, mode="fused")
     return run["triples"]
 
@@ -115,28 +133,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_assembly(spark, sf_dir):
         t = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"])
         return assemble.assemble_conversations(t).select(
-            "conv_id", "n_turns", "doc_text"
+            "conv_id", F.col("n_turns").cast("long").alias("n_turns"), "doc_text"
         )
 
     q["kg_assembly"] = kg_assembly
 
     def kg_links(spark, sf_dir):
         """Entity links via the north_star's batched applyInPandas
-        link-scoring stage grouped by hashed conv bucket (equality with the
-        in-row and broadcast-join linkers is tested in tests/)."""
-        from relationextractionpipeline_spark.operators import (
-            link as link_op,
-            mentions as mentions_op,
-        )
+        link-scoring stage grouped by conversation (equality with the in-row
+        and broadcast-join linkers is tested in tests/).  Input mention rows
+        come from the cached sequential materialization so the DuckDB oracle
+        can re-derive the linking relationally over the same rows — the
+        mention-detection UDF path itself is under the kg_triples gate."""
+        from relationextractionpipeline_spark.operators import link as link_op
 
         paths = _synthetic_paths(sf_dir)
-        transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
-        kb_bc, kbi_bc, figer_bc = pipeline.build_broadcasts(
+        mention_path = oracle_mat.mention_rows(_scale_for(sf_dir))
+        mention_rows = spark.read.parquet(mention_path)
+        _t, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
+        kb_bc, _kbi_bc, figer_bc = pipeline.build_broadcasts(
             spark, entity_kb, figer_map
-        )
-        staged = pipeline.run_staged(transcripts, kb_bc, kbi_bc, figer_bc)
-        mention_rows = mentions_op.explode_mentions(
-            staged["with_mentions"]
         )
         scored = link_op.score_links_grouped(mention_rows, kb_bc, figer_bc)
         return scored.select(
@@ -399,25 +415,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_dedup_exact_survivors"] = q_dedup_exact_survivors
 
     def q_dedup_minhash(spark, sf_dir):
+        if _small_scale(sf_dir):
+            oracle_mat.doc_sketches(sf_dir)  # signatures for the DuckDB oracle
         d = _read(spark, sf_dir, "documents")
         return dedup.near_dup_pairs_minhash(d, jaccard_threshold=0.5).select(
             "id_a", "id_b"
         )
 
-    q["q_dedup_minhash"] = q_dedup_minhash  # rows-only (sketch-based)
+    q["q_dedup_minhash"] = q_dedup_minhash
 
     def q_dedup_simhash(spark, sf_dir):
+        if _small_scale(sf_dir):
+            oracle_mat.doc_sketches(sf_dir)
         d = _read(spark, sf_dir, "documents")
         return dedup.near_dup_pairs_simhash(d, max_hamming=8).select(
             "id_a", "id_b", "hamming"
         )
 
-    q["q_dedup_simhash"] = q_dedup_simhash  # rows-only (sketch-based)
+    q["q_dedup_simhash"] = q_dedup_simhash
 
     def q_dedup_ngram_jaccard(spark, sf_dir):
         d = _read(spark, sf_dir, "documents")
-        sample = d.where(F.col("doc_id") % 10 == 0)
-        return dedup.ngram_jaccard_pairs(sample, n=3, threshold=0.2).select(
+        return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2).select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         )
 
@@ -436,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_embed_topk"] = q_embed_topk
 
     def q_embed_topk_lsh(spark, sf_dir):
+        if _small_scale(sf_dir):
+            oracle_mat.embed_aux(sf_dir)  # bucket table for the DuckDB oracle
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -444,9 +465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", "cos", "rank"
         )
 
-    q["q_embed_topk_lsh"] = q_embed_topk_lsh  # rows-only (approximate)
+    q["q_embed_topk_lsh"] = q_embed_topk_lsh
 
     def q_embed_topk_ivf(spark, sf_dir):
+        if _small_scale(sf_dir):
+            oracle_mat.embed_aux(sf_dir)
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -455,25 +478,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", "cos", "rank"
         )
 
-    q["q_embed_topk_ivf"] = q_embed_topk_ivf  # rows-only (approximate)
+    q["q_embed_topk_ivf"] = q_embed_topk_ivf
 
     def q_embed_neardup(spark, sf_dir):
+        if _small_scale(sf_dir):
+            oracle_mat.embed_aux(sf_dir)
         emb = _read(spark, sf_dir, "embeddings")
         return similarity.embedding_near_dup_pairs(
             emb.where(F.col("vec_id") % 5 == 0), threshold=0.25, n_planes=4
         )
 
-    q["q_embed_neardup"] = q_embed_neardup  # rows-only (approximate)
+    q["q_embed_neardup"] = q_embed_neardup
 
-    # ---- multimodal plumbing (stubbed decode; rows-only) -------------------
+    # ---- multimodal plumbing (decode stubbed; md5-derived fake features) ---
     def q_multimodal_features(spark, sf_dir):
-        assets = multimodal.synthetic_assets(spark, n=96)
-        return multimodal.decode_features(assets, fake=True)
+        path = multimodal.materialize_assets(os.path.join(DATA_DIR, "assets"))
+        assets = spark.read.parquet(path)
+        return multimodal.decode_feature_rows(assets, fake=True)
 
     q["q_multimodal_features"] = q_multimodal_features
 
     def q_multimodal_frames(spark, sf_dir):
-        assets = multimodal.synthetic_assets(spark, n=96)
+        path = multimodal.materialize_assets(os.path.join(DATA_DIR, "assets"))
+        assets = spark.read.parquet(path)
         return multimodal.sample_frames(assets, every_ms=250, fake=True)
 
     q["q_multimodal_frames"] = q_multimodal_frames
@@ -498,11 +525,30 @@ def _hits_sql(stops) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB oracle per query.
+
+    Three oracle styles, weakest-assumption first:
+    1. pure SQL over the driver's pre-registered views (most queries);
+    2. SQL over parquet the generator wrote (kg_assembly — transcripts);
+    3. SQL over **sequential-oracle materializations**
+       (sources/oracle_mat.py): deterministic per-row computations that SQL
+       cannot express (dependency parses, sketch signatures, k-means cells)
+       are computed once, sequentially, on the driver and parqueted; the SQL
+       re-derives the final answer relationally from them, so the comparison
+       verifies the distributed plan (shuffles, joins, ranks, Arrow
+       batching) against a single-threaded reference run.
+    """
     from relationextractionpipeline_spark.operators.quality import (
         LANG_ORDER,
         LANG_STOPWORDS,
         TOKEN_REGEX,
     )
+
+    small = os.path.join(DATA_DIR, ORACLE_SCALE)
+    aux = os.path.join(DATA_DIR, "aux", os.path.basename(ORACLE_SF_DIR))
+    otriples = os.path.join(small, "oracle_triples.parquet")
+    assets = os.path.join(DATA_DIR, "assets", "assets96.parquet")
+    not_in_wiki = "http://aksw.org/notInWiki/"
 
     n_words_sql = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -533,11 +579,14 @@ def oracle_sql() -> dict[str, str]:
         f"+ 0.3 * (1 - least(({punct_ratio}) * 10, 1.0)), 6)"
     )
 
-    cos_sql = (
-        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
-        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
-    )
+    def _cos(ea: str, eb: str) -> str:
+        return (
+            f"round(list_dot_product({ea}::DOUBLE[], {eb}::DOUBLE[]) / "
+            f"(sqrt(list_dot_product({ea}::DOUBLE[], {ea}::DOUBLE[])) * "
+            f"sqrt(list_dot_product({eb}::DOUBLE[], {eb}::DOUBLE[]))), 6)"
+        )
+
+    cos_sql = _cos("a.embedding", "b.embedding")
 
     return {
         "q1_lineitem_agg": """
@@ -665,7 +714,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         """,
         "q_dedup_ngram_jaccard": """
-            WITH sample AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+            WITH sample AS (SELECT * FROM documents),
             grams AS (
                 SELECT doc_id AS _id, DISTINCT_GRAM AS gram FROM (
                     SELECT doc_id,
@@ -711,5 +760,155 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a, embeddings b
                 WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
             ) WHERE rank <= 5
+        """,
+        # ---- sequential-oracle-materialization-backed entries --------------
+        "kg_triples": f"""
+            SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, subj_type,
+                   obj_type, subj_kind, obj_kind, neg, passive, pred_tok, rel
+            FROM read_parquet('{otriples}')
+        """,
+        "kg_types": f"""
+            SELECT DISTINCT figer_type FROM (
+                SELECT subj_type AS figer_type FROM read_parquet('{otriples}')
+                UNION ALL
+                SELECT obj_type AS figer_type FROM read_parquet('{otriples}')
+            )
+        """,
+        "kg_assembly": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+            FROM read_parquet('{small}/transcripts.parquet/*.parquet')
+            GROUP BY conv_id
+        """,
+        "kg_links": f"""
+            WITH best AS (
+                SELECT surface, url AS kb_url, prior AS best_prior FROM (
+                    SELECT surface, url, prior,
+                           row_number() OVER (
+                               PARTITION BY surface
+                               ORDER BY prior DESC, url ASC
+                           ) AS rn
+                    FROM read_parquet('{small}/entity_kb.parquet')
+                ) WHERE rn = 1
+            ),
+            m AS (
+                SELECT *,
+                       coalesce(
+                           b.kb_url,
+                           '{not_in_wiki}' || replace(mr.surface, ' ', '_')
+                       ) AS url,
+                       round(coalesce(b.best_prior, 0.0), 6) AS score
+                FROM read_parquet('{small}/mention_rows.parquet') mr
+                LEFT JOIN best b USING (surface)
+            )
+            SELECT m.conv_id, m.turn_idx, m.sent_idx, m.mention_id,
+                   m.surface, m.kind, m.url,
+                   coalesce(nullif(f.figer_type, ''), 'none') AS figer,
+                   m.score
+            FROM m
+            LEFT JOIN read_parquet('{small}/figer_map.parquet') f
+              ON f.url = m.url
+        """,
+        "q_multimodal_features": f"""
+            SELECT a.asset_id, a.kind, d.dim::INTEGER AS dim,
+                   (('0x' || substr(
+                        md5(a.payload_hex || ':' || d.dim::VARCHAR), 1, 8
+                    ))::BIGINT % 10000) / 10000.0 AS value,
+                   (length(a.payload_hex) // 2)::INTEGER AS n_bytes
+            FROM read_parquet('{assets}') a,
+                 (SELECT unnest(range(0, 16)) AS dim) d
+        """,
+        "q_multimodal_frames": f"""
+            SELECT asset_id, frame_ts_ms,
+                   md5(asset_id::VARCHAR || ':' || frame_ts_ms::VARCHAR)
+                       AS frame_md5
+            FROM (
+                SELECT asset_id,
+                       unnest(generate_series(0, duration_ms::BIGINT, 250))
+                           AS frame_ts_ms
+                FROM read_parquet('{assets}') WHERE kind = 'video'
+            )
+        """,
+        "q_dedup_minhash": f"""
+            WITH s AS (
+                SELECT doc_id, minhash FROM read_parquet('{aux}/minhash.parquet')
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_filter(range(0, 16),
+                      i -> a.minhash[i*4+1 : i*4+4] = b.minhash[i*4+1 : i*4+4]
+                  )) > 0
+              AND len(list_filter(range(1, 65),
+                      i -> a.minhash[i] = b.minhash[i])) >= 32
+        """,
+        "q_dedup_simhash": f"""
+            WITH s AS (
+                SELECT doc_id, simhash FROM read_parquet('{aux}/simhash.parquet')
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+              AND len(list_filter(range(0, 4),
+                      i -> ((a.simhash >> (16*i)) & 65535)
+                         = ((b.simhash >> (16*i)) & 65535))) > 0
+        """,
+        "q_embed_topk_lsh": f"""
+            WITH bk AS (
+                SELECT vec_id, bucket FROM read_parquet('{aux}/lsh8.parquet')
+            ),
+            j AS (
+                SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                       {_cos("qe.embedding", "ce.embedding")} AS cos
+                FROM embeddings qe
+                JOIN bk qb ON qb.vec_id = qe.vec_id
+                JOIN bk cb ON cb.bucket = qb.bucket
+                JOIN embeddings ce ON ce.vec_id = cb.vec_id
+                WHERE qe.vec_id % 100 = 0 AND ce.vec_id <> qe.vec_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC
+                       ) AS rank
+                FROM j
+            ) WHERE rank <= 5
+        """,
+        "q_embed_topk_ivf": f"""
+            WITH j AS (
+                SELECT qc.query_id, ce.vec_id AS neighbor_id,
+                       {_cos("qe.embedding", "ce.embedding")} AS cos
+                FROM read_parquet('{aux}/ivf_qcells.parquet') qc
+                JOIN read_parquet('{aux}/ivf_cells.parquet') cc
+                  ON cc.cell = qc.cell
+                JOIN embeddings ce ON ce.vec_id = cc.vec_id
+                JOIN embeddings qe ON qe.vec_id = qc.query_id
+                WHERE ce.vec_id <> qc.query_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC
+                       ) AS rank
+                FROM j
+            ) WHERE rank <= 5
+        """,
+        "q_embed_neardup": f"""
+            WITH bk AS (
+                SELECT vec_id, bucket FROM read_parquet('{aux}/lsh4.parquet')
+            ),
+            j AS (
+                SELECT ae.vec_id AS id_a, be.vec_id AS id_b,
+                       {_cos("ae.embedding", "be.embedding")} AS cos
+                FROM embeddings ae
+                JOIN bk ab ON ab.vec_id = ae.vec_id
+                JOIN bk bb ON bb.bucket = ab.bucket
+                JOIN embeddings be ON be.vec_id = bb.vec_id
+                WHERE ae.vec_id % 5 = 0 AND be.vec_id % 5 = 0
+                  AND ae.vec_id < be.vec_id
+            )
+            SELECT DISTINCT id_a, id_b, cos FROM j WHERE cos >= 0.25
         """,
     }

@@ -108,6 +108,9 @@ def main() -> None:
         t0 = time.time()
         counts[name] = force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # sketch/ANN operators persist() intermediates that are scoped to one
+        # query; drop them so 16 queries don't accumulate storage memory
+        spark.catalog.clearCache()
 
     n_turns = spark.read.parquet(paths["transcripts"]).count()
     kg_sec = timings["kg_triples"]

@@ -82,20 +82,26 @@ def segment_text_with_lines(text: str) -> List[Tuple[int, str]]:
 # ---------------------------------------------------------------------------
 
 
-# first-word index cache per gazetteer dict (keyed by object identity):
-# {first_token: sorted lengths desc}.  Avoids constructing candidate tuples
-# at every token position — the inner-loop hotspot at scale.
-_GAZ_FIRST_CACHE: Dict[int, Dict[str, List[int]]] = {}
+# first-word index cache per gazetteer dict: {first_token: lengths desc}.
+# Avoids constructing candidate tuples at every token position — the
+# inner-loop hotspot at scale.  Keyed by id() BUT the cache entry holds a
+# strong reference to the keyed dict itself: a plain dict can't be weakly
+# referenced, and without the strong ref a garbage-collected KB could let a
+# NEW dict reuse the same id and silently serve a stale index.  Entries are
+# verified by identity on every hit; the leak is bounded (a handful of
+# broadcast dimension dicts per worker lifetime).
+_GAZ_FIRST_CACHE: Dict[int, Tuple[Dict, Dict[str, List[int]]]] = {}
 
 
 def _gaz_first(kb_index: Dict[Tuple[str, ...], str]) -> Dict[str, List[int]]:
-    got = _GAZ_FIRST_CACHE.get(id(kb_index))
-    if got is None:
-        first: Dict[str, List[int]] = {}
-        for tup in kb_index:
-            first.setdefault(tup[0], []).append(len(tup))
-        got = {w: sorted(set(ls), reverse=True) for w, ls in first.items()}
-        _GAZ_FIRST_CACHE[id(kb_index)] = got
+    entry = _GAZ_FIRST_CACHE.get(id(kb_index))
+    if entry is not None and entry[0] is kb_index:
+        return entry[1]
+    first: Dict[str, List[int]] = {}
+    for tup in kb_index:
+        first.setdefault(tup[0], []).append(len(tup))
+    got = {w: sorted(set(ls), reverse=True) for w, ls in first.items()}
+    _GAZ_FIRST_CACHE[id(kb_index)] = (kb_index, got)
     return got
 
 

@@ -12,12 +12,11 @@ Three interchangeable implementations, all producing identical columns:
 1. ``link_mentions_in_row`` — pandas UDF over the ``mentions`` array with a
    broadcast candidate dict: zero shuffle, the default for the narrow
    turns→triples fast path.
-2. ``score_links_grouped`` — ``applyInPandas`` grouped by a hashed
-   conversation bucket (BASELINE.json north_star's "batched link-scoring
-   applyInPandas stage"): the shape a context-aware scorer needs (all of a
-   conversation's mentions in one pandas frame).  Bucketing by
-   ``pmod(hash(conv_id), P)`` spreads hot conversations' *groups* evenly;
-   inside a group the scorer is vectorized.
+2. ``score_links_grouped`` — ``applyInPandas`` grouped by ``conv_id``
+   (BASELINE.json north_star's "batched link-scoring applyInPandas stage"):
+   the shape a context-aware scorer needs (all of a conversation's mentions
+   in one pandas frame), with group size bounded by conversation length —
+   never a fixed fraction of the table, which would OOM executors at scale.
 3. ``link_mentions_broadcast_join`` — pure-native: broadcast-hash equi-joins
    against the ``entity_kb`` / ``figer_map`` dimension tables (J3/J4).  The
    scale path when the KB is too big for a Python dict but small enough to
@@ -71,12 +70,21 @@ def score_links_grouped(
     mention_rows: DataFrame,
     kb_bc: Broadcast,
     figer_bc: Broadcast,
-    num_buckets: int = 256,
 ) -> DataFrame:
-    """applyInPandas link scoring grouped by hashed conv bucket.
+    """applyInPandas link scoring grouped **by conversation** — the
+    north_star's batched link-scoring stage: a context-aware scorer sees all
+    of one conversation's mentions in one pandas frame.
 
     Input: exploded mention rows (operators/mentions.explode_mentions).
     Output: same rows + (url, figer, score).
+
+    Scale contract: the group key is ``conv_id``, so the largest pandas frame
+    any executor materializes is ONE conversation's mentions — bounded by
+    conversation length, never by corpus size.  (A fixed-bucket variant
+    ``pmod(hash(conv_id), P)`` would make each group 1/P of the *table* —
+    hundreds of GB per group at 10^12 turns.)  Hot conversations are bounded
+    by the generator/business cap on turns-per-conversation; the scorer
+    itself is vectorized within the group.
     """
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in mention_rows.schema.fields
@@ -99,10 +107,8 @@ def score_links_grouped(
         pdf["score"] = scores
         return pdf
 
-    # the groupBy below is itself the bucket shuffle — no pre-repartition
-    return mention_rows.groupBy(
-        F.pmod(F.hash("conv_id"), F.lit(num_buckets)).alias("_bucket")
-    ).applyInPandas(
+    # the groupBy below is itself the shuffle — no pre-repartition
+    return mention_rows.groupBy("conv_id").applyInPandas(
         lambda key, pdf: score(pdf), schema=out_schema
     )
 

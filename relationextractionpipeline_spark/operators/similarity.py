@@ -71,20 +71,29 @@ def brute_force_topk(
     )
 
 
+def hyperplane_buckets(
+    mat: "np.ndarray", n_planes: int, dim: int, seed: int = 42
+) -> "np.ndarray":
+    """Pure-numpy random-hyperplane bucketing — shared by the Spark UDF and
+    the sequential oracle materialization (sources/oracle_mat.py), so the
+    DuckDB parity check verifies the distributed join/rank, not the hash."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    signs = (mat @ planes) > 0
+    out = np.zeros(len(mat), dtype=np.int32)
+    for j in range(n_planes):
+        out |= signs[:, j].astype(np.int32) << j
+    return out
+
+
 def _hyperplane_bucket_udf(n_planes: int, dim: int, seed: int = 42):
     """Deterministic random-hyperplane signs; the plane matrix is derived
     from the seed once per Python worker (model-per-worker pattern)."""
 
     @F.pandas_udf(T.IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((dim, n_planes))
         mat = np.vstack(vecs.map(np.asarray).to_numpy())
-        signs = (mat @ planes) > 0
-        out = np.zeros(len(vecs), dtype=np.int32)
-        for j in range(n_planes):
-            out |= signs[:, j].astype(np.int32) << j
-        return pd.Series(out)
+        return pd.Series(hyperplane_buckets(mat, n_planes, dim, seed))
 
     return bucket
 
@@ -132,22 +141,18 @@ def lsh_bucketed_topk(
     )
 
 
-def _ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int, dim: int,
-                   seed: int = 42, sample: float = 1.0):
-    """Deterministic coarse quantizer: k-means on a driver-collected sample.
-
-    The centroid table is tiny (n_clusters × dim); training on a bounded
-    sample is the standard IVF recipe — at 100 TB you train on ~1M sampled
-    vectors, not the corpus.  Uses numpy Lloyd iterations (seeded, fixed
-    count) rather than pyspark.ml to stay deterministic across partitionings.
-    """
-    pdf = (
-        corpus.select(vec_col).sample(False, sample, seed).limit(100_000).toPandas()
-    )
-    mat = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+def train_centroids(
+    mat: "np.ndarray", n_clusters: int, seed: int = 42, iters: int = 10
+) -> "np.ndarray":
+    """Seeded, fixed-iteration Lloyd k-means over a training matrix — pure
+    numpy (not pyspark.ml) so centroids are identical across partitionings,
+    sessions and the sequential oracle materialization."""
+    mat = mat.astype(np.float64, copy=False)
     rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
-    for _ in range(10):
+    centroids = mat[
+        rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
+    ].copy()
+    for _ in range(iters):
         d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         for c in range(len(centroids)):
@@ -157,14 +162,54 @@ def _ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int, dim: int,
     return centroids
 
 
+def assign_cells(
+    mat: "np.ndarray", centroids: "np.ndarray", nprobe: int = 1
+) -> "np.ndarray":
+    """(n, nprobe) nearest-centroid ids per row; argsort tie-break by index
+    (deterministic).  Shared by the Spark UDF and the oracle."""
+    mat = mat.astype(np.float64, copy=False)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    max_train: int = 100_000,
+    train_mod: int = 1,
+):
+    """Deterministic coarse quantizer: k-means on a bounded, *deterministic*
+    training sample — the first ``max_train`` vectors by id (a TakeOrdered,
+    no full sort materialization), optionally pre-thinned with a hash-mod
+    filter (``train_mod``) when ids cluster by content.
+
+    The centroid table is tiny (n_clusters × dim); training on a bounded
+    sample is the standard IVF recipe — at 100 TB you train on ~1M sampled
+    vectors, not the corpus.  The previous ``sample().limit()`` draw depended
+    on partition order, so the index could change across partitionings; the
+    ordered bounded collect makes training partition-invariant.
+    """
+    sampled = corpus.select(id_col, vec_col)
+    if train_mod > 1:
+        sampled = sampled.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_mod)) == 0
+        )
+    pdf = sampled.orderBy(id_col).limit(max_train).toPandas()
+    mat = np.vstack(pdf[vec_col].map(np.asarray).to_numpy())
+    return train_centroids(mat, n_clusters, seed)
+
+
 def _ivf_assign_udf(centroids: "np.ndarray", nprobe: int = 1):
     """vector → its ``nprobe`` nearest centroid ids (array<int>)."""
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.map(np.asarray).to_numpy()).astype(np.float64)
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :nprobe]
+        mat = np.vstack(vecs.map(np.asarray).to_numpy())
+        order = assign_cells(mat, centroids, nprobe)
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     return assign
@@ -188,7 +233,7 @@ def ivf_topk(
     cell-keyed equi-join — corpus scale raises the number of cells, never the
     width of the join.  Recall grows with ``nprobe`` (exact when
     nprobe = n_clusters)."""
-    centroids = _ivf_centroids(corpus, vec_col, n_clusters, dim)
+    centroids = _ivf_centroids(corpus, vec_col, n_clusters, dim, id_col=id_col)
     c_assign = _ivf_assign_udf(centroids, nprobe=1)
     q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
     c = corpus.select(

@@ -90,7 +90,8 @@ class CheckpointedRunner:
         out = self._out_path(name)
         if self.is_complete(name, fingerprint):
             self.events.append({"stage": name, "action": "resumed"})
-            return self.spark.read.parquet(out)
+            # _pid is manifest bookkeeping, not stage schema — never leak it
+            return self.spark.read.parquet(out).drop("_pid")
         t0 = time.time()
         df = build().withColumn("_pid", F.spark_partition_id())
         df.write.mode("overwrite").parquet(out)
@@ -115,7 +116,7 @@ class CheckpointedRunner:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))  # atomic publish
         self.events.append({"stage": name, "action": "computed"})
-        return self.spark.read.parquet(out)
+        return self.spark.read.parquet(out).drop("_pid")
 
 
 def run_checkpointed(
@@ -153,7 +154,7 @@ def run_checkpointed(
         fp,
         lambda: link_op.link_mentions_in_row(
             mentions_op.detect_mentions(
-                parse_op.parse_sentences(sentences.drop("_pid")), kb_index_bc
+                parse_op.parse_sentences(sentences), kb_index_bc
             ),
             kb_bc,
             figer_bc,
@@ -162,11 +163,11 @@ def run_checkpointed(
     triples = runner.stage(
         "triples",
         fp,
-        lambda: triples_op.extract_triples(linked.drop("_pid")),
+        lambda: triples_op.extract_triples(linked),
     )
     return {
         "sentences": sentences,
         "linked": linked,
-        "triples": triples.drop("_pid"),
+        "triples": triples,
         "runner": runner,
     }

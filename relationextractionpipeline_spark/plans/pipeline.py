@@ -51,12 +51,15 @@ def build_broadcasts(spark: SparkSession, entity_kb: DataFrame, figer_map: DataF
     huge dim from being driver-collected — beyond it, use the
     broadcast-join linker (operators/link.py) instead.
     """
-    kb_pdf: pd.DataFrame = entity_kb.toPandas()
-    figer_pdf: pd.DataFrame = figer_map.toPandas()
-    if len(kb_pdf) > 5_000_000:
+    # guard BEFORE collecting: a LIMIT probe costs one cheap job and keeps an
+    # accidentally-huge dim table from OOMing the driver in toPandas()
+    limit = 5_000_000
+    if entity_kb.limit(limit + 1).count() > limit:
         raise ValueError(
             "entity_kb too large for dict broadcast; use link_mentions_broadcast_join"
         )
+    kb_pdf: pd.DataFrame = entity_kb.toPandas()
+    figer_pdf: pd.DataFrame = figer_map.toPandas()
     kb: Dict[str, Tuple[str, float]] = {}
     for surface, url, prior in kb_pdf[["surface", "url", "prior"]].itertuples(index=False):
         cur = kb.get(surface)

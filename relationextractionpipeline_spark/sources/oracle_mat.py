@@ -1,0 +1,280 @@
+"""Sequential oracle materializations for the driver's DuckDB gate.
+
+The driver verifies each ``queries()`` entry against an ANSI-SQL oracle run
+by DuckDB.  A dependency parse, a MinHash signature or a k-means quantizer is
+not expressible in SQL — but their *outputs* are deterministic, so this
+module computes them **sequentially on the driver** (plain pandas/numpy, no
+Spark) and caches them as parquet.  The SQL oracle then reads the
+materialization and re-derives the final answer relationally, while the Spark
+query computes the same answer through the distributed path.  What the
+comparison then actually verifies is exactly the distributed machinery —
+partitioning, shuffles, joins, Arrow batching, window ranks — which is the
+part that can drift (the per-row functions are shared code by design, the
+same posture as the pytest oracle gate in tests/oracle.py).
+
+Materializations (all seed-fixed, wall-clock-free, cached by path):
+
+* ``oracle_triples(scale)``  — the full sequential KG extraction
+  (turnproc.extract_turn_triples per turn, exactly the reference's
+  one-process walk, ``main.py:166-170``) → triples parquet.
+* ``mention_rows(scale)``    — sequential segment→parse→mention detection →
+  exploded mention rows parquet (the link-scoring stage's input, so the SQL
+  oracle can re-derive linking relationally).
+* ``doc_sketches(sf_dir)``   — MinHash signatures + SimHash fingerprints of
+  the driver's ``documents`` table (sketches.py shared functions).
+* ``embed_aux(sf_dir)``      — hyperplane-LSH buckets and IVF cell
+  assignments for the driver's ``embeddings`` table (similarity.py shared
+  numpy functions).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+from relationextractionpipeline_spark.functions import lexicon as lx
+from relationextractionpipeline_spark.functions import rules, turnproc
+from relationextractionpipeline_spark.operators import sketches
+from relationextractionpipeline_spark.sources import testgen
+
+AUX_SUBDIR = "aux"
+
+
+def _publish(pdf: pd.DataFrame, dst: str) -> str:
+    """Atomic parquet publish (deterministic output ⇒ last writer identical)."""
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = f"{dst}.tmp{os.getpid()}"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, dst)
+    return dst
+
+
+def aux_dir(sf_dir: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.abspath(os.path.join(data_dir, AUX_SUBDIR, base))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline oracles (synthetic transcripts)
+# ---------------------------------------------------------------------------
+
+
+def _load_kg_inputs(scale: str):
+    paths = testgen.materialize(scale)
+    transcripts = pd.read_parquet(paths["transcripts"])
+    entity_kb = pd.read_parquet(paths["entity_kb"])
+    figer_map = pd.read_parquet(paths["figer_map"])
+    return paths, transcripts, entity_kb, figer_map
+
+
+def oracle_triples(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
+    """Sequential reference extraction → parquet; the DuckDB oracle for
+    ``kg_triples``/``kg_types`` selects from this."""
+    dst = os.path.abspath(os.path.join(data_dir, scale, "oracle_triples.parquet"))
+    if os.path.exists(dst):
+        return dst
+    _paths, transcripts, entity_kb, figer_map = _load_kg_inputs(scale)
+    kb: Dict = {}
+    for surface, url, prior in entity_kb[["surface", "url", "prior"]].itertuples(
+        index=False
+    ):
+        cur = kb.get(surface)
+        if cur is None or prior > cur[1]:
+            kb[surface] = (url, float(prior))
+    kb_index = {tuple(s.split(" ")): s for s in entity_kb["surface"]}
+    figer = dict(zip(figer_map["url"], figer_map["figer_type"]))
+
+    rows: List[dict] = []
+    ordered = transcripts.sort_values(["conv_id", "turn_idx"])
+    for conv_id, turn_idx, text in zip(
+        ordered["conv_id"], ordered["turn_idx"], ordered["text"]
+    ):
+        for trip in turnproc.extract_turn_triples(text, kb, kb_index, figer):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(turn_idx),
+                    "sent_idx": int(trip["sent_idx"]),
+                    "subj": trip["subj"],
+                    "pred": trip["pred"],
+                    "obj": trip["obj"],
+                    "subj_type": trip["subj_type"],
+                    "obj_type": trip["obj_type"],
+                    "subj_kind": trip["subj_kind"],
+                    "obj_kind": trip["obj_kind"],
+                    "neg": bool(trip["neg"]),
+                    "passive": bool(trip["passive"]),
+                    "pred_tok": int(trip["pred_tok"]),
+                    "rel": trip["rel"],
+                }
+            )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
+            "subj_type", "obj_type", "subj_kind", "obj_kind", "neg",
+            "passive", "pred_tok", "rel",
+        ],
+    )
+    for c in ("turn_idx", "sent_idx", "pred_tok"):
+        pdf[c] = pdf[c].astype("int32")
+    return _publish(pdf, dst)
+
+
+def mention_rows(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
+    """Sequential segment→parse→mention detection → exploded mention rows
+    (conv_id, turn_idx, sent_idx, mention_id, start_tok, end_tok, surface,
+    tag, kind) — the input table of the link-scoring stage."""
+    dst = os.path.abspath(os.path.join(data_dir, scale, "mention_rows.parquet"))
+    if os.path.exists(dst):
+        return dst
+    _paths, transcripts, entity_kb, _figer = _load_kg_inputs(scale)
+    kb_index = {tuple(s.split(" ")): s for s in entity_kb["surface"]}
+    rows: List[dict] = []
+    ordered = transcripts.sort_values(["conv_id", "turn_idx"])
+    for conv_id, turn_idx, text in zip(
+        ordered["conv_id"], ordered["turn_idx"], ordered["text"]
+    ):
+        for sent_idx, (_li, sent) in enumerate(
+            rules.segment_text_with_lines(text or "")
+        ):
+            tokens = lx.parse_sentence(sent)
+            for mid, m in enumerate(rules.detect_mentions(tokens, kb_index)):
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "sent_idx": sent_idx,
+                        "mention_id": mid,
+                        "start_tok": int(m["start_tok"]),
+                        "end_tok": int(m["end_tok"]),
+                        "surface": m["surface"],
+                        "tag": m["tag"],
+                        "kind": m["kind"],
+                    }
+                )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "conv_id", "turn_idx", "sent_idx", "mention_id", "start_tok",
+            "end_tok", "surface", "tag", "kind",
+        ],
+    )
+    for c in ("turn_idx", "sent_idx", "mention_id", "start_tok", "end_tok"):
+        pdf[c] = pdf[c].astype("int32")
+    # linking determinism precondition: each surface has a unique max-prior
+    # candidate, so dict argmax (Spark/UDF) and SQL row_number agree
+    top = entity_kb.sort_values("prior", ascending=False).groupby("surface").head(1)
+    dup = entity_kb.merge(top, on=["surface", "prior"], how="inner")
+    assert dup.groupby("surface")["url_y"].nunique().max() == 1, (
+        "ambiguous max-prior candidate — linker tie-break undefined"
+    )
+    return _publish(pdf, dst)
+
+
+# ---------------------------------------------------------------------------
+# Document sketches (driver `documents` table)
+# ---------------------------------------------------------------------------
+
+
+def doc_sketches(sf_dir: str, n_hashes: int = 64, shingle_k: int = 3) -> Dict[str, str]:
+    """MinHash signatures + SimHash fingerprints per document, computed
+    sequentially with the shared sketch functions (operators/sketches.py)."""
+    adir = aux_dir(sf_dir)
+    out = {
+        "minhash": os.path.join(adir, "minhash.parquet"),
+        "simhash": os.path.join(adir, "simhash.parquet"),
+    }
+    if all(os.path.exists(p) for p in out.values()):
+        return out
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    shingles = [
+        sketches.word_shingles(t or "", shingle_k) for t in docs["text"]
+    ]
+    mh = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "minhash": [
+                sketches.minhash_signature(s, n_hashes) for s in shingles
+            ],
+        }
+    )
+    sh = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "simhash": np.array(
+                [sketches.simhash64(s) for s in shingles], dtype=np.int64
+            ),
+        }
+    )
+    _publish(mh, out["minhash"])
+    _publish(sh, out["simhash"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding aux tables (driver `embeddings` table)
+# ---------------------------------------------------------------------------
+
+
+def _load_embeddings(sf_dir: str):
+    emb = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mat = np.vstack(emb["embedding"].map(np.asarray).to_numpy())
+    return emb, mat
+
+
+def embed_aux(
+    sf_dir: str,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    query_mod: int = 100,
+) -> Dict[str, str]:
+    """LSH buckets (8- and 4-plane) and IVF cell assignments per vector,
+    via the shared numpy functions in operators/similarity.py."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    adir = aux_dir(sf_dir)
+    out = {
+        "lsh8": os.path.join(adir, "lsh8.parquet"),
+        "lsh4": os.path.join(adir, "lsh4.parquet"),
+        "ivf_cells": os.path.join(adir, "ivf_cells.parquet"),
+        "ivf_qcells": os.path.join(adir, "ivf_qcells.parquet"),
+    }
+    if all(os.path.exists(p) for p in out.values()):
+        return out
+    emb, mat = _load_embeddings(sf_dir)
+    dim = mat.shape[1]
+    for planes, key in ((8, "lsh8"), (4, "lsh4")):
+        buckets = similarity.hyperplane_buckets(mat, planes, dim)
+        _publish(
+            pd.DataFrame({"vec_id": emb["vec_id"], "bucket": buckets}), out[key]
+        )
+    # IVF: train on the same deterministic sample the Spark path uses
+    # (first `max_train` vectors by id), then assign every vector
+    order = np.argsort(emb["vec_id"].to_numpy(), kind="stable")
+    train = mat[order[:100_000]].astype(np.float64)
+    centroids = similarity.train_centroids(train, n_clusters)
+    cells = similarity.assign_cells(mat, centroids, nprobe=1)[:, 0].astype("int32")
+    _publish(
+        pd.DataFrame({"vec_id": emb["vec_id"], "cell": cells}), out["ivf_cells"]
+    )
+    qmask = (emb["vec_id"] % query_mod == 0).to_numpy()
+    qcells = similarity.assign_cells(mat[qmask], centroids, nprobe=nprobe)
+    qids = emb["vec_id"].to_numpy()[qmask]
+    _publish(
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, nprobe),
+                "cell": qcells.reshape(-1).astype("int32"),
+            }
+        ),
+        out["ivf_qcells"],
+    )
+    return out

@@ -1,0 +1,143 @@
+"""Sequential-oracle materializations (sources/oracle_mat.py) must agree
+with the distributed operators they gate — otherwise the driver's DuckDB
+comparison would be testing the materialization, not the engine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from relationextractionpipeline_spark.operators import (
+    mentions as mentions_op,
+    multimodal,
+    similarity,
+    sketches,
+)
+from relationextractionpipeline_spark.plans import pipeline
+from relationextractionpipeline_spark.sources import oracle_mat
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("oracle_mat"))
+
+
+def test_mention_rows_match_spark_explode(spark, data_dir):
+    seq = pd.read_parquet(oracle_mat.mention_rows("tiny", data_dir))
+    paths = oracle_mat.testgen.materialize("tiny", data_dir)
+    transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
+    kb_bc, kbi_bc, figer_bc = pipeline.build_broadcasts(
+        spark, entity_kb, figer_map
+    )
+    staged = pipeline.run_staged(transcripts, kb_bc, kbi_bc, figer_bc)
+    sp = mentions_op.explode_mentions(staged["with_mentions"]).toPandas()
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_id", "start_tok",
+            "end_tok", "surface", "tag", "kind"]
+    a = seq[cols].sort_values(cols).reset_index(drop=True)
+    b = sp[cols].astype(seq[cols].dtypes).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_oracle_triples_match_fused(spark, data_dir):
+    seq = pd.read_parquet(oracle_mat.oracle_triples("tiny", data_dir))
+    paths = oracle_mat.testgen.materialize("tiny", data_dir)
+    run = pipeline.run_pipeline(spark, paths, mode="fused")
+    sp = run["triples"].toPandas()
+    cols = list(seq.columns)
+    a = seq.sort_values(cols).reset_index(drop=True)
+    b = sp[cols].astype(seq.dtypes).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_sketches_match_spark_udfs(spark):
+    out = oracle_mat.doc_sketches(SF_TINY)
+    mh_seq = pd.read_parquet(out["minhash"])
+    sh_seq = pd.read_parquet(out["simhash"])
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mh_sp = (
+        sketches.with_minhash(docs, "text", n_hashes=64, shingle_k=3, mode="word")
+        .select("doc_id", "minhash").toPandas()
+    )
+    sh_sp = sketches.with_simhash(docs, "text", shingle_k=3, mode="word").select(
+        "doc_id", "simhash"
+    ).toPandas()
+    a = mh_seq.sort_values("doc_id").reset_index(drop=True)
+    b = mh_sp.sort_values("doc_id").reset_index(drop=True)
+    assert (a.doc_id.values == b.doc_id.values).all()
+    assert all(list(x) == list(y) for x, y in zip(a.minhash, b.minhash))
+    sa = sh_seq.sort_values("doc_id").reset_index(drop=True)
+    sb = sh_sp.sort_values("doc_id").reset_index(drop=True)
+    assert (sa.simhash.values == sb.simhash.values).all()
+
+
+def test_embed_aux_matches_spark_udfs(spark):
+    out = oracle_mat.embed_aux(SF_TINY)
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    for planes, key in ((8, "lsh8"), (4, "lsh4")):
+        seq = pd.read_parquet(out[key]).sort_values("vec_id")
+        sp = (
+            similarity.with_lsh_bucket(emb, "embedding", n_planes=planes, dim=64)
+            .select("vec_id", "bucket").toPandas().sort_values("vec_id")
+        )
+        assert (seq.bucket.values == sp.bucket.values).all(), key
+    # IVF cells: Spark trains on the ordered bounded sample; the
+    # materializer replicates it — cells must agree exactly
+    cells_seq = pd.read_parquet(out["ivf_cells"]).sort_values("vec_id")
+    centroids = similarity._ivf_centroids(emb, "embedding", 16, 64)
+    assign = similarity._ivf_assign_udf(centroids, nprobe=1)
+    from pyspark.sql import functions as F
+
+    cells_sp = (
+        emb.withColumn("cell", F.element_at(assign(F.col("embedding")), 1))
+        .select("vec_id", "cell").toPandas().sort_values("vec_id")
+    )
+    assert (cells_seq.cell.values == cells_sp.cell.values).all()
+
+
+def test_ivf_topk_partition_invariant(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.where((emb.vec_id % 100) == 0).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    outs = []
+    for parts in (1, 7):
+        r = similarity.ivf_topk(
+            emb.repartition(parts), qs, k=5, n_clusters=16, nprobe=4
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        outs.append(r)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_decode_feature_rows_consistent_with_arrays(spark):
+    assets = multimodal.synthetic_assets(spark, n=9)
+    rows = multimodal.decode_feature_rows(assets, fake=True).toPandas()
+    arrays = multimodal.decode_features(assets, fake=True).toPandas()
+    assert len(rows) == 9 * multimodal.FEATURE_DIM
+    arr = {int(r.asset_id): list(r.features) for r in arrays.itertuples()}
+    for r in rows.itertuples():
+        assert abs(arr[int(r.asset_id)][int(r.dim)] - r.value) < 1e-12
+
+
+def test_grouped_scorer_partitions_by_conversation(spark, data_dir):
+    """Scale contract: the applyInPandas group key is conv_id (group size
+    bounded by one conversation), visible as hashpartitioning(conv_id) in
+    the physical plan — not a fixed bucket of the whole table."""
+    from relationextractionpipeline_spark.operators import link as link_op
+
+    paths = oracle_mat.testgen.materialize("tiny", data_dir)
+    mention_path = oracle_mat.mention_rows("tiny", data_dir)
+    mention_rows = spark.read.parquet(mention_path)
+    _t, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
+    kb_bc, _kbi, figer_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    scored = link_op.score_links_grouped(mention_rows, kb_bc, figer_bc)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(conv_id" in plan

@@ -165,7 +165,7 @@ def test_link_variants_agree(spark, run, tiny_paths):
 
     cols = ["conv_id", "turn_idx", "sent_idx", "mention_id", "url", "figer"]
     a = link.link_mentions_broadcast_join(mention_rows, entity_kb, figer_map)
-    b = link.score_links_grouped(mention_rows, kb_bc, figer_bc, num_buckets=8)
+    b = link.score_links_grouped(mention_rows, kb_bc, figer_bc)
     pa = a.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
     pb = b.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb)

@@ -71,6 +71,8 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            spark.catalog.clearCache()  # per-query persist() scope
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows, {len(sdf.columns)} cols "
