@@ -546,7 +546,8 @@ def oracle_sql() -> dict[str, str]:
 
     small = os.path.join(DATA_DIR, ORACLE_SCALE)
     aux = os.path.join(DATA_DIR, "aux", os.path.basename(ORACLE_SF_DIR))
-    otriples = os.path.join(small, "oracle_triples.parquet")
+    otriples = os.path.join(small, oracle_mat.ORACLE_TRIPLES_FILE)
+    mrows = os.path.join(small, oracle_mat.MENTION_ROWS_FILE)
     assets = os.path.join(DATA_DIR, "assets", "assets96.parquet")
     not_in_wiki = "http://aksw.org/notInWiki/"
 
@@ -764,7 +765,8 @@ def oracle_sql() -> dict[str, str]:
         # ---- sequential-oracle-materialization-backed entries --------------
         "kg_triples": f"""
             SELECT conv_id, turn_idx, sent_idx, subj, pred, obj, subj_type,
-                   obj_type, subj_kind, obj_kind, neg, passive, pred_tok, rel
+                   obj_type, subj_kind, obj_kind, neg, passive, pred_tok,
+                   rel, rel_human, rel_idx
             FROM read_parquet('{otriples}')
         """,
         "kg_types": f"""
@@ -798,7 +800,7 @@ def oracle_sql() -> dict[str, str]:
                            '{not_in_wiki}' || replace(mr.surface, ' ', '_')
                        ) AS url,
                        round(coalesce(b.best_prior, 0.0), 6) AS score
-                FROM read_parquet('{small}/mention_rows.parquet') mr
+                FROM read_parquet('{mrows}') mr
                 LEFT JOIN best b USING (surface)
             )
             SELECT m.conv_id, m.turn_idx, m.sent_idx, m.mention_id,

@@ -126,9 +126,16 @@ def main(argv=None) -> int:
         sinks.reference_jsonl(parsed, triples).select("line").write.mode(
             "overwrite"
         ).text(os.path.join(args.out, "binary_relations_jsonl"))
-        sinks.human_readable(parsed, triples).select("block").write.mode(
-            "overwrite"
-        ).text(os.path.join(args.out, "binary_relations_human"))
+        # write.text appends one '\n' per row; blocks already end with
+        # the reference's blank line, so strip one trailing newline to keep
+        # the written file byte-identical to the reference writer's
+        from pyspark.sql import functions as F
+
+        sinks.human_readable(parsed, triples).select(
+            F.expr("substring(block, 1, length(block) - 1)").alias("block")
+        ).write.mode("overwrite").text(
+            os.path.join(args.out, "binary_relations_human")
+        )
         sinks.types_list(triples).write.mode("overwrite").text(
             os.path.join(args.out, "types")
         )

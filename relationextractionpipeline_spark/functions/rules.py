@@ -381,6 +381,22 @@ def render_rel_string(subj: str, obj: str, pred: str, subj_figer: str,
     )
 
 
+def render_human_string(subj: str, obj: str, pred: str, subj_figer: str,
+                        obj_figer: str, neg: bool, passive: bool) -> str:
+    """S13 — the reference's human-readable relation string,
+    ``format_relation_string`` (binary_relation.py:270-289), byte-exact:
+    unlike the JSON form (P13), BOTH argument names keep the '.'-suffixes,
+    the figer types sit directly after the parenthesized predicate with no
+    '::' separator, there is no outer paren wrap, and the string carries a
+    ``|||(passive: True/False)`` suffix.  Called with the already-swapped
+    entity order (the reference formats after the R8 swap)."""
+    negation = "NEG__" if neg else ""
+    predicate = pred + ".1," + pred + ".2"
+    return "{}({}){}{}::{}::{}|||(passive: {})".format(
+        negation, predicate, subj_figer, obj_figer, subj, obj, str(passive)
+    )
+
+
 def extract_relations(tokens: Sequence[Dict], mentions: Sequence[Dict]) -> List[Dict]:
     """J6 + P8-P10 + R1-R9: emit triples for one sentence.
 
@@ -425,6 +441,14 @@ def extract_relations(tokens: Sequence[Dict], mentions: Sequence[Dict]) -> List[
                             subj, obj, pred_string, subj_figer, obj_figer,
                             subj_kind, obj_kind, negation, pred_index,
                         ),
+                        "rel_human": render_human_string(
+                            subj, obj, pred_string, subj_figer, obj_figer,
+                            negation, passive,
+                        ),
+                        # emission index within the sentence = the reference's
+                        # pair-product order (binary_relation.py:207-233);
+                        # sinks sort by it for byte-level output parity
+                        "rel_idx": len(out),
                     }
                 )
     return out

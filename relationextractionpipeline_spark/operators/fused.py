@@ -25,12 +25,14 @@ from relationextractionpipeline_spark.functions import turnproc
 TRIPLE_COLS = [
     "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj", "subj_type",
     "obj_type", "subj_kind", "obj_kind", "neg", "passive", "pred_tok", "rel",
+    "rel_human", "rel_idx",
 ]
 
 OUT_SCHEMA = (
     "conv_id string, turn_idx int, sent_idx int, subj string, pred string, "
     "obj string, subj_type string, obj_type string, subj_kind string, "
-    "obj_kind string, neg boolean, passive boolean, pred_tok int, rel string"
+    "obj_kind string, neg boolean, passive boolean, pred_tok int, rel string, "
+    "rel_human string, rel_idx int"
 )
 
 
@@ -59,7 +61,7 @@ def extract_triples_fused(
                             trip["subj_type"], trip["obj_type"],
                             trip["subj_kind"], trip["obj_kind"],
                             trip["neg"], trip["passive"], trip["pred_tok"],
-                            trip["rel"],
+                            trip["rel"], trip["rel_human"], trip["rel_idx"],
                         )
                     )
             yield pd.DataFrame(rows, columns=TRIPLE_COLS)

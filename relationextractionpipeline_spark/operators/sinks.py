@@ -15,8 +15,9 @@ file formats for parity checking:
   ``json.dumps`` default separators (", " / ": ") — hence a (cold-path)
   pandas UDF rather than ``to_json``.
 * S13 human-readable — ``line: <sentence>`` + one relation string per line +
-  blank line (``binary_relation.py:292-303``), relation string per
-  ``format_relation_string`` (``:270-289``).
+  blank line (``binary_relation.py:292-303``), relation string byte-exact per
+  ``format_relation_string`` (``:270-289``), in the reference's emission
+  order (``rel_idx``).
 * S14 types list — distinct FIGER types, one per line (``:72-82``).
 """
 
@@ -32,8 +33,11 @@ REFERENCE_DATE = "Jan 1, 1980 12:00:00 AM"
 
 def sentence_rollup(parsed: DataFrame, triples: DataFrame) -> DataFrame:
     """A5 — one row per sentence with its sentence string and relation-string
-    list (empty array for relation-free sentences, which the reference still
-    emits)."""
+    lists (empty arrays for relation-free sentences, which the reference
+    still emits).  Relations are ordered by ``rel_idx`` — the within-sentence
+    emission index the extractor carries — so the rolled-up order is the
+    reference's entity-pair-product order (binary_relation.py get_relations),
+    not an artificial sort."""
     keys = ["conv_id", "turn_idx", "sent_idx"]
     sent = parsed.select(
         *keys,
@@ -42,15 +46,23 @@ def sentence_rollup(parsed: DataFrame, triples: DataFrame) -> DataFrame:
         ).alias("s"),
     )
     rels = triples.groupBy(*keys).agg(
-        F.collect_list(F.struct(F.col("pred_tok"), F.col("rel"))).alias("rs")
+        F.collect_list(
+            F.struct(F.col("rel_idx"), F.col("rel"), F.col("rel_human"))
+        ).alias("rs")
     )
     rolled = sent.join(rels, keys, "left").select(
         *keys,
         "s",
+        # sort_array on the struct orders by rel_idx (first field, unique
+        # within a sentence) — restores emission order after the shuffle
         F.coalesce(
             F.transform(F.sort_array("rs"), lambda r: r["rel"]),
             F.array().cast("array<string>"),
         ).alias("rels"),
+        F.coalesce(
+            F.transform(F.sort_array("rs"), lambda r: r["rel_human"]),
+            F.array().cast("array<string>"),
+        ).alias("rels_human"),
     )
     # per-conversation sentence numbering = the reference's per-file lineId
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "sent_idx")
@@ -87,24 +99,25 @@ def reference_jsonl(parsed: DataFrame, triples: DataFrame) -> DataFrame:
 
 
 def human_readable(parsed: DataFrame, triples: DataFrame) -> DataFrame:
-    """S13 — the human-readable block per sentence.
-
-    Note the reference's human strings use ``format_relation_string``
-    (``binary_relation.py:270-289``); our triples carry the S12 ``rel``
-    serialization, so this sink emits that plus the passive flag — the
-    per-sentence block structure ('line: …' + rel-per-line + blank) is
-    format-exact."""
+    """S13 — the human-readable block per sentence, byte-exact with the
+    reference's ``write_to_human_readable_file`` (binary_relation.py:292-303):
+    ``'line: ' + sentence + '\\n'`` then one ``format_relation_string`` line
+    per relation (emission order), then a blank line.  Concatenating the
+    ``block`` values in (conv_id, line_id) order reproduces the reference
+    file's bytes."""
     rolled = sentence_rollup(parsed, triples)
     return rolled.select(
         "conv_id",
         "turn_idx",
         "sent_idx",
+        "line_id",
         F.concat(
             F.lit("line: "),
             F.col("s"),
             F.lit("\n"),
-            F.array_join(F.col("rels"), "\n"),
-            F.when(F.size("rels") > 0, F.lit("\n")).otherwise(F.lit("")),
+            F.array_join(F.col("rels_human"), "\n"),
+            F.when(F.size("rels_human") > 0, F.lit("\n")).otherwise(F.lit("")),
+            F.lit("\n"),
         ).alias("block"),
     )
 

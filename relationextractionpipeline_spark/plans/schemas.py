@@ -81,6 +81,11 @@ TRIPLE = T.StructType(
         T.StructField("passive", T.BooleanType(), False),
         T.StructField("pred_tok", T.IntegerType(), False),
         T.StructField("rel", T.StringType(), False),
+        # S13 human-readable string (format_relation_string,
+        # binary_relation.py:270-289) and the within-sentence emission index
+        # (the reference's pair-product order) for byte-parity sinks
+        T.StructField("rel_human", T.StringType(), False),
+        T.StructField("rel_idx", T.IntegerType(), False),
     ]
 )
 TRIPLES = T.ArrayType(TRIPLE)

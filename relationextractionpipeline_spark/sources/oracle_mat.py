@@ -42,6 +42,12 @@ from relationextractionpipeline_spark.sources import testgen
 
 AUX_SUBDIR = "aux"
 
+# bump when a materialization's schema or semantics change: the cache is
+# deterministic for a given code version, but NOT across code versions
+ORACLE_MAT_VERSION = 2
+ORACLE_TRIPLES_FILE = f"oracle_triples_v{ORACLE_MAT_VERSION}.parquet"
+MENTION_ROWS_FILE = f"mention_rows_v{ORACLE_MAT_VERSION}.parquet"
+
 
 def _publish(pdf: pd.DataFrame, dst: str) -> str:
     """Atomic parquet publish (deterministic output ⇒ last writer identical)."""
@@ -73,7 +79,7 @@ def _load_kg_inputs(scale: str):
 def oracle_triples(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
     """Sequential reference extraction → parquet; the DuckDB oracle for
     ``kg_triples``/``kg_types`` selects from this."""
-    dst = os.path.abspath(os.path.join(data_dir, scale, "oracle_triples.parquet"))
+    dst = os.path.abspath(os.path.join(data_dir, scale, ORACLE_TRIPLES_FILE))
     if os.path.exists(dst):
         return dst
     _paths, transcripts, entity_kb, figer_map = _load_kg_inputs(scale)
@@ -109,6 +115,8 @@ def oracle_triples(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
                     "passive": bool(trip["passive"]),
                     "pred_tok": int(trip["pred_tok"]),
                     "rel": trip["rel"],
+                    "rel_human": trip["rel_human"],
+                    "rel_idx": int(trip["rel_idx"]),
                 }
             )
     pdf = pd.DataFrame(
@@ -116,10 +124,10 @@ def oracle_triples(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
         columns=[
             "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
             "subj_type", "obj_type", "subj_kind", "obj_kind", "neg",
-            "passive", "pred_tok", "rel",
+            "passive", "pred_tok", "rel", "rel_human", "rel_idx",
         ],
     )
-    for c in ("turn_idx", "sent_idx", "pred_tok"):
+    for c in ("turn_idx", "sent_idx", "pred_tok", "rel_idx"):
         pdf[c] = pdf[c].astype("int32")
     return _publish(pdf, dst)
 
@@ -128,7 +136,7 @@ def mention_rows(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
     """Sequential segment→parse→mention detection → exploded mention rows
     (conv_id, turn_idx, sent_idx, mention_id, start_tok, end_tok, surface,
     tag, kind) — the input table of the link-scoring stage."""
-    dst = os.path.abspath(os.path.join(data_dir, scale, "mention_rows.parquet"))
+    dst = os.path.abspath(os.path.join(data_dir, scale, MENTION_ROWS_FILE))
     if os.path.exists(dst):
         return dst
     _paths, transcripts, entity_kb, _figer = _load_kg_inputs(scale)

@@ -64,6 +64,6 @@ def run_oracle(
     cols = [
         "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
         "subj_type", "obj_type", "subj_kind", "obj_kind", "neg", "passive",
-        "pred_tok", "rel",
+        "pred_tok", "rel", "rel_human", "rel_idx",
     ]
     return pd.DataFrame(rows, columns=cols)
