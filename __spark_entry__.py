@@ -544,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_REGEX,
     )
 
-    small = os.path.join(DATA_DIR, ORACLE_SCALE)
+    small = os.path.join(DATA_DIR, testgen.scale_dir(ORACLE_SCALE))
     aux = os.path.join(DATA_DIR, "aux", os.path.basename(ORACLE_SF_DIR))
     otriples = os.path.join(small, oracle_mat.ORACLE_TRIPLES_FILE)
     mrows = os.path.join(small, oracle_mat.MENTION_ROWS_FILE)

@@ -154,6 +154,18 @@ TO_WORD = "to"
 AUX_WORD = "was"
 BY_WORD = "by"
 
+# P6 — multi-word tokens: one *surface* token whose syntax is several words,
+# the German preposition-article contractions the reference re-inserts after
+# parsing (unstable_parser_post_proc.py:11-41, e.g. ``im`` = ``in dem``).
+# The parser consumes the expanded (syntax) tokens; the surface token list
+# keeps the contraction so per-turn text reconstruction is exact.
+CONTRACTIONS: Dict[str, Tuple[str, ...]] = {
+    "im": ("in", "dem"),
+    "zum": ("zu", "dem"),
+}
+DET_WORDS = frozenset({DET_WORD, "dem"})
+_EXTRA_PREPS = frozenset({"zu"})  # syntax-only forms introduced by expansion
+
 SENT_TERMINALS = (".", "!", "?")
 
 # form -> lemma for every verb inflection
@@ -255,8 +267,10 @@ def classify(form: str) -> str:
 def _classify_uncached(form: str) -> str:
     if form in SENT_TERMINALS:
         return CAT_PUNCT
-    if form == DET_WORD:
+    if form in DET_WORDS:
         return CAT_DET
+    if form in _EXTRA_PREPS:
+        return CAT_PREP
     if form == TO_WORD:
         return CAT_TO
     if form == AUX_WORD:
@@ -350,15 +364,65 @@ def _entity_chunks(forms: Sequence[str], cats: Sequence[str]) -> List[Tuple[int,
     return chunks
 
 
+def expand_contractions(
+    surface_forms: Sequence[str],
+) -> Tuple[List[str], List[Dict[str, object]]]:
+    """P6 — expand MWT contractions into syntax forms.
+
+    Returns ``(syntax_forms, mwt_ranges)`` where each range is
+    ``{start, end, form}`` with 1-based *syntax* token ids — the analog of a
+    CoNLL-U range line ``3-4  im`` followed by ``3 in`` / ``4 dem``
+    (unstable_parser_post_proc.py:11-41 re-inserts exactly these)."""
+    syntax: List[str] = []
+    ranges: List[Dict[str, object]] = []
+    for form in surface_forms:
+        parts = CONTRACTIONS.get(form)
+        if parts is None:
+            syntax.append(form)
+        else:
+            start = len(syntax) + 1
+            syntax.extend(parts)
+            ranges.append({"start": start, "end": len(syntax), "form": form})
+    return syntax, ranges
+
+
+def parse_sentence_full(sentence: str) -> Dict[str, object]:
+    """Parse one sentence keeping BOTH token lists (P6):
+
+    * ``surface_tokens`` — what the text actually contains (``im``), the list
+      per-turn text reconstruction must use;
+    * ``tokens`` — the expanded syntax tokens (``in dem``) the dependency
+      rules read (1-based ids; MWT ranges in ``mwt`` map surface→syntax).
+
+    For contraction-free sentences the two lists have identical forms and
+    ``mwt`` is empty — the degenerate case the closed grammar used to be
+    limited to."""
+    surface_forms = tokenize(sentence)
+    syntax_forms, mwt = expand_contractions(surface_forms)
+    tokens = _parse_forms(syntax_forms)
+    return {
+        "surface_tokens": [
+            {"id": i + 1, "form": f} for i, f in enumerate(surface_forms)
+        ],
+        "tokens": tokens,
+        "mwt": mwt,
+    }
+
+
 def parse_sentence(sentence: str) -> List[Token]:
-    """Parse one sentence of the closed grammar into a token table.
+    """Parse one sentence of the closed grammar into a (syntax) token table.
 
     Output shape mirrors the CoNLL-U fields the reference loads into
     ``nltk.parse.DependencyGraph`` (``helper_functions.py:11-30``): 1-based
     ``id``, ``head`` (0 = root), and the deprels the extraction rules read
-    (``binary_relation.py:243-266``).
+    (``binary_relation.py:243-266``).  MWT contractions are expanded first
+    (P6); use ``parse_sentence_full`` when the surface list is also needed.
     """
-    forms = tokenize(sentence)
+    forms, _mwt = expand_contractions(tokenize(sentence))
+    return _parse_forms(forms)
+
+
+def _parse_forms(forms: List[str]) -> List[Token]:
     n = len(forms)
     cats = [classify(f) for f in forms]
     heads = [0] * n

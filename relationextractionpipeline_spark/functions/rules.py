@@ -468,11 +468,32 @@ def detokenize(tokens: Sequence[Dict]) -> str:
     terminal punctuation reattaches to the preceding token.  Together with
     line/sentence keys this makes per-turn text reconstruction exact — the
     per-turn text-equality invariant (BASELINE.md; analog of
-    binary_relation.py:164-174)."""
+    binary_relation.py:164-174).
+
+    NOTE: operates on *syntax* tokens; for MWT-bearing sentences (P6) text
+    equality holds only over the surface list — use ``detokenize_surface``.
+    """
     parts: List[str] = []
     for t in tokens:
         form = str(t["form"])
         if t["upos"] == "PUNCT" and parts:
+            parts[-1] = parts[-1] + form
+        else:
+            parts.append(form)
+    return " ".join(parts)
+
+
+def detokenize_surface(forms: Sequence[str]) -> str:
+    """P6/P16 — reconstruct sentence text from SURFACE forms (contractions
+    intact), the list the text-equality invariant is defined over (the
+    reference restores these via unstable_parser_post_proc.py:11-41 so its
+    output files remain surface-faithful)."""
+    from relationextractionpipeline_spark.functions import lexicon as _lx
+
+    parts: List[str] = []
+    for form in forms:
+        form = str(form)
+        if form in _lx.SENT_TERMINALS and parts:
             parts[-1] = parts[-1] + form
         else:
             parts.append(form)

@@ -27,7 +27,30 @@ def parse_udf(sent: pd.Series) -> pd.Series:
     return sent.map(lx.parse_sentence)
 
 
+@F.pandas_udf(schemas.PARSE_FULL)
+def parse_full_udf(sent: pd.Series) -> pd.DataFrame:
+    # StructType pandas UDFs return a DataFrame, one column per struct field
+    parsed = sent.map(lx.parse_sentence_full)
+    return pd.DataFrame(
+        {
+            "surface_tokens": parsed.map(lambda p: p["surface_tokens"]),
+            "tokens": parsed.map(lambda p: p["tokens"]),
+            "mwt": parsed.map(lambda p: p["mwt"]),
+        }
+    )
+
+
 def parse_sentences(sentences: DataFrame, text_col: str = "sent_text") -> DataFrame:
-    """Adds a ``tokens: array<struct>`` column — the reference's CoNLL-U
-    intermediate files (S4/S5) eliminated in favor of a typed column."""
-    return sentences.withColumn("tokens", parse_udf(F.col(text_col)))
+    """Adds ``tokens`` (syntax), ``surface_tokens`` and ``mwt`` columns — the
+    reference's CoNLL-U intermediate files (S4/S5) eliminated in favor of
+    typed columns, including the MWT range lines its post-processor
+    re-inserts (P6, unstable_parser_post_proc.py:11-41): ``tokens`` is what
+    the extraction rules read, ``surface_tokens`` is what text equality is
+    measured over."""
+    return (
+        sentences.withColumn("_p", parse_full_udf(F.col(text_col)))
+        .withColumn("tokens", F.col("_p.tokens"))
+        .withColumn("surface_tokens", F.col("_p.surface_tokens"))
+        .withColumn("mwt", F.col("_p.mwt"))
+        .drop("_p")
+    )

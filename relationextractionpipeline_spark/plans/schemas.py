@@ -45,6 +45,29 @@ TOKEN = T.StructType(
 )
 TOKENS = T.ArrayType(TOKEN)
 
+# P6 — full parse output: syntax tokens + surface tokens + MWT ranges (the
+# CoNLL-U range lines unstable_parser_post_proc.py:11-41 re-inserts, typed)
+SURFACE_TOKEN = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("form", T.StringType(), False),
+    ]
+)
+MWT_RANGE = T.StructType(
+    [
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("form", T.StringType(), False),
+    ]
+)
+PARSE_FULL = T.StructType(
+    [
+        T.StructField("surface_tokens", T.ArrayType(SURFACE_TOKEN), False),
+        T.StructField("tokens", TOKENS, False),
+        T.StructField("mwt", T.ArrayType(MWT_RANGE), False),
+    ]
+)
+
 # T4 output: mention spans with 1-based token offsets (nel.py:91-126, :308)
 MENTION = T.StructType(
     [

@@ -79,7 +79,9 @@ def _load_kg_inputs(scale: str):
 def oracle_triples(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
     """Sequential reference extraction → parquet; the DuckDB oracle for
     ``kg_triples``/``kg_types`` selects from this."""
-    dst = os.path.abspath(os.path.join(data_dir, scale, ORACLE_TRIPLES_FILE))
+    dst = os.path.abspath(
+        os.path.join(data_dir, testgen.scale_dir(scale), ORACLE_TRIPLES_FILE)
+    )
     if os.path.exists(dst):
         return dst
     _paths, transcripts, entity_kb, figer_map = _load_kg_inputs(scale)
@@ -136,7 +138,9 @@ def mention_rows(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
     """Sequential segment→parse→mention detection → exploded mention rows
     (conv_id, turn_idx, sent_idx, mention_id, start_tok, end_tok, surface,
     tag, kind) — the input table of the link-scoring stage."""
-    dst = os.path.abspath(os.path.join(data_dir, scale, MENTION_ROWS_FILE))
+    dst = os.path.abspath(
+        os.path.join(data_dir, testgen.scale_dir(scale), MENTION_ROWS_FILE)
+    )
     if os.path.exists(dst):
         return dst
     _paths, transcripts, entity_kb, _figer = _load_kg_inputs(scale)

@@ -33,6 +33,14 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 
 SCALES = {"tiny": 20, "small": 2000, "bench": 30000, "scaling": 120000}
 
+# bump whenever the grammar/generator changes: cached parquet is valid for a
+# given generator version only, and the cache key is the directory name
+GEN_VERSION = 2
+
+
+def scale_dir(scale: str) -> str:
+    return f"{scale}_v{GEN_VERSION}"
+
 WIKI_URL_PREFIX = "http://synthetic.kb/resource/"
 NOT_IN_WIKI_PREFIX = "http://aksw.org/notInWiki/"
 
@@ -161,10 +169,19 @@ def _adjacent(rng):  # BIO boundary between two KB entities (W3, nel.py:204)
     return f"{_ent(rng)} {_ent(rng)} {v['past']} {_arg(rng)}."
 
 
+def _mwt(rng):
+    """P6 fixture: a German preposition-article contraction (``im``/``zum``)
+    — ONE surface token that the parser must expand to two syntax tokens
+    and reconstruction must restore (unstable_parser_post_proc.py:11-41)."""
+    v = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    c = rng.choice(sorted(lx.CONTRACTIONS))
+    return f"{_ent(rng)} {v['past']} {c} {rng.choice(lx.COMMON_NOUNS)}."
+
+
 TEMPLATES = [
     (_svo, 22), (_particle, 10), (_xcomp1, 10), (_xcomp2, 4), (_prep, 10),
     (_neg, 8), (_neg_nested, 4), (_passive, 10), (_comcom, 6),
-    (_entity_free, 6), (_multi, 6), (_adjacent, 4),
+    (_entity_free, 6), (_multi, 6), (_adjacent, 4), (_mwt, 5),
 ]
 _TOTAL_W = sum(w for _, w in TEMPLATES)
 
@@ -238,7 +255,7 @@ def materialize(scale: str, data_dir: str = DEFAULT_DATA_DIR) -> Dict[str, str]:
     Generation is deterministic, so an existing file is always valid.
     """
     n_convs = SCALES[scale]
-    out = os.path.abspath(os.path.join(data_dir, scale))
+    out = os.path.abspath(os.path.join(data_dir, scale_dir(scale)))
     os.makedirs(out, exist_ok=True)
     paths = {
         "transcripts": os.path.join(out, "transcripts.parquet"),

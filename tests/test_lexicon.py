@@ -86,12 +86,60 @@ def test_unknown_capitalized_run_is_propn():
 
 
 def test_detokenize_round_trip_generated():
+    """Surface round trip over the full grammar (incl. MWT contractions):
+    reconstruction is defined over surface tokens (P6)."""
     rng = random.Random(7)
+    saw_mwt = False
     for _ in range(500):
         s = testgen.gen_sentence(rng)
-        toks = lx.parse_sentence(s)
-        assert rules.detokenize(toks) == s
+        full = lx.parse_sentence_full(s)
+        surface = [t["form"] for t in full["surface_tokens"]]
+        assert rules.detokenize_surface(surface) == s
+        toks = full["tokens"]
         assert [t["id"] for t in toks] == list(range(1, len(toks) + 1))
+        if full["mwt"]:
+            saw_mwt = True
+            # MWT sentences: syntax list is longer and contraction-free
+            assert len(toks) > len(surface)
+            assert all(t["form"] not in lx.CONTRACTIONS for t in toks)
+        else:
+            # degenerate case: the two lists carry identical forms
+            assert [t["form"] for t in toks] == surface
+            assert rules.detokenize(toks) == s
+    assert saw_mwt  # the grammar actually exercises P6
+
+
+def test_mwt_expansion_surface_syntax_split():
+    """P6 — the reference re-inserts German contraction range lines
+    (unstable_parser_post_proc.py:11-41): one surface token ``im`` maps to
+    syntax tokens ``in dem``; the range line records the span."""
+    full = lx.parse_sentence_full("Turing testified im archive.")
+    surface = [t["form"] for t in full["surface_tokens"]]
+    syntax = [t["form"] for t in full["tokens"]]
+    assert surface == ["Turing", "testified", "im", "archive", "."]
+    assert syntax == ["Turing", "testified", "in", "dem", "archive", "."]
+    assert full["mwt"] == [{"start": 3, "end": 4, "form": "im"}]
+    # surface restores the contraction; syntax reads the expansion
+    assert rules.detokenize_surface(surface) == "Turing testified im archive."
+    assert rules.detokenize(full["tokens"]) == "Turing testified in dem archive."
+    # the expanded tokens parse like their uncontracted counterparts
+    d = _by_form(full["tokens"])
+    assert d["in"]["xpos"] == "APPR" and d["dem"]["deprel"] == "det"
+    assert d["archive"]["deprel"] == "obj"
+
+
+def test_mwt_sentence_yields_triples():
+    from relationextractionpipeline_spark.functions import turnproc
+
+    kb = {"Alan Turing": ("http://synthetic.kb/resource/Alan_Turing", 1.0),
+          "Turing": ("http://synthetic.kb/resource/Alan_Turing", 0.9)}
+    kbi = {("Alan", "Turing"): "Alan Turing", ("Turing",): "Turing"}
+    trips = turnproc.extract_turn_triples(
+        "Turing testified im archive.", kb, kbi, {}
+    )
+    assert len(trips) == 1
+    assert trips[0]["pred"] == "testify"
+    assert trips[0]["obj"] == "archive"
 
 
 def test_multiword_numeric_and_unicode_surfaces():

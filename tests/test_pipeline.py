@@ -112,13 +112,17 @@ def test_assembly_round_trip_text_equality(run, tiny_pandas):
 
 def test_turn_reconstruction_from_tokens(run, tiny_pandas):
     """P16 analog, strengthened: detokenized sentences, regrouped by
-    (line_idx), reproduce every non-empty turn's text exactly."""
+    (line_idx), reproduce every non-empty turn's text exactly.  Uses the
+    SURFACE token list (P6) — MWT contractions (``im``) must come back as
+    one token even though the syntax list carries two (``in dem``)."""
     from relationextractionpipeline_spark.functions import rules
 
     parsed = run["parsed"].toPandas()
     if parsed.empty:
         pytest.skip("no sentences")
-    parsed["detok"] = parsed["tokens"].map(lambda ts: rules.detokenize(list(ts)))
+    parsed["detok"] = parsed["surface_tokens"].map(
+        lambda ts: rules.detokenize_surface([t["form"] for t in ts])
+    )
     lines = (
         parsed.sort_values(["conv_id", "turn_idx", "sent_idx"])
         .groupby(["conv_id", "turn_idx", "line_idx"])["detok"]
