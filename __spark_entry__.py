@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_entities(spark, sf_dir):
         from relationextractionpipeline_spark.operators import canonicalize
 
+        if _small_scale(sf_dir):
+            # sequential union-find replica for the DuckDB gate
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
         run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
         entities, _edges = canonicalize.canonicalize(run["triples"], run["links"])
         return entities.select(
@@ -775,6 +778,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT obj_type AS figer_type FROM read_parquet('{otriples}')
             )
+        """,
+        "kg_entities": f"""
+            SELECT canonical_id, n_keys, n_surfaces, n_mentions
+            FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
         """,
         "kg_assembly": f"""
             SELECT conv_id, count(*) AS n_turns,

@@ -187,6 +187,132 @@ def mention_rows(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
     return _publish(pdf, dst)
 
 
+ENTITY_CLUSTERS_FILE = f"entity_clusters_v{ORACLE_MAT_VERSION}.parquet"
+
+
+def entity_clusters(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
+    """Sequential replica of operators/canonicalize.canonicalize's entities
+    rollup: link every mention, cluster entity keys (same-URL star + LSH
+    near-dup surfaces verified by exact char-shingle Jaccard ≥ 0.7), label
+    components by min key (union-find), roll up per cluster.
+
+    Shares the sketch functions (operators/sketches.py) with the Spark UDFs;
+    what the DuckDB comparison then verifies is the distributed machinery —
+    LSH band shuffle, candidate joins, iterative star CC, the rollup
+    aggregation — against this single-threaded run."""
+    dst = os.path.abspath(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_CLUSTERS_FILE)
+    )
+    if os.path.exists(dst):
+        return dst
+    mrows = pd.read_parquet(mention_rows(scale, data_dir))
+    _paths, _t, entity_kb, _f = _load_kg_inputs(scale)
+    kb: Dict = {}
+    for surface, url, prior in entity_kb[["surface", "url", "prior"]].itertuples(
+        index=False
+    ):
+        cur = kb.get(surface)
+        if cur is None or prior > cur[1]:
+            kb[surface] = (url, float(prior))
+
+    refs: List[tuple] = []  # (ent_key, surface, url), one per mention row
+    for s in mrows["surface"]:
+        hit = kb.get(s)
+        url = hit[0] if hit is not None else rules.NOT_IN_WIKI_PREFIX + s.replace(" ", "_")
+        ent_key = rules.canonical_entity_string(url, s)
+        refs.append((ent_key, s, url))
+    ents = sorted(set(refs))  # distinct (ent_key, surface, url)
+
+    # evidence 1: same-URL star edges (min key per url)
+    by_url: Dict[str, List[str]] = {}
+    for k, _s, u in ents:
+        by_url.setdefault(u, []).append(k)
+    pair_edges = set()
+    for u, ks in by_url.items():
+        root = min(ks)
+        for k in set(ks):
+            if k != root:
+                pair_edges.add((root, k))
+
+    # evidence 2: minhash-LSH candidates over distinct (ent_key, surface),
+    # banded exactly like sketches.lsh_candidate_pairs (8 bands of 4), with
+    # the same max_bucket=1000 cap, verified by exact char-shingle Jaccard
+    ks_rows = sorted({(k, s) for k, s, _u in refs})
+    sigs = {
+        (k, s): sketches.minhash_signature(sketches.char_shingles(s, 3), 32)
+        for k, s in ks_rows
+    }
+    buckets: Dict[tuple, List[str]] = {}
+    for (k, s), sig in sigs.items():
+        for b in range(8):
+            buckets.setdefault((b, tuple(sig[b * 4 : b * 4 + 4])), []).append(k)
+    surfaces_of: Dict[str, set] = {}
+    for k, s in ks_rows:
+        surfaces_of.setdefault(k, set()).add(s)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 1000:  # bucket cap — same policy as the operator
+            continue
+        uniq = sorted(set(members))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                cand.add((uniq[i], uniq[j]))
+    for a, b in sorted(cand):
+        ok = any(
+            sketches.jaccard(
+                sketches.char_shingles(sa, 3), sketches.char_shingles(sb, 3)
+            )
+            >= 0.7
+            for sa in surfaces_of[a]
+            for sb in surfaces_of[b]
+        )
+        if ok:
+            pair_edges.add((a, b))
+
+    # union-find, min-label components
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp: Dict[str, str] = {}
+    for k in surfaces_of:
+        comp[k] = find(k)
+    # min label per component (find() roots are not guaranteed minimal)
+    cmin: Dict[str, str] = {}
+    for k, r in comp.items():
+        cmin[r] = min(cmin.get(r, k), k)
+    canon = {k: cmin[r] for k, r in comp.items()}
+
+    agg: Dict[str, Dict[str, object]] = {}
+    for k, s, u in refs:
+        c = canon[k]
+        a = agg.setdefault(c, {"keys": set(), "surfaces": set(), "n": 0})
+        a["keys"].add(k)
+        a["surfaces"].add(s)
+        a["n"] += 1
+    pdf = pd.DataFrame(
+        sorted(
+            (c, len(a["keys"]), len(a["surfaces"]), a["n"])
+            for c, a in agg.items()
+        ),
+        columns=["canonical_id", "n_keys", "n_surfaces", "n_mentions"],
+    )
+    pdf["n_keys"] = pdf["n_keys"].astype("int32")
+    pdf["n_surfaces"] = pdf["n_surfaces"].astype("int32")
+    pdf["n_mentions"] = pdf["n_mentions"].astype("int64")
+    return _publish(pdf, dst)
+
+
 # ---------------------------------------------------------------------------
 # Document sketches (driver `documents` table)
 # ---------------------------------------------------------------------------

@@ -52,6 +52,28 @@ def test_oracle_triples_match_fused(spark, data_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_entity_clusters_match_spark_canonicalize(spark, data_dir):
+    """Sequential union-find replica ≡ distributed LSH + star-CC rollup."""
+    from relationextractionpipeline_spark.operators import canonicalize
+
+    seq = pd.read_parquet(oracle_mat.entity_clusters("tiny", data_dir))
+    paths = oracle_mat.testgen.materialize("tiny", data_dir)
+    run = pipeline.run_pipeline(spark, paths, mode="staged")
+    entities, _ = canonicalize.canonicalize(run["triples"], run["links"])
+    from pyspark.sql import functions as F
+
+    sp = entities.select(
+        "canonical_id",
+        F.size("keys").alias("n_keys"),
+        F.size("surfaces").alias("n_surfaces"),
+        "n_mentions",
+    ).toPandas()
+    cols = list(seq.columns)
+    a = seq.sort_values(cols).reset_index(drop=True)
+    b = sp[cols].astype(seq.dtypes).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_doc_sketches_match_spark_udfs(spark):
     out = oracle_mat.doc_sketches(SF_TINY)
     mh_seq = pd.read_parquet(out["minhash"])
