@@ -29,6 +29,10 @@ import os
 import sys
 import time
 
+# partial-execution stage names, in pipeline order (the reference's static
+# step list, main.py:97-98, made explicit)
+STAGES = ["sentences", "parsed", "mentions", "linked", "triples"]
+
 
 def parse_args(argv):
     p = argparse.ArgumentParser(prog="relationextractionpipeline_spark")
@@ -40,8 +44,22 @@ def parse_args(argv):
                                    "(tiny|small|bench|scaling)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--mode", default="fused",
-                   choices=["fused", "staged", "checkpointed"])
-    p.add_argument("--checkpoint-dir", help="manifest dir (mode=checkpointed)")
+                   choices=["fused", "staged", "checkpointed", "partitioned"])
+    p.add_argument("--checkpoint-dir",
+                   help="manifest dir (mode=checkpointed|partitioned)")
+    p.add_argument("--group-size", type=int, default=8,
+                   help="input files per resumable group (mode=partitioned)")
+    p.add_argument("--start-stage", choices=STAGES,
+                   help="partial execution: first stage to run (reads the "
+                        "previous stage's parquet from --out; analog of the "
+                        "reference's start_step, main.py:85-94)")
+    p.add_argument("--end-stage", choices=STAGES,
+                   help="partial execution: last stage to run")
+    p.add_argument("--nel-mode", default="merged",
+                   choices=["merged", "ner_only"],
+                   help="mention detection: merged (NER+common nouns, the "
+                        "main path) or ner_only (ner_nel.py alternative: "
+                        "NEs only, adjacent spans fused)")
     p.add_argument("--cpus", type=int, default=os.cpu_count())
     p.add_argument("--master", default=None)
     p.add_argument("--graph", action="store_true",
@@ -57,6 +75,52 @@ def parse_args(argv):
             if getattr(args, k.replace("-", "_"), None) is None and k in g:
                 setattr(args, k.replace("-", "_"), g[k])
     return args
+
+
+def run_stage_window(spark, paths, out, start, end, nel_mode):
+    """Partial execution by stage name — the reference's
+    ``partial_execution``/``start_step``/``end_step`` (main.py:85-94), with
+    key-columned parquet stage tables instead of positional batch files.
+    Each executed stage writes ``<out>/<stage>``; a mid-window start reads
+    its predecessor's table from the same directory."""
+    from relationextractionpipeline_spark.operators import (
+        link as link_op,
+        mentions as mentions_op,
+        parse as parse_op,
+        segment as segment_op,
+        triples as triples_op,
+    )
+    from relationextractionpipeline_spark.plans import pipeline
+
+    si = STAGES.index(start or STAGES[0])
+    ei = STAGES.index(end or STAGES[-1])
+    if si > ei:
+        raise SystemExit(f"--start-stage {start} is after --end-stage {end}")
+    transcripts, ekb, fmap = pipeline.load_inputs(spark, paths)
+    kb_bc, kbi_bc, fg_bc = pipeline.build_broadcasts(spark, ekb, fmap)
+
+    def stage_path(st):
+        return os.path.join(out, st)
+
+    cur = None
+    for idx in range(si, ei + 1):
+        st = STAGES[idx]
+        if st == "sentences":
+            cur = segment_op.segment_sentences(transcripts)
+        else:
+            if cur is None:  # mid-window start: resume from the prior table
+                cur = spark.read.parquet(stage_path(STAGES[idx - 1]))
+            if st == "parsed":
+                cur = parse_op.parse_sentences(cur)
+            elif st == "mentions":
+                cur = mentions_op.detect_mentions(cur, kbi_bc, nel_mode)
+            elif st == "linked":
+                cur = link_op.link_mentions_in_row(cur, kb_bc, fg_bc)
+            elif st == "triples":
+                cur = triples_op.extract_triples(cur)
+        cur.write.mode("overwrite").parquet(stage_path(st))
+        cur = spark.read.parquet(stage_path(st))
+    return cur, STAGES[ei]
 
 
 def main(argv=None) -> int:
@@ -89,7 +153,36 @@ def main(argv=None) -> int:
         },
     )
     t0 = time.time()
-    if args.mode == "checkpointed":
+    os.makedirs(args.out, exist_ok=True)
+    triples_written = False
+    if args.start_stage or args.end_stage:
+        last, end_stage = run_stage_window(
+            spark, paths, args.out, args.start_stage, args.end_stage,
+            args.nel_mode,
+        )
+        if end_stage != "triples":
+            summary = {
+                "mode": "stage-window",
+                "stages": f"{args.start_stage or STAGES[0]}..{end_stage}",
+                "rows": last.count(),
+                "wall_sec": round(time.time() - t0, 2),
+                "out": args.out,
+            }
+            print(json.dumps(summary))
+            spark.stop()
+            return 0
+        run = {"triples": last}
+        parsed = None
+        triples = last
+        triples_written = True  # the window already wrote <out>/triples
+    elif args.mode == "partitioned":
+        ck = args.checkpoint_dir or os.path.join(args.out, "_checkpoints")
+        run = manifests.run_checkpointed_partitioned(
+            spark, paths, ck, group_size=args.group_size
+        )
+        parsed = None
+        triples = run["triples"]
+    elif args.mode == "checkpointed":
         ck = args.checkpoint_dir or os.path.join(args.out, "_checkpoints")
         run = manifests.run_checkpointed(spark, paths, ck)
         # staged intermediates for the reference-format sinks
@@ -97,12 +190,14 @@ def main(argv=None) -> int:
         parsed = staged["parsed"]
         triples = run["triples"]
     else:
-        run = pipeline.run_pipeline(spark, paths, mode=args.mode)
+        run = pipeline.run_pipeline(
+            spark, paths, mode=args.mode, nel_mode=args.nel_mode
+        )
         parsed = run.get("parsed")
         triples = run["triples"]
 
-    os.makedirs(args.out, exist_ok=True)
-    triples.write.mode("overwrite").parquet(os.path.join(args.out, "triples"))
+    if not triples_written:
+        triples.write.mode("overwrite").parquet(os.path.join(args.out, "triples"))
     n_triples = spark.read.parquet(os.path.join(args.out, "triples")).count()
 
     if args.graph:

@@ -24,17 +24,35 @@ from relationextractionpipeline_spark.functions import rules
 from relationextractionpipeline_spark.plans import schemas
 
 
-def make_mentions_udf(kb_index_bc: Broadcast):
+def make_mentions_udf(kb_index_bc: Broadcast, include_common: bool = True,
+                      fuse_adjacent: bool = False):
     @F.pandas_udf(schemas.MENTIONS)
     def mentions_udf(tokens: pd.Series) -> pd.Series:
         kb_index: Dict[Tuple[str, ...], str] = kb_index_bc.value
-        return tokens.map(lambda toks: rules.detect_mentions(list(toks), kb_index))
+        return tokens.map(
+            lambda toks: rules.detect_mentions(
+                list(toks), kb_index,
+                include_common=include_common, fuse_adjacent=fuse_adjacent,
+            )
+        )
 
     return mentions_udf
 
 
-def detect_mentions(parsed: DataFrame, kb_index_bc: Broadcast) -> DataFrame:
-    return parsed.withColumn("mentions", make_mentions_udf(kb_index_bc)("tokens"))
+def detect_mentions(parsed: DataFrame, kb_index_bc: Broadcast,
+                    nel_mode: str = "merged") -> DataFrame:
+    """``nel_mode='merged'`` — the main path (NER analog + common-noun merge,
+    nel.py).  ``nel_mode='ner_only'`` — the reference's alternative NEL path
+    (``ner_nel.py:31-44``): named entities only, adjacent NE spans fused into
+    one mention (``ner_nel.py:139-142``); the output schema is identical —
+    the NEL record schema, not the detector, is the stable interface
+    (``ner_nel.py:235-255``)."""
+    include_common = nel_mode != "ner_only"
+    fuse_adjacent = nel_mode == "ner_only"
+    return parsed.withColumn(
+        "mentions",
+        make_mentions_udf(kb_index_bc, include_common, fuse_adjacent)("tokens"),
+    )
 
 
 def explode_mentions(with_mentions: DataFrame) -> DataFrame:

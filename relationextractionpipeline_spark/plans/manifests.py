@@ -119,6 +119,140 @@ class CheckpointedRunner:
         return self.spark.read.parquet(out).drop("_pid")
 
 
+class PartitionedStageRunner:
+    """Partition-level (sub-stage) resume: the unit of recovery is a GROUP of
+    input files, not a whole stage.
+
+    ``stage()`` splits the stage's input files into deterministic groups,
+    runs one Spark job per group, atomically publishes each group's parquet +
+    manifest line, and on resume skips every group whose manifest matches the
+    fingerprint — a run killed mid-stage recomputes only the group that was
+    in flight.  This strictly dominates the reference's resume story twice
+    over: the reference restarts a whole *stage* for every batch in a
+    worker's group (``main.py:85-94``), and the stage-level
+    CheckpointedRunner above restarts one stage.
+
+    Scale note: each group job is a normal distributed job over that group's
+    input splits (files ≫ groups ≫ 1), so executors stay busy within a
+    group; ``group_size`` trades resume granularity against per-job overhead.
+    At 100 TB you'd size groups to a few minutes of work each.
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self.events: List[Dict] = []
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def _group_manifest(self, name: str, gi: int) -> str:
+        return os.path.join(self._stage_dir(name), f"g{gi:05d}._manifest.json")
+
+    @staticmethod
+    def plan_groups(input_files: List[str], group_size: int) -> List[List[str]]:
+        files = sorted(input_files)
+        return [files[i : i + group_size] for i in range(0, len(files), group_size)]
+
+    def stage(
+        self,
+        name: str,
+        fingerprint: str,
+        input_files: List[str],
+        build: Callable[[List[str]], DataFrame],
+        group_size: int = 8,
+    ) -> DataFrame:
+        """Run ``build(files)`` once per pending group; return the union scan
+        of all group outputs."""
+        sdir = self._stage_dir(name)
+        os.makedirs(sdir, exist_ok=True)
+        groups = self.plan_groups(input_files, group_size)
+        for gi, files in enumerate(groups):
+            gout = os.path.join(sdir, f"g{gi:05d}")
+            mpath = self._group_manifest(name, gi)
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    m = json.load(f)
+                if (
+                    m.get("fingerprint") == fingerprint
+                    and m.get("files") == files
+                    and os.path.exists(os.path.join(gout, "_SUCCESS"))
+                ):
+                    self.events.append(
+                        {"stage": name, "group": gi, "action": "resumed"}
+                    )
+                    continue
+            t0 = time.time()
+            df = build(files).withColumn("_pid", F.spark_partition_id())
+            df.write.mode("overwrite").parquet(gout)
+            part_counts = [
+                {"pid": int(r["_pid"]), "rows": int(r["cnt"])}
+                for r in self.spark.read.parquet(gout)
+                .groupBy("_pid")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            ]
+            manifest = {
+                "stage": name,
+                "group": gi,
+                "files": files,
+                "fingerprint": fingerprint,
+                "output": gout,
+                "rows": sum(p["rows"] for p in part_counts),
+                "partitions": sorted(part_counts, key=lambda p: p["pid"]),
+                "wall_sec": round(time.time() - t0, 3),
+            }
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, mpath)  # atomic publish AFTER the data _SUCCESS
+            self.events.append({"stage": name, "group": gi, "action": "computed"})
+        outs = [os.path.join(sdir, f"g{gi:05d}") for gi in range(len(groups))]
+        return self.spark.read.parquet(*outs).drop("_pid")
+
+
+def list_parquet_files(path: str) -> List[str]:
+    """Data files of a parquet file-or-directory (the stable partition units
+    the partitioned runner groups)."""
+    if os.path.isfile(path):
+        return [path]
+    out: List[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def run_checkpointed_partitioned(
+    spark: SparkSession,
+    paths: Dict[str, str],
+    checkpoint_dir: str,
+    group_size: int = 8,
+) -> Dict[str, DataFrame]:
+    """Fused turns→triples with partition-level resume: input transcript
+    files grouped; each group is one resumable unit."""
+    from relationextractionpipeline_spark.plans import pipeline as pl
+
+    inputs = [paths["transcripts"], paths["entity_kb"], paths["figer_map"]]
+    fp = input_fingerprint(inputs)
+    runner = PartitionedStageRunner(spark, checkpoint_dir)
+    transcripts, entity_kb, figer_map = pl.load_inputs(spark, paths)
+    kb_bc, kb_index_bc, figer_bc = pl.build_broadcasts(spark, entity_kb, figer_map)
+    files = list_parquet_files(paths["transcripts"])
+    triples = runner.stage(
+        "triples",
+        fp,
+        files,
+        lambda fs: pl.run_fused(
+            spark.read.parquet(*fs), kb_bc, kb_index_bc, figer_bc
+        ),
+        group_size=group_size,
+    )
+    return {"triples": triples, "runner": runner}
+
+
 def run_checkpointed(
     spark: SparkSession,
     paths: Dict[str, str],

@@ -76,12 +76,15 @@ def run_staged(
     kb_bc,
     kb_index_bc,
     figer_bc,
+    nel_mode: str = "merged",
 ) -> Dict[str, DataFrame]:
     """Modular stage-per-operator path (unit-testable; materializes the
-    intermediate tables the reference kept as stage directories)."""
+    intermediate tables the reference kept as stage directories).
+    ``nel_mode`` selects the mention detector: 'merged' (main path) or
+    'ner_only' (the ner_nel.py alternative — see operators/mentions.py)."""
     sentences = segment.segment_sentences(transcripts)
     parsed = parse.parse_sentences(sentences)
-    with_mentions = mentions_op.detect_mentions(parsed, kb_index_bc)
+    with_mentions = mentions_op.detect_mentions(parsed, kb_index_bc, nel_mode)
     linked = link.link_mentions_in_row(with_mentions, kb_bc, figer_bc)
     triples = triples_op.extract_triples(linked)
     return {
@@ -126,6 +129,7 @@ def run_pipeline(
     paths: Dict[str, str],
     mode: str = "fused",
     input_partitions: Optional[int] = None,
+    nel_mode: str = "merged",
 ) -> Dict[str, DataFrame]:
     """Load → (optionally re-balance) → extract.  Returns named DataFrames.
 
@@ -143,7 +147,7 @@ def run_pipeline(
         triples = run_fused(transcripts, kb_bc, kb_index_bc, figer_bc)
         out = {"triples": triples, "types": triples_op.distinct_types(triples)}
     else:
-        out = run_staged(transcripts, kb_bc, kb_index_bc, figer_bc)
+        out = run_staged(transcripts, kb_bc, kb_index_bc, figer_bc, nel_mode)
     out["transcripts"] = transcripts
     out["entity_kb"] = entity_kb
     out["figer_map"] = figer_map

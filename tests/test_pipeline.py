@@ -159,6 +159,39 @@ def test_types_table_matches_oracle(run, oracle_triples):
     assert got == want
 
 
+def test_ner_only_nel_mode_operator(spark, run, tiny_paths):
+    """The ner_nel.py alternative path as a pipeline option: NEs only,
+    adjacent spans fused, same mention schema (the stable interface)."""
+    from relationextractionpipeline_spark.functions import rules as _rules
+
+    _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    _kb_bc, kbi_bc, _fg_bc = pipeline.build_broadcasts(
+        spark, entity_kb, figer_map
+    )
+    alt = mentions_op.detect_mentions(run["parsed"], kbi_bc, nel_mode="ner_only")
+    pdf = mentions_op.explode_mentions(alt).toPandas()
+    assert set(pdf["kind"]) <= {"ner"}  # no common-noun mentions
+    # matches the shared-rules sequential result row for row
+    import pandas as _pd
+
+    kbi = {tuple(s.split(" ")): s for s in entity_kb.toPandas()["surface"]}
+    par = run["parsed"].toPandas()
+    seq_rows = []
+    for r in par.itertuples(index=False):
+        for mid, m in enumerate(
+            _rules.detect_mentions(
+                list(r.tokens), kbi, include_common=False, fuse_adjacent=True
+            )
+        ):
+            seq_rows.append(
+                (r.conv_id, r.turn_idx, r.sent_idx, mid, m["surface"], m["kind"])
+            )
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_id", "surface", "kind"]
+    a = _pd.DataFrame(seq_rows, columns=cols).sort_values(cols).reset_index(drop=True)
+    b = pdf[cols].astype(a.dtypes).sort_values(cols).reset_index(drop=True)
+    _pd.testing.assert_frame_equal(a, b)
+
+
 def test_link_variants_agree(spark, run, tiny_paths):
     """broadcast-join linker ≡ dict-broadcast linker ≡ applyInPandas scorer."""
     _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)

@@ -54,6 +54,65 @@ def test_checkpointed_matches_direct(spark, tiny_paths, tmp_path):
     )
 
 
+def test_partition_level_resume(spark, tiny_paths, tmp_path):
+    """Mid-stage kill: only the group that was in flight recomputes; finished
+    groups are skipped (the partition-level resume the stage-level runner
+    can't do)."""
+    ck = str(tmp_path / "ckp")
+    # shard the tiny transcripts into 3 files so groups exist
+    import pandas as _pd
+
+    tdir = str(tmp_path / "tshard")
+    os.makedirs(tdir)
+    pdf = _pd.read_parquet(tiny_paths["transcripts"])
+    for s in range(3):
+        pdf.iloc[s::3].to_parquet(os.path.join(tdir, f"part-{s}.parquet"),
+                                  index=False)
+    paths = dict(tiny_paths, transcripts=tdir)
+
+    r1 = manifests.run_checkpointed_partitioned(spark, paths, ck, group_size=1)
+    t1 = _triple_set(r1["triples"].toPandas())
+    groups = {e["group"] for e in r1["runner"].events}
+    assert len(groups) == 3
+    assert all(e["action"] == "computed" for e in r1["runner"].events)
+
+    # simulate a kill while group 1 was in flight: drop its output + manifest
+    import glob
+
+    g1 = os.path.join(ck, "triples", "g00001")
+    shutil.rmtree(g1)
+    for m in glob.glob(os.path.join(ck, "triples", "g00001._manifest.json")):
+        os.remove(m)
+
+    r2 = manifests.run_checkpointed_partitioned(spark, paths, ck, group_size=1)
+    acts = {(e["group"], e["action"]) for e in r2["runner"].events}
+    assert (1, "computed") in acts
+    assert all(a == "resumed" for g, a in acts if g != 1)
+    assert _triple_set(r2["triples"].toPandas()) == t1
+
+    # and equals the direct fused run
+    direct = pipeline.run_pipeline(spark, tiny_paths, mode="fused")
+    assert t1 == _triple_set(direct["triples"].toPandas())
+
+
+def test_partition_resume_group_manifest_counters(spark, tiny_paths, tmp_path):
+    ck = str(tmp_path / "ckp2")
+    import glob
+    import json
+
+    manifests.run_checkpointed_partitioned(spark, tiny_paths, ck, group_size=2)
+    mfiles = sorted(glob.glob(os.path.join(ck, "triples", "g*._manifest.json")))
+    assert mfiles
+    total = 0
+    for mf in mfiles:
+        m = json.load(open(mf))
+        assert m["files"] and m["fingerprint"]
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+        total += m["rows"]
+    direct = pipeline.run_pipeline(spark, tiny_paths, mode="fused")
+    assert total == direct["triples"].count()
+
+
 def test_fingerprint_invalidation(spark, tiny_paths, tmp_path):
     ck = str(tmp_path / "ck3")
     manifests.run_checkpointed(spark, tiny_paths, ck)
