@@ -66,16 +66,18 @@ def main() -> None:
     # pre-materialize the synthetic transcripts outside the timed region
     paths = testgen.materialize(entrymod._scale_for(sf_dir))
 
+    from relationextractionpipeline_spark.session import (
+        dir_bytes,
+        input_split_conf,
+    )
+
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name="rex-spark-bench",
         shuffle_partitions=cpus,
-        extra_conf={
-            # CPU-bound Python stages: size input splits for ≥2 task waves
-            # per core rather than by bytes (see tools/kg_job.py)
-            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": "0",
-        },
+        # CPU-bound Python stages: size input splits from the actual input
+        # for ≥3 task waves per core (see session.input_split_conf)
+        extra_conf=input_split_conf(dir_bytes(paths["transcripts"]), cpus),
     )
     qs = entrymod.queries()
 

@@ -142,15 +142,19 @@ def main(argv=None) -> int:
             "entity_kb": args.entity_kb,
             "figer_map": args.figer_map,
         }
+    from relationextractionpipeline_spark.session import (
+        dir_bytes,
+        input_split_conf,
+    )
+
     master = args.master or f"local[{args.cpus}]"
     spark = get_spark(
         master=master,
         app_name="rex-spark-cli",
         shuffle_partitions=args.cpus,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": "0",
-        },
+        extra_conf=input_split_conf(
+            dir_bytes(paths["transcripts"]), args.cpus
+        ),
     )
     t0 = time.time()
     os.makedirs(args.out, exist_ok=True)

@@ -18,7 +18,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from relationextractionpipeline_spark.session import get_spark  # noqa: E402
+from relationextractionpipeline_spark.session import (  # noqa: E402
+    dir_bytes,
+    get_spark,
+    input_split_conf,
+)
 from relationextractionpipeline_spark.sources import testgen  # noqa: E402
 from relationextractionpipeline_spark.plans import pipeline  # noqa: E402
 
@@ -28,17 +32,20 @@ def main() -> None:
     scale = sys.argv[2]
     out_dir = sys.argv[3]
     paths = testgen.materialize(scale)
+    # size input splits from the actual input so every core gets ≥3 task
+    # waves regardless of parallelism level (see session.input_split_conf)
+    conf = input_split_conf(dir_bytes(paths["transcripts"]), cpus)
+    if "REX_MAX_PART_BYTES" in os.environ:
+        conf["spark.sql.files.maxPartitionBytes"] = os.environ["REX_MAX_PART_BYTES"]
+    if "REX_ARROW_BATCH" in os.environ:
+        conf["spark.sql.execution.arrow.maxRecordsPerBatch"] = os.environ[
+            "REX_ARROW_BATCH"
+        ]
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name=f"rex-kg-job-{cpus}",
         shuffle_partitions=cpus,
-        extra_conf={
-            # CPU-bound Python stage: bytes are a bad proxy for cost, so cut
-            # input splits far below the 128MB default — ≥2 task waves per
-            # core smooths stragglers and hides Python-worker spin-up
-            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": "0",
-        },
+        extra_conf=conf,
     )
     transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
     n_turns = transcripts.count()
