@@ -131,6 +131,13 @@ def main(argv=None) -> int:
     from relationextractionpipeline_spark.operators import sinks
 
     if args.scale:
+        if args.scale not in testgen.SCALES:
+            print(
+                f"unknown --scale {args.scale!r}; choose one of "
+                f"{sorted(testgen.SCALES)}",
+                file=sys.stderr,
+            )
+            return 2
         paths = testgen.materialize(args.scale)
     else:
         if not (args.transcripts and args.entity_kb and args.figer_map):
