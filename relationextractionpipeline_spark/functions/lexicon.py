@@ -165,6 +165,9 @@ CONTRACTIONS: Dict[str, Tuple[str, ...]] = {
 }
 DET_WORDS = frozenset({DET_WORD, "dem"})
 _EXTRA_PREPS = frozenset({"zu"})  # syntax-only forms introduced by expansion
+CCONJ_WORD = "and"
+REL_PRON = "who"
+COMMA = ","
 
 SENT_TERMINALS = (".", "!", "?")
 
@@ -250,6 +253,9 @@ CAT_NEG = "NEG"
 CAT_ADV = "ADV"
 CAT_PRT = "PRT"
 CAT_PUNCT = "PUNCT"
+CAT_CCONJ = "CCONJ"
+CAT_PRON = "PRON"
+CAT_COMMA = "COMMA"
 
 
 _CLASSIFY_CACHE: Dict[str, str] = {}
@@ -267,6 +273,12 @@ def classify(form: str) -> str:
 def _classify_uncached(form: str) -> str:
     if form in SENT_TERMINALS:
         return CAT_PUNCT
+    if form == COMMA:
+        return CAT_COMMA
+    if form == CCONJ_WORD:
+        return CAT_CCONJ
+    if form == REL_PRON:
+        return CAT_PRON
     if form in DET_WORDS:
         return CAT_DET
     if form in _EXTRA_PREPS:
@@ -307,6 +319,9 @@ _UPOS_XPOS = {
     CAT_ADV: ("ADV", "ADV"),
     CAT_PRT: ("ADP", "PTKVZ"),
     CAT_PUNCT: ("PUNCT", "$."),
+    CAT_CCONJ: ("CCONJ", "KON"),
+    CAT_PRON: ("PRON", "PRELS"),
+    CAT_COMMA: ("PUNCT", "$,"),
 }
 
 
@@ -577,9 +592,23 @@ def _parse_forms(forms: List[str]) -> List[Token]:
                 v = nearest_verb_left(i)
                 heads[i] = (v + 1) if v is not None else root + 1
                 rels[i] = "case"
-        elif c == CAT_PUNCT:
+        elif c == CAT_PUNCT or c == CAT_COMMA:
             heads[i] = root + 1
             rels[i] = "punct"
+        elif c == CAT_CCONJ:
+            # cc attaches to the following conjunct's head (UD): the next verb
+            v = nearest_verb_right(i)
+            if v is None:
+                v = nearest_verb_left(i)
+            heads[i] = (v + 1) if v is not None else root + 1
+            rels[i] = "cc"
+        elif c == CAT_PRON:
+            # relative pronoun: nsubj of the embedded (following) verb
+            v = nearest_verb_right(i)
+            if v is None:
+                v = nearest_verb_left(i)
+            heads[i] = (v + 1) if v is not None else root + 1
+            rels[i] = "nsubj"
         elif c == CAT_TO and rels[i] == "dep":
             v = nearest_verb_right(i)
             heads[i] = (v + 1) if v is not None else root + 1

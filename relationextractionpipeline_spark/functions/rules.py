@@ -476,7 +476,10 @@ def detokenize(tokens: Sequence[Dict]) -> str:
     parts: List[str] = []
     for t in tokens:
         form = str(t["form"])
-        if t["upos"] == "PUNCT" and parts:
+        # only TERMINAL punctuation reattaches — the tokenizer only ever
+        # splits terminals, so mid-sentence punctuation (commas) keeps its
+        # space and the round trip stays exact
+        if t["upos"] == "PUNCT" and form in (".", "!", "?") and parts:
             parts[-1] = parts[-1] + form
         else:
             parts.append(form)

@@ -35,7 +35,7 @@ SCALES = {"tiny": 20, "small": 2000, "bench": 30000, "scaling": 120000}
 
 # bump whenever the grammar/generator changes: cached parquet is valid for a
 # given generator version only, and the cache key is the directory name
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 
 def scale_dir(scale: str) -> str:
@@ -178,10 +178,36 @@ def _mwt(rng):
     return f"{_ent(rng)} {v['past']} {c} {rng.choice(lx.COMMON_NOUNS)}."
 
 
+def _conj(rng):
+    """Coordination fixture: the second conjunct's object must NOT pair with
+    the subject (R2 requires a shared head or an xcomp bridge; `conj` is
+    neither — the reference has the same blind spot, binary_relation.py:252),
+    so exactly one triple comes from the first clause."""
+    v1 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    v2 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return (
+        f"{_ent(rng)} {v1['past']} {_arg(rng)} and {v2['past']} {_arg(rng)}."
+    )
+
+
+def _relative(rng):
+    """Relative-clause fixture: 'E , who V1 X , V2 Y .' — the embedded
+    clause extracts (E, V1, X) because the head entity is nsubj of the first
+    verb; the matrix clause (E, V2, Y) is invisible to R2 (`conj` head), as
+    in the reference."""
+    v1 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    v2 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return (
+        f"{_ent(rng)} , who {v1['past']} {_arg(rng)} , "
+        f"{v2['past']} {_arg(rng)}."
+    )
+
+
 TEMPLATES = [
     (_svo, 22), (_particle, 10), (_xcomp1, 10), (_xcomp2, 4), (_prep, 10),
     (_neg, 8), (_neg_nested, 4), (_passive, 10), (_comcom, 6),
     (_entity_free, 6), (_multi, 6), (_adjacent, 4), (_mwt, 5),
+    (_conj, 5), (_relative, 4),
 ]
 _TOTAL_W = sum(w for _, w in TEMPLATES)
 

@@ -128,6 +128,48 @@ def test_mwt_expansion_surface_syntax_split():
     assert d["archive"]["deprel"] == "obj"
 
 
+_KB = {"Alan Turing": ("http://synthetic.kb/resource/Alan_Turing", 1.0),
+       "Turing": ("http://synthetic.kb/resource/Alan_Turing", 0.9),
+       "Berlin": ("http://synthetic.kb/resource/Berlin", 1.0),
+       "Paris": ("http://synthetic.kb/resource/Paris", 1.0)}
+_KBI = {tuple(k.split()): k for k in _KB}
+
+
+def test_conjunction_extracts_first_clause_only():
+    """R2's shared-head/xcomp gate is blind to `conj` (the reference too,
+    binary_relation.py:252): only the first conjunct's pair emits."""
+    from relationextractionpipeline_spark.functions import turnproc
+
+    s = "Turing audited Berlin and praised Paris."
+    toks = lx.parse_sentence(s)
+    d = _by_form(toks)
+    assert d["and"]["deprel"] == "cc" and d["and"]["upos"] == "CCONJ"
+    assert d["praised"]["deprel"] == "conj"
+    trips = turnproc.extract_turn_triples(s, _KB, _KBI, {})
+    assert [(t["subj"], t["pred"], t["obj"]) for t in trips] == [
+        ("Alan_Turing", "audit", "Berlin")
+    ]
+    assert rules.detokenize(toks) == s
+
+
+def test_relative_clause_extracts_embedded_clause():
+    from relationextractionpipeline_spark.functions import turnproc
+
+    s = "Turing , who audited the budget , signed Berlin."
+    toks = lx.parse_sentence(s)
+    d = _by_form(toks)
+    assert d["who"]["upos"] == "PRON" and d["who"]["deprel"] == "nsubj"
+    assert d[","]["upos"] == "PUNCT"
+    trips = turnproc.extract_turn_triples(s, _KB, _KBI, {})
+    # the head entity is nsubj of the embedded verb → (E, V1, X); the matrix
+    # clause hangs off a `conj` head → invisible to R2, as in the reference
+    assert [(t["subj"], t["pred"], t["obj"]) for t in trips] == [
+        ("Alan_Turing", "audit", "budget")
+    ]
+    # mid-sentence punctuation keeps its space in the round trip
+    assert rules.detokenize(toks) == s
+
+
 def test_mwt_sentence_yields_triples():
     from relationextractionpipeline_spark.functions import turnproc
 

@@ -98,7 +98,7 @@ same input (`{scale}` scale: {res_lo['turns']} turns, seed-42 synthetic
 transcripts per FIXTURES.md), two parallelism levels in separate JVMs —
 the sandbox stand-in for N→4N executors (driver instruction).
 
-| parallelism | wall sec | turns/sec (best of {len(res_lo['all_turns_per_sec'])}) | all runs (tps) | triples |
+| parallelism | wall sec | turns/sec (median pair) | all runs (tps) | triples |
 |---|---|---|---|---|
 | local[{lo}] | {res_lo['sec']} | {res_lo['turns_per_sec']} | {res_lo['all_turns_per_sec']} | {res_lo['triples']} |
 | local[{hi}] | {res_hi['sec']} | {res_hi['turns_per_sec']} | {res_hi['all_turns_per_sec']} | {res_hi['triples']} |
