@@ -10,9 +10,9 @@ sink commit log).  ``trigger(availableNow=True)`` drains the backlog and
 stops — the batch-equivalence test in tests/test_streaming.py asserts the
 streamed triple set equals the batch run's.
 
-The one stateful piece (W2 conversation assembly) is deliberately NOT lifted
-here; its streaming form would be ``applyInPandasWithState`` keyed by
-conv_id with an event-time watermark on ``ts``.
+The one stateful piece (W2 conversation assembly) lives in
+``streaming/assembly.py``: ``applyInPandasWithState`` keyed by conv_id with
+an event-time watermark on ``ts``.
 """
 
 from __future__ import annotations

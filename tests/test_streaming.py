@@ -31,3 +31,60 @@ def test_stream_equals_batch_and_is_exactly_once(spark, tiny_paths, tmp_path):
         spark, tiny_paths["transcripts"], out, ck, kb_bc, kbi_bc, fg_bc
     )
     assert _triple_set(spark.read.parquet(out).toPandas()) == batch
+
+
+def test_stateful_assembly_matches_batch(spark, tiny_paths, tmp_path):
+    """W2 under streaming: applyInPandasWithState keyed by conv_id with an
+    event-time watermark.  Conversations close when the watermark passes
+    their last turn + gap; a watermark-advancing sentinel closes the tail.
+    The second drain also proves state survives in the checkpoint across
+    runs (emitting from resumed state, no input re-read)."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.operators import assemble
+    from relationextractionpipeline_spark.streaming import assembly
+
+    src = pd.read_parquet(tiny_paths["transcripts"])
+    in_dir = str(tmp_path / "turns_in")
+    os.makedirs(in_dir)
+    for s in range(4):  # shard so availableNow runs several micro-batches
+        src.iloc[s::4].to_parquet(
+            os.path.join(in_dir, f"part-{s}.parquet"), index=False
+        )
+    max_ts = src["ts"].max()
+
+    def sentinel(name, days):
+        pd.DataFrame(
+            {
+                "conv_id": [f"__sentinel_{days}__"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": ["x"],
+                "tool": [""],
+                "ts": pd.Series(
+                    [max_ts + pd.Timedelta(days=days)], dtype="datetime64[us]"
+                ),
+            }
+        ).to_parquet(os.path.join(in_dir, name), index=False)
+
+    out = str(tmp_path / "assembled_stream")
+    ck = str(tmp_path / "ck_assembly")
+    sentinel("sentinel-1.parquet", 1)
+    assembly.stream_assemble_conversations(spark, in_dir, out, ck)
+
+    # a later sentinel advances the watermark past every real conversation;
+    # their buffered state (from the checkpoint) emits on this run
+    sentinel("sentinel-2.parquet", 2)
+    assembly.stream_assemble_conversations(spark, in_dir, out, ck)
+
+    got = spark.read.parquet(out).toPandas()
+    got = got[~got.conv_id.str.startswith("__sentinel")]
+    want = (
+        assemble.assemble_conversations(spark.read.parquet(tiny_paths["transcripts"]))
+        .select("conv_id", "n_turns", "doc_text")
+        .toPandas()
+    )
+    cols = ["conv_id", "n_turns", "doc_text"]
+    a = got[cols].astype({"n_turns": "int64"}).sort_values("conv_id").reset_index(drop=True)
+    b = want[cols].astype({"n_turns": "int64"}).sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
