@@ -14,6 +14,49 @@ from typing import Dict, List, Optional, Tuple
 from relationextractionpipeline_spark.functions import lexicon as lx
 from relationextractionpipeline_spark.functions import rules
 
+# Per-worker sentence-triples memo.  Sentence→triples is a pure function of
+# the sentence text given fixed (kb, kb_index, figer); corpora repeat
+# sentences heavily (25% exact-duplicate sentences at bench scale here;
+# boilerplate does the same to web text), so one parse/extract per DISTINCT
+# sentence per worker saves that fraction of the whole extract stage.  The
+# cache is pinned to the broadcast dicts by identity (strong refs kept so
+# ids can't be recycled — same pattern as rules._GAZ_FIRST_CACHE) and is
+# cleared wholesale when full: an O(1)-bookkeeping bound, no LRU overhead
+# on the hot path.
+_SENT_CACHE_MAX = 50_000
+_SENT_CACHE: dict = {"pins": None, "map": {}}
+
+
+def _sentence_triples(
+    sent: str,
+    kb: Dict[str, Tuple[str, float]],
+    kb_index: Dict[Tuple[str, ...], str],
+    figer: Dict[str, str],
+) -> List[dict]:
+    pins = _SENT_CACHE["pins"]
+    if (
+        pins is None
+        or pins[0] is not kb
+        or pins[1] is not kb_index
+        or pins[2] is not figer
+    ):
+        _SENT_CACHE["pins"] = (kb, kb_index, figer)
+        _SENT_CACHE["map"] = {}
+    m = _SENT_CACHE["map"]
+    got = m.get(sent)
+    if got is None:
+        tokens = lx.parse_sentence(sent)
+        mentions = rules.detect_mentions(tokens, kb_index)
+        for mm in mentions:
+            url, fg = rules.link_mention(str(mm["surface"]), kb, figer)
+            mm["url"] = url
+            mm["figer"] = fg
+        got = rules.extract_relations(tokens, mentions)
+        if len(m) >= _SENT_CACHE_MAX:
+            m.clear()
+        m[sent] = got
+    return got
+
 
 def extract_turn_triples(
     text: Optional[str],
@@ -27,13 +70,7 @@ def extract_turn_triples(
     out: List[dict] = []
     sent_idx = 0
     for line_idx, sent in rules.segment_text_with_lines(text or ""):
-        tokens = lx.parse_sentence(sent)
-        mentions = rules.detect_mentions(tokens, kb_index)
-        for m in mentions:
-            url, fg = rules.link_mention(str(m["surface"]), kb, figer)
-            m["url"] = url
-            m["figer"] = fg
-        for trip in rules.extract_relations(tokens, mentions):
+        for trip in _sentence_triples(sent, kb, kb_index, figer):
             out.append({"sent_idx": sent_idx, "line_idx": line_idx, **trip})
         sent_idx += 1
     return out
