@@ -7,10 +7,13 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  SQL-parity entries are
-verified against DuckDB by the driver; KG-pipeline entries over the synthetic
-transcripts and sketch-based ops are rows-only (non-SQL-expressible), with
-their real correctness gate in tests/ (pure-Python oracle, P/R ≥ 0.95).
+(SURVEY.md §2 + the training-data operators).  Every entry (31/31) carries a
+DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
+materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
+k-means cells, union-find clusters computed single-threaded and parqueted),
+so the comparison always gates the distributed plan against an independent
+sequential run.  The pytest oracle (P/R ≥ 0.95, in fact exact) remains the
+second, Spark-free gate.
 """
 
 from __future__ import annotations

@@ -16,6 +16,13 @@ Scale notes:
   *documents* cannot skew it; hot *buckets* (a shingle-degenerate corpus)
   are capped by ``max_bucket`` before pair expansion to bound the quadratic
   blowup, and the cap is observable (bucket sizes come back as a column).
+
+Persist scope: these operators ``persist()`` intermediates that several
+join branches re-read (otherwise the signature UDF re-runs per branch).
+The persists are scoped to one returned query: callers running many queries
+in one session should ``spark.catalog.clearCache()`` between them (bench.py
+and tools/check_parity.py do), or write the sketch table once and re-read —
+at production scale the signature table is a materialized artifact anyway.
 """
 
 from __future__ import annotations

@@ -64,3 +64,21 @@ def test_flagship_agg_partial_before_shuffle(spark):
     plan = _plan(df)
     assert "HashAggregate" in plan and "Exchange" in plan
     assert "TakeOrderedAndProject" in plan  # top-k never full-sorts
+
+
+def test_no_query_uses_cartesian_or_row_python(spark):
+    """Sweep EVERY driver-contract query's physical plan: no CartesianProduct
+    (table-level cross joins are banned — bucketed/broadcast joins only) and
+    no row-at-a-time Python evaluation (BatchEvalPython = non-Arrow UDF; all
+    Python must cross via Arrow: ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    allowed_cross = {"q_embed_topk"}  # explicit broadcast(queries) × corpus
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, sf))
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+        if name not in allowed_cross:
+            assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        spark.catalog.clearCache()
