@@ -496,6 +496,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_neardup"] = q_embed_neardup
 
+    # ---- deterministic sampling (training-data splits) ----------------------
+    def q_sample_deterministic(spark, sf_dir):
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        return sampling.deterministic_sample(d, "doc_id", 0.2).select(
+            "doc_id", "lang", "n_chars"
+        )
+
+    q["q_sample_deterministic"] = q_sample_deterministic
+
+    def q_sample_stratified(spark, sf_dir):
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        return sampling.stratified_sample(
+            d, "doc_id", "lang", STRATA_FRACTIONS
+        ).select("doc_id", "lang")
+
+    q["q_sample_stratified"] = q_sample_stratified
+
     # ---- multimodal plumbing (decode stubbed; md5-derived fake features) ---
     def q_multimodal_features(spark, sf_dir):
         path = multimodal.materialize_assets(os.path.join(DATA_DIR, "assets"))
@@ -512,6 +533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_multimodal_frames"] = q_multimodal_frames
 
     return q
+
+
+# per-language rebalancing quotas for the stratified-sampling query (down-
+# sample the dominant language, keep the long tail)
+STRATA_FRACTIONS = {"en": 0.3, "de": 0.8, "fr": 0.5, "es": 0.5, "zh": 0.2}
 
 
 # ---------------------------------------------------------------------------
@@ -544,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
        verifies the distributed plan (shuffles, joins, ranks, Arrow
        batching) against a single-threaded reference run.
     """
+    from relationextractionpipeline_spark.operators import sampling as _sampling
     from relationextractionpipeline_spark.operators.quality import (
         LANG_ORDER,
         LANG_STOPWORDS,
@@ -767,6 +794,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a, embeddings b
                 WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
             ) WHERE rank <= 5
+        """,
+        "q_sample_deterministic": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+                  < {_sampling.threshold(0.2)}
+        """,
+        "q_sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+                  < CASE lang {' '.join(
+                      f"WHEN '{k}' THEN {_sampling.threshold(v)}"
+                      for k, v in sorted(STRATA_FRACTIONS.items())
+                  )} ELSE 0 END
         """,
         # ---- sequential-oracle-materialization-backed entries --------------
         "kg_triples": f"""

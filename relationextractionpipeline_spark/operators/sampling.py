@@ -1,0 +1,76 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Beyond the reference's scope (it has no sampling), but first-class for a
+100 TB corpus engine: reproducible corpus subsampling, per-language quota
+sampling, and leakage-free train/validation splits all reduce to ONE
+primitive — a uniform [0, 2^32) hash of a stable row key:
+
+    h(key, salt) = int(md5(str(key) + ":" + salt)[:8 hex], 16)
+
+Membership is ``h < floor(fraction · 2^32)`` — a pure narrow filter:
+
+* no shuffle, no RNG state, no seed-plus-partition coupling
+  (``df.sample`` changes membership when partitioning changes; this never
+  does — resume/metamorphic-safe);
+* the same row lands on the same side of every split in every run, on any
+  engine that can compute md5 (the DuckDB oracles re-derive membership
+  exactly — integer threshold compare, no float equality);
+* disjoint splits come from complementary intervals of the SAME hash, so
+  train/val can never leak (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HASH_SPACE = 1 << 32
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform value in [0, 2^32) from md5 of ``str(key) + ':' + salt`` —
+    first 8 hex chars, the exact expression a SQL oracle can replicate."""
+    payload = F.concat(key.cast("string"), F.lit(":" + salt)).cast("binary")
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def threshold(fraction: float) -> int:
+    """Integer membership threshold (exact on both engines)."""
+    f = min(max(float(fraction), 0.0), 1.0)
+    return int(f * _HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership a pure function of the key."""
+    return df.where(hash_bucket(F.col(key_col), salt) < F.lit(threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum fractions (e.g. per-language quotas when rebalancing a
+    multilingual corpus); unlisted strata get ``default_fraction``."""
+    thr = F.lit(threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(threshold(frac))
+        ).otherwise(thr)
+    return df.where(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def train_val_split(
+    df: DataFrame, key_col: str, val_fraction: float, salt: str = "split"
+) -> Tuple[DataFrame, DataFrame]:
+    """Leakage-free split: complementary intervals of one hash, so the two
+    sides are disjoint BY CONSTRUCTION and stable across runs/partitionings."""
+    h = hash_bucket(F.col(key_col), salt)
+    t = F.lit(threshold(val_fraction))
+    return df.where(h >= t), df.where(h < t)

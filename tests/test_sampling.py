@@ -1,0 +1,66 @@
+"""Deterministic sampling: partition invariance, leakage-free splits,
+stratified quotas."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_sample_is_partition_invariant(spark):
+    d = _docs(spark)
+    a = {
+        r.doc_id
+        for r in sampling.deterministic_sample(d, "doc_id", 0.3).collect()
+    }
+    b = {
+        r.doc_id
+        for r in sampling.deterministic_sample(
+            d.repartition(13), "doc_id", 0.3
+        ).collect()
+    }
+    assert a == b and 0 < len(a) < d.count()
+
+
+def test_samples_are_nested_by_fraction(spark):
+    """fraction f1 < f2 ⇒ sample(f1) ⊆ sample(f2) (same hash, bigger
+    threshold) — lets a pipeline grow a sample without resampling."""
+    d = _docs(spark)
+    small = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 0.4).collect()}
+    assert small <= big
+
+
+def test_train_val_split_disjoint_and_total(spark):
+    d = _docs(spark)
+    train, val = sampling.train_val_split(d, "doc_id", 0.25)
+    t = {r.doc_id for r in train.select("doc_id").collect()}
+    v = {r.doc_id for r in val.select("doc_id").collect()}
+    assert t.isdisjoint(v)
+    assert len(t) + len(v) == d.count()
+    assert len(v) > 0
+    # different salt ⇒ a different (still deterministic) split
+    _t2, val2 = sampling.train_val_split(d, "doc_id", 0.25, salt="fold2")
+    v2 = {r.doc_id for r in val2.select("doc_id").collect()}
+    assert v2 != v
+
+
+def test_stratified_rates(spark):
+    d = _docs(spark)
+    out = sampling.stratified_sample(
+        d, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.5
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("en") == totals["en"]  # fraction 1.0 keeps everything
+    assert "de" not in got  # fraction 0.0 drops everything
+    for lang, n in got.items():  # default strata land between the extremes
+        if lang not in ("en", "de"):
+            assert 0 < n < totals[lang] or totals[lang] < 4
