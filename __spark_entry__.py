@@ -577,8 +577,14 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_REGEX,
     )
 
-    small = os.path.join(DATA_DIR, testgen.scale_dir(ORACLE_SCALE))
-    aux = os.path.join(DATA_DIR, "aux", os.path.basename(ORACLE_SF_DIR))
+    # the driver's gate runs at sf0.01; REX_ORACLE_SF_DIR lets the local
+    # replica (tools/check_parity.py) point the materialization-backed
+    # oracles at another scale
+    oracle_sf = os.environ.get("REX_ORACLE_SF_DIR", ORACLE_SF_DIR)
+    small = os.path.join(DATA_DIR, testgen.scale_dir(_scale_for(oracle_sf)))
+    aux = os.path.join(
+        DATA_DIR, "aux", os.path.basename(os.path.normpath(oracle_sf))
+    )
     otriples = os.path.join(small, oracle_mat.ORACLE_TRIPLES_FILE)
     mrows = os.path.join(small, oracle_mat.MENTION_ROWS_FILE)
     assets = os.path.join(DATA_DIR, "assets", "assets96.parquet")

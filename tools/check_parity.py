@@ -52,6 +52,8 @@ def value_hash(pdf: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # point the materialization-backed oracles at the same scale
+    os.environ["REX_ORACLE_SF_DIR"] = sf_dir
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
