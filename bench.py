@@ -104,15 +104,24 @@ def main() -> None:
         kb_bc, kbi_bc, fg_bc,
     ).count()
 
+    # best-of-N per query: the host's vCPUs are shared and neighbor
+    # contention only ever ADDS time, so the min over repetitions is the
+    # closest observable to true cost (same protocol as bench_scaling)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        counts[name] = force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        # sketch/ANN operators persist() intermediates that are scoped to one
-        # query; drop them so 16 queries don't accumulate storage memory
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            counts[name] = force(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # sketch/ANN operators persist() intermediates scoped to one
+            # query; drop them so repeated queries don't accumulate storage
+            # memory (and so reps re-measure real work, not the cache)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     n_turns = spark.read.parquet(paths["transcripts"]).count()
     kg_sec = timings["kg_triples"]
