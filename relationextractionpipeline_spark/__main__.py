@@ -44,7 +44,8 @@ def parse_args(argv):
                                    "(tiny|small|bench|scaling)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--mode", default="fused",
-                   choices=["fused", "staged", "checkpointed", "partitioned"])
+                   choices=["fused", "staged", "staged-joinlink",
+                            "checkpointed", "partitioned"])
     p.add_argument("--checkpoint-dir",
                    help="manifest dir (mode=checkpointed|partitioned)")
     p.add_argument("--group-size", type=int, default=8,

@@ -71,6 +71,19 @@ def build_broadcasts(spark: SparkSession, entity_kb: DataFrame, figer_map: DataF
     return sc.broadcast(kb), sc.broadcast(kb_index), sc.broadcast(figer)
 
 
+def build_gazetteer_broadcast(spark: SparkSession, entity_kb: DataFrame):
+    """Broadcast ONLY the surface→token-tuple gazetteer (mention detection).
+
+    For the joinlink path: the full candidate table (surface, url, prior)
+    may be join-sized, but the distinct-surface index is the small side —
+    this collects just that column."""
+    surfaces = [
+        r["surface"] for r in entity_kb.select("surface").distinct().collect()
+    ]
+    kb_index = {tuple(s.split(" ")): s for s in surfaces}
+    return spark.sparkContext.broadcast(kb_index)
+
+
 def run_staged(
     transcripts: DataFrame,
     kb_bc,
@@ -114,6 +127,62 @@ def materialize_graph(run: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
     return {"entities": entities, "edges": edges, "predicates": pred_map}
 
 
+def run_staged_joinlink(
+    transcripts: DataFrame,
+    kb_index_bc,
+    entity_kb: DataFrame,
+    figer_map: DataFrame,
+    nel_mode: str = "merged",
+) -> Dict[str, DataFrame]:
+    """Staged path for a KB too large for a Python-dict broadcast: linking
+    runs as **relational joins** (J3/J4 — broadcast-hash while the dim fits,
+    degrading to a shuffled hash join beyond that by dropping the hint)
+    instead of a dict lookup inside the UDF.
+
+    Cost shape: explode mentions → join → regroup; the regroup is one
+    shuffle on the sentence key (collect_list ordered by mention_id), which
+    is exactly the price of a KB that no longer ships to workers whole.  The
+    mention-DETECTION gazetteer (kb_index) still broadcasts — at real scale
+    that side is the surface→candidate index, orders of magnitude smaller
+    than the full candidate table.  Output schema identical to run_staged
+    (equality-tested)."""
+    sentences = segment.segment_sentences(transcripts)
+    parsed = parse.parse_sentences(sentences)
+    with_mentions = mentions_op.detect_mentions(parsed, kb_index_bc, nel_mode)
+    rows = mentions_op.explode_mentions(with_mentions)
+    linked_rows = link.link_mentions_broadcast_join(rows, entity_kb, figer_map)
+    keys = ["conv_id", "turn_idx", "sent_idx"]
+    m_struct = F.struct(
+        "mention_id", "start_tok", "end_tok", "surface", "tag", "kind",
+        "url", "figer",
+    )
+    regrouped = (
+        linked_rows.groupBy(*keys)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(m_struct)),
+                lambda m: m.dropFields("mention_id"),
+            ).alias("mentions")
+        )
+    )
+    # left join: sentences with zero mentions keep an empty array (P7 rows
+    # still flow to the sinks, as in run_staged)
+    linked = parsed.drop("mentions").join(regrouped, keys, "left").withColumn(
+        "mentions",
+        F.coalesce(F.col("mentions"), F.array().cast(regrouped.schema["mentions"].dataType)),
+    )
+    triples = triples_op.extract_triples(linked)
+    return {
+        "sentences": sentences,
+        "parsed": parsed,
+        "with_mentions": with_mentions,
+        "linked": linked,
+        "links": mentions_op.explode_mentions(linked),
+        "triples": triples,
+        "types": triples_op.distinct_types(triples),
+    }
+
+
 def run_fused(
     transcripts: DataFrame,
     kb_bc,
@@ -142,6 +211,17 @@ def run_pipeline(
     transcripts, entity_kb, figer_map = load_inputs(spark, paths)
     if input_partitions:
         transcripts = transcripts.repartition(input_partitions)
+    if mode == "staged-joinlink":
+        # big-KB path: never driver-collects the candidate table
+        kbi_bc = build_gazetteer_broadcast(spark, entity_kb)
+        out = run_staged_joinlink(
+            transcripts, kbi_bc, entity_kb, figer_map, nel_mode
+        )
+        out["transcripts"] = transcripts
+        out["entity_kb"] = entity_kb
+        out["figer_map"] = figer_map
+        out["assembled"] = assemble.assemble_conversations(transcripts)
+        return out
     kb_bc, kb_index_bc, figer_bc = build_broadcasts(spark, entity_kb, figer_map)
     if mode == "fused":
         triples = run_fused(transcripts, kb_bc, kb_index_bc, figer_bc)

@@ -159,6 +159,22 @@ def test_types_table_matches_oracle(run, oracle_triples):
     assert got == want
 
 
+def test_staged_joinlink_equals_staged(spark, run, tiny_paths):
+    """Big-KB path: relational-join linking (never driver-collects the
+    candidate table) must produce the identical triple table, including
+    zero-mention sentences flowing through with empty arrays."""
+    jl = pipeline.run_pipeline(spark, tiny_paths, mode="staged-joinlink")
+    a = run["triples"].toPandas()
+    b = jl["triples"].toPandas()
+    cols = list(a.columns)
+    pd.testing.assert_frame_equal(
+        a.sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
+    # sentence-row parity too (the regroup must not drop mention-free rows)
+    assert jl["linked"].count() == run["linked"].count()
+
+
 def test_ner_only_nel_mode_operator(spark, run, tiny_paths):
     """The ner_nel.py alternative path as a pipeline option: NEs only,
     adjacent spans fused, same mention schema (the stable interface)."""
