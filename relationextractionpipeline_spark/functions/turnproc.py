@@ -24,7 +24,18 @@ from relationextractionpipeline_spark.functions import rules
 # cleared wholesale when full: an O(1)-bookkeeping bound, no LRU overhead
 # on the hot path.
 _SENT_CACHE_MAX = 50_000
-_SENT_CACHE: dict = {"pins": None, "map": {}}
+_SENT_CACHE: dict = {"pins": None, "map": {}, "lookups": 0, "hits": 0,
+                     "evictions": 0}
+
+
+def cache_counters() -> Tuple[int, int, int]:
+    """(lookups, hits, evictions) for this worker — snapshot for the
+    accumulator-based observability in operators/fused.py."""
+    return (
+        _SENT_CACHE["lookups"],
+        _SENT_CACHE["hits"],
+        _SENT_CACHE["evictions"],
+    )
 
 
 def _sentence_triples(
@@ -43,6 +54,7 @@ def _sentence_triples(
         _SENT_CACHE["pins"] = (kb, kb_index, figer)
         _SENT_CACHE["map"] = {}
     m = _SENT_CACHE["map"]
+    _SENT_CACHE["lookups"] += 1
     got = m.get(sent)
     if got is None:
         tokens = lx.parse_sentence(sent)
@@ -54,7 +66,10 @@ def _sentence_triples(
         got = rules.extract_relations(tokens, mentions)
         if len(m) >= _SENT_CACHE_MAX:
             m.clear()
+            _SENT_CACHE["evictions"] += 1
         m[sent] = got
+    else:
+        _SENT_CACHE["hits"] += 1
     return got
 
 

@@ -41,11 +41,18 @@ def extract_triples_fused(
     kb_bc: Broadcast,
     kb_index_bc: Broadcast,
     figer_bc: Broadcast,
+    cache_stats: dict | None = None,
 ) -> DataFrame:
+    """``cache_stats`` (optional): dict of LongAccumulator under keys
+    'lookups'/'hits'/'evictions' — the sentence-memo counters
+    (functions/turnproc) surface per job, so cache behavior at scale is
+    observable rather than inferred (see tools/kg_job.py)."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kb = kb_bc.value
         kb_index = kb_index_bc.value
         figer = figer_bc.value
+        base = turnproc.cache_counters() if cache_stats else (0, 0, 0)
         for pdf in batches:
             rows = []
             for conv_id, turn_idx, text in zip(
@@ -65,6 +72,11 @@ def extract_triples_fused(
                         )
                     )
             yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+        if cache_stats:
+            now = turnproc.cache_counters()
+            cache_stats["lookups"].add(now[0] - base[0])
+            cache_stats["hits"].add(now[1] - base[1])
+            cache_stats["evictions"].add(now[2] - base[2])
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         run, schema=OUT_SCHEMA

@@ -188,9 +188,12 @@ def run_fused(
     kb_bc,
     kb_index_bc,
     figer_bc,
+    cache_stats: Optional[dict] = None,
 ) -> DataFrame:
     """Hot path: one Arrow crossing turns→triples."""
-    return fused.extract_triples_fused(transcripts, kb_bc, kb_index_bc, figer_bc)
+    return fused.extract_triples_fused(
+        transcripts, kb_bc, kb_index_bc, figer_bc, cache_stats=cache_stats
+    )
 
 
 def run_pipeline(

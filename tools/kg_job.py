@@ -61,25 +61,33 @@ def main() -> None:
 
     warm = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(50)) == 0)
     pipeline.run_fused(warm, kb_bc, kb_index_bc, figer_bc).count()
+    stats = {
+        k: spark.sparkContext.accumulator(0)
+        for k in ("lookups", "hits", "evictions")
+    }
     t0 = time.time()
     # sharded input ⇒ the scan parallelizes natively; the extract path is
     # narrow end-to-end (no shuffle between read and write)
-    triples = pipeline.run_fused(transcripts, kb_bc, kb_index_bc, figer_bc)
+    triples = pipeline.run_fused(
+        transcripts, kb_bc, kb_index_bc, figer_bc, cache_stats=stats
+    )
     triples.write.mode("overwrite").parquet(out_dir)
     sec = time.time() - t0
     n_triples = spark.read.parquet(out_dir).count()
+    looked = stats["lookups"].value
+    out = {
+        "cpus": cpus,
+        "turns": n_turns,
+        "triples": n_triples,
+        "sec": round(sec, 3),
+        "turns_per_sec": round(n_turns / sec, 1),
+        # sentence-memo observability (functions/turnproc)
+        "memo_lookups": looked,
+        "memo_hit_rate": round(stats["hits"].value / looked, 3) if looked else None,
+        "memo_evictions": stats["evictions"].value,
+    }
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "cpus": cpus,
-                "turns": n_turns,
-                "triples": n_triples,
-                "sec": round(sec, 3),
-                "turns_per_sec": round(n_turns / sec, 1),
-            }
-        )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
