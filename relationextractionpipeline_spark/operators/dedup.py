@@ -64,14 +64,52 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by estimated Jaccard (signature
-    agreement ratio — unbiased estimator, no second text pass)."""
+    """MinHash-LSH candidates, verified two ways:
+
+    * ``verify='estimate'`` (default): signature agreement ratio — an
+      unbiased Jaccard estimator, NO second pass over the text (cheapest;
+      at 100 TB the text never re-shuffles).
+    * ``verify='exact'``: candidates join back to their texts and the true
+      word-shingle Jaccard is computed (Arrow-batched UDF over the pair's
+      two texts).  Costs one extra text join each side, but the output is
+      exact (precision 1 against the threshold by construction) — banding
+      only bounds recall.
+    """
     sigs = sketches.with_minhash(
         df.select(id_col, text_col), text_col, n_hashes=n_hashes,
         shingle_k=shingle_k, mode="word",
     ).persist()  # reused by LSH banding and both verification joins
     cand = sketches.lsh_candidate_pairs(sigs, id_col, "minhash", bands=bands)
+    if verify == "exact":
+        t = df.select(F.col(id_col), F.col(text_col))
+        pairs = (
+            cand.join(t.select(F.col(id_col).alias("id_a"),
+                               F.col(text_col).alias("text_a")), "id_a")
+            .join(t.select(F.col(id_col).alias("id_b"),
+                           F.col(text_col).alias("text_b")), "id_b")
+        )
+
+        @F.pandas_udf("double")
+        def jac(a, b):
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    sketches.jaccard(
+                        sketches.word_shingles(x or "", shingle_k),
+                        sketches.word_shingles(y or "", shingle_k),
+                    )
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        return (
+            pairs.withColumn("jaccard", jac("text_a", "text_b"))
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     s = sigs.select(F.col(id_col), F.col("minhash"))
     est = (
         cand.join(s.select(F.col(id_col).alias("id_a"),

@@ -246,3 +246,36 @@ def test_metadata_projection_prunes_payload(spark, tmp_path):
     )
     m = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert m and "payload" not in m[0]
+
+
+def test_minhash_exact_verify_matches_brute_force(spark):
+    """verify='exact' must equal the all-pairs exact word-shingle Jaccard on
+    this corpus (every true pair here has jaccard > 0.9, so 16x4 banding
+    recall is ~1 and precision is 1 by construction)."""
+    import itertools
+
+    import pandas as pd
+
+    from relationextractionpipeline_spark.operators import sketches
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs_minhash(
+            d, jaccard_threshold=0.5, verify="exact"
+        ).collect()
+    }
+    pdf = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    sh = {
+        r.doc_id: set(sketches.word_shingles(r.text or "", 3))
+        for r in pdf.itertuples()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if (sh[a] | sh[b])
+        and len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.5
+    }
+    assert got == want and len(want) > 0
