@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "q_dedup_simhash",
     "q_embed_topk",
     "q_embed_topk_ivf",
+    "q_sample_deterministic",
+    "q_multimodal_features",
 ]
 
 
