@@ -304,6 +304,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_window_user_sessions"] = q_window_user_sessions
 
+    def q_events_sessionized(spark, sf_dir):
+        """Gap-based sessionization — the classic event-pipeline window
+        composition (lag → gap flag → running sum = session id → rollup);
+        entirely native window functions, one shuffle on user_id."""
+        e = _read(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_flag = F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w)) > 1800,
+            1,
+        ).otherwise(0)
+        return (
+            e.withColumn("new_sess", gap_flag)
+            .withColumn(
+                "session_id",
+                F.sum("new_sess").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+                F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+            )
+        )
+
+    q["q_events_sessionized"] = q_events_sessionized
+
     def q_window_first_event(spark, sf_dir):
         e = _read(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -685,6 +714,27 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "q_events_sessionized": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)))
+                            > 1800 THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       (sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ))::BIGINT AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   floor(epoch(min(ts)))::BIGINT AS start_epoch,
+                   floor(epoch(max(ts)))::BIGINT AS end_epoch
+            FROM sess GROUP BY user_id, session_id
         """,
         "q_window_first_event": """
             SELECT user_id, event_id, event_type FROM (
