@@ -515,6 +515,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_topk_ivf"] = q_embed_topk_ivf
 
+    def q_embed_topk_pq(spark, sf_dir):
+        """Product-quantization top-k (asymmetric distance): vectors encode
+        to 4-bit-per-subvector codes distributed; queries rank neighbors via
+        a broadcast lookup table — full-precision vectors never shuffle."""
+        if _small_scale(sf_dir):
+            oracle_mat.pq_aux(sf_dir)
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.pq_topk(emb, qs, k=5).select(
+            "query_id", "neighbor_id", "adc_dist", "rank"
+        )
+
+    q["q_embed_topk_pq"] = q_embed_topk_pq
+
     def q_embed_neardup(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)
@@ -999,6 +1015,25 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (
                            PARTITION BY query_id
                            ORDER BY cos DESC, neighbor_id ASC
+                       ) AS rank
+                FROM j
+            ) WHERE rank <= 5
+        """,
+        "q_embed_topk_pq": f"""
+            WITH j AS (
+                SELECT l.query_id, c.vec_id AS neighbor_id,
+                       round(sum(l.dist), 6) AS adc_dist
+                FROM read_parquet('{aux}/pq_codes.parquet') c
+                JOIN read_parquet('{aux}/pq_lut.parquet') l
+                  USING (sub_idx, code)
+                WHERE c.vec_id <> l.query_id
+                GROUP BY l.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, adc_dist, rank FROM (
+                SELECT query_id, neighbor_id, adc_dist,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc_dist ASC, neighbor_id ASC
                        ) AS rank
                 FROM j
             ) WHERE rank <= 5

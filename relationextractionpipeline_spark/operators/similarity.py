@@ -260,6 +260,116 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 100 TB ANN memory story
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    mat: "np.ndarray", n_sub: int = 8, n_codes: int = 16, seed: int = 42
+) -> "np.ndarray":
+    """(n_sub, n_codes, dim/n_sub) codebooks: independent seeded k-means per
+    subvector (shared by the Spark path and the sequential oracle)."""
+    dim = mat.shape[1]
+    assert dim % n_sub == 0
+    d = dim // n_sub
+    books = np.zeros((n_sub, n_codes, d), dtype=np.float64)
+    for s in range(n_sub):
+        books[s] = train_centroids(
+            mat[:, s * d : (s + 1) * d], n_codes, seed=seed + s
+        )
+    return books
+
+
+def pq_encode(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """(n, n_sub) int32 code per subvector — 4 bits/sub at n_codes=16, a
+    64-dim float32 vector compresses 256B → 4B (the reason PQ is the 100 TB
+    recipe: the code table fits in RAM when the vectors never could)."""
+    n_sub, _n_codes, d = books.shape
+    out = np.zeros((len(mat), n_sub), dtype=np.int32)
+    mat = mat.astype(np.float64, copy=False)
+    for s in range(n_sub):
+        sub = mat[:, s * d : (s + 1) * d]
+        dist = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s] = np.argmin(dist, axis=1)
+    return out
+
+
+def pq_lut(qmat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """(n_q, n_sub, n_codes) asymmetric-distance lookup table: squared
+    distance from each query subvector to every codeword."""
+    n_sub, n_codes, d = books.shape
+    q = qmat.astype(np.float64, copy=False)
+    out = np.zeros((len(q), n_sub, n_codes), dtype=np.float64)
+    for s in range(n_sub):
+        sub = q[:, s * d : (s + 1) * d]
+        out[:, s, :] = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_sub: int = 8,
+    n_codes: int = 16,
+    max_train: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC).
+
+    Plan shape: corpus vectors encode DISTRIBUTED (pandas UDF, shared numpy
+    encoder) and explode to (vec_id, sub_idx, code) rows; the per-query
+    lookup table (n_q × n_sub × n_codes — tiny) broadcasts; ADC is then a
+    broadcast join + sum — the full-precision vectors never join, never
+    shuffle, and at scale never leave their parquet.  Codebooks train on the
+    same deterministic ordered sample as IVF, so results are
+    partition-invariant."""
+    pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(max_train).toPandas()
+    train = np.vstack(pdf[vec_col].map(np.asarray).to_numpy())
+    books = train_pq_codebooks(train, n_sub=n_sub, n_codes=n_codes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.map(np.asarray).to_numpy())
+        codes = pq_encode(mat, books)
+        return pd.Series([row.tolist() for row in codes])
+
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(encode(F.col(vec_col))).alias("sub_idx", "code"),
+    )
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
+    lut = pq_lut(qmat, books)
+    lut_rows = [
+        (int(qid), s, c, float(lut[i, s, c]))
+        for i, qid in enumerate(qpdf[query_id_col])
+        for s in range(n_sub)
+        for c in range(n_codes)
+    ]
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        lut_rows, f"{query_id_col} long, sub_idx int, code int, dist double"
+    )
+    scored = (
+        codes.join(F.broadcast(lut_df), ["sub_idx", "code"])
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -416,3 +416,50 @@ def embed_aux(
         out["ivf_qcells"],
     )
     return out
+
+
+def pq_aux(
+    sf_dir: str, n_sub: int = 8, n_codes: int = 16, query_mod: int = 100
+) -> Dict[str, str]:
+    """PQ codes for every vector + per-query ADC lookup tables, via the
+    shared numpy functions in operators/similarity.py."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    adir = aux_dir(sf_dir)
+    out = {
+        "codes": os.path.join(adir, "pq_codes.parquet"),
+        "lut": os.path.join(adir, "pq_lut.parquet"),
+    }
+    if all(os.path.exists(p) for p in out.values()):
+        return out
+    emb, mat = _load_embeddings(sf_dir)
+    order = np.argsort(emb["vec_id"].to_numpy(), kind="stable")
+    books = similarity.train_pq_codebooks(
+        mat[order[:100_000]], n_sub=n_sub, n_codes=n_codes
+    )
+    codes = similarity.pq_encode(mat, books)
+    _publish(
+        pd.DataFrame(
+            {
+                "vec_id": np.repeat(emb["vec_id"].to_numpy(), n_sub),
+                "sub_idx": np.tile(np.arange(n_sub, dtype=np.int32), len(emb)),
+                "code": codes.reshape(-1).astype("int32"),
+            }
+        ),
+        out["codes"],
+    )
+    qmask = (emb["vec_id"] % query_mod == 0).to_numpy()
+    qids = emb["vec_id"].to_numpy()[qmask]
+    lut = similarity.pq_lut(mat[qmask], books)
+    rows = [
+        (int(qid), s, c, float(lut[i, s, c]))
+        for i, qid in enumerate(qids)
+        for s in range(n_sub)
+        for c in range(n_codes)
+    ]
+    _publish(
+        pd.DataFrame(rows, columns=["query_id", "sub_idx", "code", "dist"])
+        .astype({"sub_idx": "int32", "code": "int32"}),
+        out["lut"],
+    )
+    return out

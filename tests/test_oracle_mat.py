@@ -163,3 +163,49 @@ def test_grouped_scorer_partitions_by_conversation(spark, data_dir):
     scored = link_op.score_links_grouped(mention_rows, kb_bc, figer_bc)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_pq_topk_partition_invariant_and_matches_sequential(spark):
+    """PQ: distributed encode + broadcast-LUT ADC must be invariant to input
+    partitioning and equal the sequential numpy pipeline end to end."""
+    import numpy as np
+
+    out = oracle_mat.pq_aux(SF_TINY)
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.where((emb.vec_id % 100) == 0).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    runs = []
+    for parts in (1, 7):
+        r = (
+            similarity.pq_topk(emb.repartition(parts), qs, k=5)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        runs.append(r)
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    # sequential replica: codes + lut parquet → ADC → top-5
+    codes = pd.read_parquet(out["codes"])
+    lut = pd.read_parquet(out["lut"])
+    j = codes.merge(lut, on=["sub_idx", "code"])
+    j = j[j.vec_id != j.query_id]
+    adc = (
+        j.groupby(["query_id", "vec_id"])["dist"].sum().round(6).reset_index()
+    )
+    adc = adc.sort_values(["query_id", "dist", "vec_id"])
+    top = adc.groupby("query_id").head(5).reset_index(drop=True)
+    got = runs[0][["query_id", "neighbor_id", "adc_dist"]].reset_index(drop=True)
+    want = top.rename(columns={"vec_id": "neighbor_id", "dist": "adc_dist"})
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True),
+        want[["query_id", "neighbor_id", "adc_dist"]]
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True),
+        check_dtype=False,
+    )
+    # compression sanity: 8 codes of 4 bits per 64-dim float vector
+    assert set(codes.sub_idx) == set(range(8))
+    assert codes.code.between(0, 15).all()
