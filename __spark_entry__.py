@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (35/35) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (37/37) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -531,6 +531,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_topk_pq"] = q_embed_topk_pq
 
+    def q_embed_topk_ivfpq(spark, sf_dir):
+        """The production ANN recipe: IVF cell pruning → PQ asymmetric
+        distance over 4-bit codes → exact-cosine re-rank of the shortlist."""
+        if _small_scale(sf_dir):
+            oracle_mat.embed_aux(sf_dir)
+            oracle_mat.pq_aux(sf_dir)
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_pq_topk(
+            emb, qs, k=5, n_clusters=16, nprobe=4, shortlist=25
+        ).select("query_id", "neighbor_id", "cos", "rank")
+
+    q["q_embed_topk_ivfpq"] = q_embed_topk_ivfpq
+
     def q_embed_neardup(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)
@@ -1036,6 +1052,48 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY adc_dist ASC, neighbor_id ASC
                        ) AS rank
                 FROM j
+            ) WHERE rank <= 5
+        """,
+        "q_embed_topk_ivfpq": f"""
+            WITH cand AS (
+                SELECT qc.query_id, cc.vec_id AS neighbor_id
+                FROM read_parquet('{aux}/ivf_qcells.parquet') qc
+                JOIN read_parquet('{aux}/ivf_cells.parquet') cc
+                  ON cc.cell = qc.cell
+                WHERE cc.vec_id <> qc.query_id
+            ),
+            adc AS (
+                SELECT ca.query_id, ca.neighbor_id,
+                       round(sum(l.dist), 6) AS adc_dist
+                FROM cand ca
+                JOIN read_parquet('{aux}/pq_codes.parquet') c
+                  ON c.vec_id = ca.neighbor_id
+                JOIN read_parquet('{aux}/pq_lut.parquet') l
+                  ON l.query_id = ca.query_id
+                 AND l.sub_idx = c.sub_idx AND l.code = c.code
+                GROUP BY 1, 2
+            ),
+            short AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC
+                           ) AS arank
+                    FROM adc
+                ) WHERE arank <= 25
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT s.query_id, s.neighbor_id,
+                       {_cos("qe.embedding", "ce.embedding")} AS cos,
+                       row_number() OVER (
+                           PARTITION BY s.query_id
+                           ORDER BY {_cos("qe.embedding", "ce.embedding")} DESC,
+                                    s.neighbor_id ASC
+                       ) AS rank
+                FROM short s
+                JOIN embeddings qe ON qe.vec_id = s.query_id
+                JOIN embeddings ce ON ce.vec_id = s.neighbor_id
             ) WHERE rank <= 5
         """,
         "q_embed_neardup": f"""

@@ -370,6 +370,101 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 25,
+    max_train: int = 100_000,
+) -> DataFrame:
+    """The production ANN recipe end to end: IVF cells prune candidates,
+    PQ asymmetric distance ranks them from 4-bit codes, and an exact-cosine
+    re-rank of the ADC ``shortlist`` restores precision at the top.
+
+    Plan shape per stage: cell-keyed equi-join (candidates) → broadcast-LUT
+    join + sum (ADC, codes only — the full vectors don't participate) →
+    top-``shortlist`` per query → ONE narrow join back to the full vectors
+    for just shortlist×queries rows → exact cosine → top-k.  At 100 TB the
+    full-precision table is touched exactly once, for ~``shortlist`` rows
+    per query."""
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(max_train).toPandas()
+    train = np.vstack(pdf[vec_col].map(np.asarray).to_numpy())
+    centroids = train_centroids(train, n_clusters)
+    books = train_pq_codebooks(train, n_sub=n_sub, n_codes=n_codes)
+
+    c_assign = _ivf_assign_udf(centroids, nprobe=1)
+    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.map(np.asarray).to_numpy())
+        return pd.Series([row.tolist() for row in pq_encode(mat, books)])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
+        encode(F.col(vec_col)).alias("codes"),
+    ).persist()  # the indexed corpus — at scale a materialized artifact
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
+    lut = pq_lut(qmat, books)
+    lut_df = spark.createDataFrame(
+        [
+            (int(qid), s, code, float(lut[i, s, code]))
+            for i, qid in enumerate(qpdf[query_id_col])
+            for s in range(n_sub)
+            for code in range(n_codes)
+        ],
+        f"{query_id_col} long, sub_idx int, code int, dist double",
+    )
+    qcells = queries.select(
+        F.col(query_id_col), F.explode(q_assign(F.col(vec_col))).alias("cell")
+    )
+    cand = (
+        c.join(qcells, "cell")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id",
+                F.posexplode("codes").alias("sub_idx", "code"))
+    )
+    adc = (
+        cand.join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        adc.withColumn("arank", F.row_number().over(w_adc))
+        .where(F.col("arank") <= shortlist)
+        .select(query_id_col, "neighbor_id")
+    )
+    # exact re-rank: full vectors touched only for shortlist rows
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)
+    reranked = (
+        short.join(F.broadcast(qv), query_id_col)
+        .join(cv, "neighbor_id")
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -209,3 +209,37 @@ def test_pq_topk_partition_invariant_and_matches_sequential(spark):
     # compression sanity: 8 codes of 4 bits per 64-dim float vector
     assert set(codes.sub_idx) == set(range(8))
     assert codes.code.between(0, 15).all()
+
+
+def test_ivf_pq_topk_partition_invariant_with_reasonable_recall(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qs = emb.where((emb.vec_id % 100) == 0).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    runs = []
+    for parts in (1, 5):
+        r = (
+            similarity.ivf_pq_topk(emb.repartition(parts), qs, k=5, nprobe=4)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        runs.append(r)
+        spark.catalog.clearCache()
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    # recall@5 vs exact brute force: IVF prunes + PQ shortlists, the exact
+    # re-rank restores ordering within the shortlist — expect most of top-5
+    exact = similarity.brute_force_topk(emb, qs, k=5).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    g = {(r.query_id, r.neighbor_id) for r in runs[0].itertuples()}
+    recall = len(e & g) / len(e)
+    # synthetic embeddings are near-uniform, so IVF recall is bounded near
+    # nprobe/n_clusters (= 0.25) plus whatever local structure exists; the
+    # hard guarantees tested here are partition invariance and exactness of
+    # the re-ranked cosines — recall just needs to beat the pruning floor
+    assert recall >= 0.3, recall
+    # within the shortlist the cosine values are EXACT (re-ranked)
+    merged = runs[0].merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_pq", "_ex")
+    )
+    assert (merged.cos_pq == merged.cos_ex).all()
