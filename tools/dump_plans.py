@@ -49,6 +49,24 @@ def main() -> None:
         ("Flagship top-20 predicates — partial HashAggregate before the "
          "Exchange, TakeOrderedAndProject (no full sort)",
          entrymod.entry(spark)),
+        ("Grouped link scorer — FlatMapGroupsInPandas under "
+         "hashpartitioning(conv_id): group size bounded by one conversation",
+         __import__("relationextractionpipeline_spark.operators.link",
+                    fromlist=["link"]).score_links_grouped(
+             mention_rows,
+             *[b for b in [pipeline.build_broadcasts(spark, entity_kb,
+                                                     figer_map)][0][::2]],
+         )),
+        ("IVF-PQ + exact re-rank — cell equi-join, broadcast LUT join, "
+         "windowed shortlist, one narrow join back to full vectors",
+         __import__("relationextractionpipeline_spark.operators.similarity",
+                    fromlist=["similarity"]).ivf_pq_topk(
+             spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                 "vec_id", "embedding"),
+             spark.read.parquet(f"{SF}/embeddings.parquet").where(
+                 F.col("vec_id") % 100 == 0).select(
+                 F.col("vec_id").alias("query_id"), "embedding"),
+             k=5)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
