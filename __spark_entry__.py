@@ -144,19 +144,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_links(spark, sf_dir):
         """Entity links via the north_star's batched applyInPandas
         link-scoring stage grouped by conversation (equality with the in-row
-        and broadcast-join linkers is tested in tests/).  Input mention rows
-        come from the cached sequential materialization so the DuckDB oracle
-        can re-derive the linking relationally over the same rows — the
-        mention-detection UDF path itself is under the kg_triples gate."""
+        and broadcast-join linkers is tested in tests/).  At gate scales the
+        input mention rows come from the cached sequential materialization so
+        the DuckDB oracle can re-derive the linking relationally over the
+        same rows (the mention-detection UDF path itself is under the
+        kg_triples gate); at bench scale mention detection runs distributed —
+        no driver-side sequential parse ever lands in a timed region."""
         from relationextractionpipeline_spark.operators import link as link_op
 
         paths = _synthetic_paths(sf_dir)
-        mention_path = oracle_mat.mention_rows(_scale_for(sf_dir))
-        mention_rows = spark.read.parquet(mention_path)
-        _t, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
-        kb_bc, _kbi_bc, figer_bc = pipeline.build_broadcasts(
+        transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
+        kb_bc, kbi_bc, figer_bc = pipeline.build_broadcasts(
             spark, entity_kb, figer_map
         )
+        if _small_scale(sf_dir):
+            mention_path = oracle_mat.mention_rows(_scale_for(sf_dir))
+            mention_rows = spark.read.parquet(mention_path)
+        else:
+            from relationextractionpipeline_spark.operators import (
+                mentions as mentions_op,
+                parse,
+                segment,
+            )
+
+            parsed = parse.parse_sentences(segment.segment_sentences(transcripts))
+            mention_rows = mentions_op.explode_mentions(
+                mentions_op.detect_mentions(parsed, kbi_bc)
+            )
         scored = link_op.score_links_grouped(mention_rows, kb_bc, figer_bc)
         return scored.select(
             "conv_id", "turn_idx", "sent_idx", "mention_id", "surface",

@@ -230,15 +230,22 @@ def main(argv=None) -> int:
     if args.reference_formats:
         if parsed is None:
             parsed = pipeline.run_pipeline(spark, paths, mode="staged")["parsed"]
-        sinks.reference_jsonl(parsed, triples).select("line").write.mode(
-            "overwrite"
-        ).text(os.path.join(args.out, "binary_relations_jsonl"))
+        # orderBy before write: the sort range-partitions on the key, so
+        # each part file is a contiguous ordered range — concatenating parts
+        # in filename order reproduces the reference file's bytes exactly
+        # (the per-row/per-block byte parity itself is pytest-gated)
+        sinks.reference_jsonl(parsed, triples).orderBy(
+            "conv_id", "turn_idx", "sent_idx"
+        ).select("line").write.mode("overwrite").text(
+            os.path.join(args.out, "binary_relations_jsonl")
+        )
         # write.text appends one '\n' per row; blocks already end with
-        # the reference's blank line, so strip one trailing newline to keep
-        # the written file byte-identical to the reference writer's
+        # the reference's blank line, so strip one trailing newline
         from pyspark.sql import functions as F
 
-        sinks.human_readable(parsed, triples).select(
+        sinks.human_readable(parsed, triples).orderBy(
+            "conv_id", "line_id"
+        ).select(
             F.expr("substring(block, 1, length(block) - 1)").alias("block")
         ).write.mode("overwrite").text(
             os.path.join(args.out, "binary_relations_human")

@@ -56,7 +56,9 @@ def make_link_udf(kb_bc: Broadcast, figer_bc: Broadcast):
 
         return mentions.map(link_all)
 
-    return link_udf
+    # deterministic in fact; fenced against InferFiltersFromGenerate cloning
+    # the UDF below a downstream explode (see operators/segment.py)
+    return link_udf.asNondeterministic()
 
 
 def link_mentions_in_row(with_mentions: DataFrame, kb_bc: Broadcast,

@@ -36,7 +36,9 @@ def make_mentions_udf(kb_index_bc: Broadcast, include_common: bool = True,
             )
         )
 
-    return mentions_udf
+    # deterministic in fact; fenced against InferFiltersFromGenerate cloning
+    # the UDF below explode_mentions (see operators/segment.py)
+    return mentions_udf.asNondeterministic()
 
 
 def detect_mentions(parsed: DataFrame, kb_index_bc: Broadcast,

@@ -40,6 +40,14 @@ def parse_full_udf(sent: pd.Series) -> pd.DataFrame:
     )
 
 
+# Deterministic in fact; fenced so projection collapse can't substitute the
+# parse expression into its several consumers (mentions, triples, sinks read
+# different fields of ``_p``) — without the fence the parser ran once per
+# consuming projection.  See operators/segment.py for the pattern rationale.
+parse_udf = parse_udf.asNondeterministic()
+parse_full_udf = parse_full_udf.asNondeterministic()
+
+
 def parse_sentences(sentences: DataFrame, text_col: str = "sent_text") -> DataFrame:
     """Adds ``tokens`` (syntax), ``surface_tokens`` and ``mwt`` columns — the
     reference's CoNLL-U intermediate files (S4/S5) eliminated in favor of

@@ -27,6 +27,16 @@ def segment_udf(text: pd.Series) -> pd.Series:
     )
 
 
+# The UDF IS deterministic (pure function of text); the marker is an
+# optimizer fence: InferFiltersFromGenerate otherwise clones the expression
+# into an inferred `size(...) > 0` filter below the posexplode, and predicate
+# pushdown substitutes it again through the projection — the staged plan then
+# pays the segmentation Arrow stage TWICE per turn.  The inferred filter buys
+# nothing (the explode already drops empty arrays), so fencing it off is a
+# pure win; plan-asserted in tests/test_plans.py.
+segment_udf = segment_udf.asNondeterministic()
+
+
 def segment_sentences(transcripts: DataFrame) -> DataFrame:
     """turns → one row per sentence: (conv_id, turn_idx, sent_idx, line_idx,
     sent_text).  Empty turns yield zero rows (P2/P7 pushdown happens here —

@@ -27,6 +27,13 @@ def triples_udf(tokens: pd.Series, mentions: pd.Series) -> pd.Series:
     )
 
 
+# Deterministic in fact; fenced so InferFiltersFromGenerate can't clone the
+# whole parse→link→triples UDF chain into an inferred filter below the
+# explode (observed: the staged plan evaluated all three Arrow stages twice).
+# See operators/segment.py for the full rationale.
+triples_udf = triples_udf.asNondeterministic()
+
+
 def extract_triples(linked: DataFrame) -> DataFrame:
     """sentence rows (tokens + linked mentions) → one row per triple."""
     return (

@@ -147,7 +147,11 @@ def run_staged_joinlink(
     than the full candidate table.  Output schema identical to run_staged
     (equality-tested)."""
     sentences = segment.segment_sentences(transcripts)
-    parsed = parse.parse_sentences(sentences)
+    # parsed feeds BOTH sides of the regroup join (the mention explode branch
+    # and the sentence left side) — persist so the segment+parse Arrow stages
+    # run once, not once per branch.  In a production run this is the
+    # materialized parse-stage table from plans/manifests.py instead.
+    parsed = parse.parse_sentences(sentences).persist()
     with_mentions = mentions_op.detect_mentions(parsed, kb_index_bc, nel_mode)
     rows = mentions_op.explode_mentions(with_mentions)
     linked_rows = link.link_mentions_broadcast_join(rows, entity_kb, figer_map)

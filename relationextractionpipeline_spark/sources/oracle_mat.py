@@ -178,11 +178,15 @@ def mention_rows(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
     for c in ("turn_idx", "sent_idx", "mention_id", "start_tok", "end_tok"):
         pdf[c] = pdf[c].astype("int32")
     # linking determinism precondition: each surface has a unique max-prior
-    # candidate, so dict argmax (Spark/UDF) and SQL row_number agree
-    top = entity_kb.sort_values("prior", ascending=False).groupby("surface").head(1)
-    dup = entity_kb.merge(top, on=["surface", "prior"], how="inner")
-    assert dup.groupby("surface")["url_y"].nunique().max() == 1, (
-        "ambiguous max-prior candidate — linker tie-break undefined"
+    # candidate, so dict argmax (Spark/UDF, first-row-wins on strict >) and
+    # SQL row_number (ORDER BY prior DESC, url ASC) agree.  Checked on the
+    # CANDIDATE side: all rows at the surface's max prior must share one url.
+    max_prior = entity_kb.groupby("surface")["prior"].transform("max")
+    ties = entity_kb[entity_kb["prior"] == max_prior]
+    n_urls_at_max = ties.groupby("surface")["url"].nunique()
+    assert int(n_urls_at_max.max()) == 1, (
+        "ambiguous max-prior candidate — linker tie-break undefined for "
+        f"surfaces: {list(n_urls_at_max[n_urls_at_max > 1].index[:5])}"
     )
     return _publish(pdf, dst)
 
@@ -349,6 +353,27 @@ def doc_sketches(sf_dir: str, n_hashes: int = 64, shingle_k: int = 3) -> Dict[st
                 [sketches.simhash64(s) for s in shingles], dtype=np.int64
             ),
         }
+    )
+    # gate-scale precondition: the DuckDB oracles enumerate ALL band/chunk-
+    # equal pairs with no size cap, while the Spark operators drop buckets
+    # larger than max_bucket=1000 (sketches.lsh_candidate_pairs,
+    # dedup.near_dup_pairs_simhash).  Assert no bucket exceeds the cap here,
+    # so the two sides provably see the same candidate set at this scale.
+    band_counts: Dict[tuple, int] = {}
+    for sig in mh["minhash"]:
+        for b in range(16):  # 16 bands of 4 — same banding as both sides
+            key = (b, tuple(sig[b * 4 : b * 4 + 4]))
+            band_counts[key] = band_counts.get(key, 0) + 1
+    assert max(band_counts.values()) <= 1000, (
+        "minhash band bucket exceeds the operator cap — oracle would diverge"
+    )
+    chunk_counts: Dict[tuple, int] = {}
+    for fp in sh["simhash"]:
+        for c in range(4):  # 4 chunks of 16 bits — same banding as both sides
+            key = (c, (int(fp) >> (16 * c)) & 0xFFFF)
+            chunk_counts[key] = chunk_counts.get(key, 0) + 1
+    assert max(chunk_counts.values()) <= 1000, (
+        "simhash chunk bucket exceeds the operator cap — oracle would diverge"
     )
     _publish(mh, out["minhash"])
     _publish(sh, out["simhash"])

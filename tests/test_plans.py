@@ -38,6 +38,29 @@ def test_staged_extract_path_has_no_shuffle(spark, tiny_paths):
     assert "Exchange" not in plan
 
 
+def test_staged_path_evaluates_each_udf_once(spark, tiny_paths):
+    """Regression gate for the InferFiltersFromGenerate duplication: without
+    the .asNondeterministic() fences the staged plan evaluated the WHOLE
+    segment→parse→link→triples Arrow chain twice (an inferred size()>0 filter
+    cloned every upstream UDF).  Each stage must appear exactly once."""
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
+    plan = _plan(run["triples"])
+    for udf in ("segment_udf", "parse_full_udf", "mentions_udf",
+                "link_udf", "triples_udf"):
+        assert plan.count(udf) == 1, f"{udf} evaluated {plan.count(udf)}×"
+    assert plan.count("ArrowEvalPython") == 5
+
+
+def test_joinlink_path_parses_once(spark, tiny_paths):
+    """run_staged_joinlink references `parsed` on both sides of the regroup
+    join; the persist must keep segment+parse from re-running per branch
+    (InMemoryTableScan on the reused branch instead of a second UDF chain)."""
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="staged-joinlink")
+    plan = _plan(run["triples"])
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
 def test_link_broadcast_join_is_broadcast(spark, tiny_paths):
     run = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
     _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
