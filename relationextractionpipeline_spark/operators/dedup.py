@@ -185,38 +185,80 @@ def near_dup_pairs_simhash(
     )
 
 
+def _gram_set_col(text_col: str, n: int):
+    """Distinct word-n-gram column (whole text when shorter than n words —
+    same rule as sketches.word_shingles and the DuckDB oracle)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sliding = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) < n, F.array(F.array_join(words, " "))).otherwise(
+            sliding
+        )
+    )
+
+
+def ngram_hot_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """(gram, df) for every shingle whose document frequency exceeds
+    ``max_df`` — exactly the grams ``ngram_jaccard_pairs`` drops from its
+    inverted index.  Run (or sink) this alongside the dedup job so the cap
+    is observable, the same way SimHash's dropped buckets are."""
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.explode(_gram_set_col(text_col, n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .orderBy(F.desc("df"), F.asc("gram"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int = 10_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard via an inverted index — pure native ops.
 
     |A∩B| comes from counting shared distinct shingles (join on shingle),
     |A∪B| = |A|+|B|-|A∩B|.  The shingle join only produces pairs that share
     content, so cost is output-bound, not |docs|².
+
+    ``max_df`` bounds the posting-list blowup: a shingle appearing in d
+    documents yields d² join rows, so one boilerplate gram ("terms of
+    service…") shared by a million docs would be quadratic at corpus scale.
+    Grams with document frequency > ``max_df`` are dropped from the inverted
+    index ONLY (denominators keep the full gram counts), so capped runs can
+    undercount |A∩B| — a pure recall trade, never a false positive — same
+    drop-oversized-buckets policy as SimHash's ``max_bucket``.  Dropped
+    grams are observable via ``ngram_hot_grams`` (same cap).
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    sliding = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
-    # documents shorter than n words contribute one whole-text gram (same
-    # rule as sketches.word_shingles and the DuckDB oracle)
-    gram_set = F.array_distinct(
-        F.when(F.size(words) < n, F.array(F.array_join(words, " "))).otherwise(
-            sliding
-        )
-    )
     grams = df.select(
-        F.col(id_col).alias("_id"), F.explode(gram_set).alias("gram")
+        F.col(id_col).alias("_id"), F.explode(_gram_set_col(text_col, n)).alias("gram")
     )
+    # denominators over the FULL gram sets (the cap must not inflate jaccard)
     sizes = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    posting = grams
+    if max_df is not None:
+        dfc = grams.groupBy("gram").agg(F.count("*").alias("_df"))
+        posting = (
+            grams.join(dfc.where(F.col("_df") <= max_df), "gram").drop("_df")
+        )
     inter = (
-        grams.select(F.col("_id").alias("id_a"), "gram")
-        .join(grams.select(F.col("_id").alias("id_b"), "gram"), "gram")
+        posting.select(F.col("_id").alias("id_a"), "gram")
+        .join(posting.select(F.col("_id").alias("id_b"), "gram"), "gram")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))

@@ -22,6 +22,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
+def _collect_query_pdf(queries: DataFrame, cols, max_rows: int = 100_000):
+    """Driver-collect the (small) query table with a LIMIT probe first —
+    the same guard style as plans.pipeline.build_broadcasts: one cheap job
+    keeps an accidentally-huge query table from OOMing the driver in
+    toPandas().  Beyond the bound, run queries in batches or swap the LUT
+    broadcast for a join against a materialized LUT table."""
+    if queries.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"query table exceeds {max_rows} rows — too large for the "
+            "driver-side LUT build; batch the queries or materialize the LUT"
+        )
+    return queries.select(*cols).toPandas()
+
+
 def dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -341,7 +355,7 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(encode(F.col(vec_col))).alias("sub_idx", "code"),
     )
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qpdf = _collect_query_pdf(queries, [query_id_col, vec_col])
     qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
     lut = pq_lut(qmat, books)
     lut_rows = [
@@ -413,7 +427,7 @@ def ivf_pq_topk(
         F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
         encode(F.col(vec_col)).alias("codes"),
     ).persist()  # the indexed corpus — at scale a materialized artifact
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qpdf = _collect_query_pdf(queries, [query_id_col, vec_col])
     qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
     lut = pq_lut(qmat, books)
     lut_df = spark.createDataFrame(
@@ -447,11 +461,14 @@ def ivf_pq_topk(
         .where(F.col("arank") <= shortlist)
         .select(query_id_col, "neighbor_id")
     )
-    # exact re-rank: full vectors touched only for shortlist rows
+    # exact re-rank: full vectors touched only for shortlist rows.  The
+    # shortlist (queries × shortlist rows) is the ONLY broadcastable side —
+    # pin it, or at sf0.001 Catalyst broadcasts the corpus vectors instead,
+    # which is exactly the side that cannot broadcast at 100 TB.
     qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)
     reranked = (
-        short.join(F.broadcast(qv), query_id_col)
+        F.broadcast(short.join(F.broadcast(qv), query_id_col))
         .join(cv, "neighbor_id")
         .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
     )

@@ -86,6 +86,31 @@ def test_ngram_jaccard_short_docs_whole_text_gram(spark):
     assert (pairs.iloc[0].id_a, pairs.iloc[0].id_b) == (1, 2)
 
 
+def test_ngram_jaccard_df_cap_bounds_boilerplate_blowup(spark):
+    """A gram planted in every document ('terms of service x') must not
+    produce the d² pair expansion when its df exceeds max_df: with the cap
+    the boilerplate gram leaves the inverted index, only the genuinely
+    shared content pairs (1,2) survive, and their jaccard can only go DOWN
+    (denominators keep full gram counts — recall trade, no false positive)."""
+    boiler = "terms of service"
+    rows = [(1, f"a b c d e {boiler}"), (2, f"a b c d e {boiler}")] + [
+        (i, f"doc{i} w{i} v{i} u{i} {boiler}") for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.05, max_df=None)
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.05, max_df=10)
+    up = uncapped.toPandas().set_index(["id_a", "id_b"]).jaccard
+    cp = capped.toPandas().set_index(["id_a", "id_b"]).jaccard
+    assert (1, 2) in cp.index  # real near-dup survives the cap
+    assert set(cp.index) <= set(up.index)  # cap only removes pairs
+    assert len(cp) < len(up)  # the boilerplate-only pairs are gone
+    for k in cp.index:
+        assert cp[k] <= up[k] + 1e-9  # capped jaccard never inflates
+    hot = dedup.ngram_hot_grams(df, n=3, max_df=10).toPandas()
+    assert len(hot) >= 1  # the dropped gram is observable
+    assert (hot.df > 10).all()
+
+
 # --- similarity --------------------------------------------------------------
 
 def test_brute_force_topk_self_similarity(spark, emb):

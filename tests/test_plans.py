@@ -89,6 +89,27 @@ def test_flagship_agg_partial_before_shuffle(spark):
     assert "TakeOrderedAndProject" in plan  # top-k never full-sorts
 
 
+def test_ivfpq_rerank_broadcasts_shortlist_not_corpus(spark):
+    """The exact re-rank join must build on the shortlist side (BuildLeft):
+    at 100 TB the corpus-vector side can never broadcast, and without the
+    pinned hint Catalyst picked it at tiny scale."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_pq_topk(emb, qs, k=5, n_clusters=16, nprobe=4,
+                                 shortlist=25)
+    plan = _plan(out)
+    rerank = [
+        l for l in plan.splitlines()
+        if "BroadcastHashJoin [neighbor_id" in l
+    ]
+    assert rerank and all("BuildLeft" in l for l in rerank)
+    spark.catalog.clearCache()
+
+
 def test_no_query_uses_cartesian_or_row_python(spark):
     """Sweep EVERY driver-contract query's physical plan: no CartesianProduct
     (table-level cross joins are banned — bucketed/broadcast joins only) and
