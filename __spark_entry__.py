@@ -141,17 +141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_assembly"] = kg_assembly
 
-    def kg_links(spark, sf_dir):
-        """Entity links via the north_star's batched applyInPandas
-        link-scoring stage grouped by conversation (equality with the in-row
-        and broadcast-join linkers is tested in tests/).  At gate scales the
-        input mention rows come from the cached sequential materialization so
-        the DuckDB oracle can re-derive the linking relationally over the
-        same rows (the mention-detection UDF path itself is under the
-        kg_triples gate); at bench scale mention detection runs distributed —
-        no driver-side sequential parse ever lands in a timed region."""
-        from relationextractionpipeline_spark.operators import link as link_op
-
+    def _link_inputs(spark, sf_dir):
+        """Shared link-stage inputs: broadcasts + mention rows.  At gate
+        scales mention rows come from the cached sequential materialization
+        so the DuckDB oracle re-derives linking relationally over the same
+        rows (the mention-detection UDF path itself is under the kg_triples
+        gate); at bench scale mention detection runs distributed — no
+        driver-side sequential parse ever lands in a timed region."""
         paths = _synthetic_paths(sf_dir)
         transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, paths)
         kb_bc, kbi_bc, figer_bc = pipeline.build_broadcasts(
@@ -171,13 +167,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mention_rows = mentions_op.explode_mentions(
                 mentions_op.detect_mentions(parsed, kbi_bc)
             )
+        return entity_kb, kb_bc, figer_bc, mention_rows
+
+    _LINK_COLS = ["conv_id", "turn_idx", "sent_idx", "mention_id", "surface",
+                  "kind", "url", "figer"]
+
+    def kg_links(spark, sf_dir):
+        """Entity links via the north_star's batched applyInPandas
+        link-scoring stage grouped by conversation, max-prior scorer
+        (equality with the in-row and broadcast-join linkers is tested in
+        tests/)."""
+        from relationextractionpipeline_spark.operators import link as link_op
+
+        _kb, kb_bc, figer_bc, mention_rows = _link_inputs(spark, sf_dir)
         scored = link_op.score_links_grouped(mention_rows, kb_bc, figer_bc)
-        return scored.select(
-            "conv_id", "turn_idx", "sent_idx", "mention_id", "surface",
-            "kind", "url", "figer", F.round("score", 6).alias("score"),
-        )
+        return scored.select(*_LINK_COLS, F.round("score", 6).alias("score"))
 
     q["kg_links"] = kg_links
+
+    def kg_links_ctx(spark, sf_dir):
+        """Context-aware linking — the second, genuinely different scorer
+        behind the same links schema (the linker-swap design the reference
+        proves with its Spotlight shim, ner_nel.py:207-255): candidate score
+        = prior + boost when the candidate URL is the max-prior link of
+        ANOTHER surface in the same conversation (within-conversation
+        surface coreference: 'Benjamin Franklin … Franklin').  This is the
+        query that exercises the conversation-grouped applyInPandas frame
+        for real — the scorer needs all of a conversation's mentions at
+        once."""
+        from relationextractionpipeline_spark.operators import link as link_op
+
+        entity_kb, kb_bc, figer_bc, mention_rows = _link_inputs(spark, sf_dir)
+        cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+        scored = link_op.score_links_grouped(
+            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc
+        )
+        return scored.select(*_LINK_COLS, F.round("score", 6).alias("score"))
+
+    q["kg_links_ctx"] = kg_links_ctx
 
     def kg_entities(spark, sf_dir):
         from relationextractionpipeline_spark.operators import canonicalize
@@ -645,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
        verifies the distributed plan (shuffles, joins, ranks, Arrow
        batching) against a single-threaded reference run.
     """
+    from relationextractionpipeline_spark.operators import link as link_mod
     from relationextractionpipeline_spark.operators import sampling as _sampling
     from relationextractionpipeline_spark.operators.quality import (
         LANG_ORDER,
@@ -962,6 +990,67 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             LEFT JOIN read_parquet('{small}/figer_map.parquet') f
               ON f.url = m.url
+        """,
+        "kg_links_ctx": f"""
+            WITH cand AS (
+                SELECT surface, url, prior
+                FROM read_parquet('{small}/entity_kb.parquet')
+            ),
+            best AS (
+                SELECT surface, url AS kb_url FROM (
+                    SELECT surface, url,
+                           row_number() OVER (
+                               PARTITION BY surface
+                               ORDER BY prior DESC, url ASC
+                           ) AS rn
+                    FROM cand
+                ) WHERE rn = 1
+            ),
+            surfs AS (
+                SELECT DISTINCT conv_id, surface FROM read_parquet('{mrows}')
+            ),
+            ctx AS (
+                SELECT s.conv_id, s.surface, b.kb_url
+                FROM surfs s JOIN best b USING (surface)
+            ),
+            scored AS (
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind, k.url,
+                       k.prior + CASE WHEN EXISTS (
+                           SELECT 1 FROM ctx c
+                           WHERE c.conv_id = mr.conv_id
+                             AND c.surface <> mr.surface
+                             AND c.kb_url = k.url
+                       ) THEN {link_mod.CTX_BOOST} ELSE 0.0 END AS score
+                FROM read_parquet('{mrows}') mr JOIN cand k USING (surface)
+            ),
+            picked AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, sent_idx, mention_id
+                        ORDER BY score DESC, url ASC
+                    ) AS rn FROM scored
+                ) WHERE rn = 1
+            ),
+            linked AS (
+                SELECT conv_id, turn_idx, sent_idx, mention_id, surface,
+                       kind, url, score
+                FROM picked
+                UNION ALL
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind,
+                       '{not_in_wiki}' || replace(mr.surface, ' ', '_') AS url,
+                       0.0 AS score
+                FROM read_parquet('{mrows}') mr
+                WHERE mr.surface NOT IN (SELECT surface FROM cand)
+            )
+            SELECT l.conv_id, l.turn_idx, l.sent_idx, l.mention_id,
+                   l.surface, l.kind, l.url,
+                   coalesce(nullif(f.figer_type, ''), 'none') AS figer,
+                   round(l.score, 6) AS score
+            FROM linked l
+            LEFT JOIN read_parquet('{small}/figer_map.parquet') f
+              ON f.url = l.url
         """,
         "q_multimodal_features": f"""
             SELECT a.asset_id, a.kind, d.dim::INTEGER AS dim,

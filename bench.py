@@ -125,6 +125,31 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    # ---- ANN recall@k vs the exact baseline (untimed): the observability
+    # knob for n_planes / nprobe / shortlist tuning — without it a low-recall
+    # configuration (LSH returning 9 rows where exact returns 25) passes
+    # every per-oracle gate silently.
+    def _topk_sets(name: str) -> dict:
+        pdf = qs[name](spark, sf_dir).select("query_id", "neighbor_id").toPandas()
+        d: dict = {}
+        for q_, n_ in zip(pdf["query_id"], pdf["neighbor_id"]):
+            d.setdefault(q_, set()).add(n_)
+        spark.catalog.clearCache()
+        return d
+
+    exact = _topk_sets("q_embed_topk")
+    recalls: dict[str, float] = {}
+    for name in ("q_embed_topk_lsh", "q_embed_topk_ivf",
+                 "q_embed_topk_pq", "q_embed_topk_ivfpq"):
+        approx = _topk_sets(name)
+        vals = [
+            len(approx.get(q_, set()) & nbrs) / len(nbrs)
+            for q_, nbrs in exact.items() if nbrs
+        ]
+        recalls[name.replace("q_embed_topk_", "")] = (
+            round(sum(vals) / len(vals), 4) if vals else None
+        )
+
     n_turns = spark.read.parquet(paths["transcripts"]).count()
     kg_sec = timings["kg_triples"]
     total = round(sum(timings.values()), 3)
@@ -138,6 +163,7 @@ def main() -> None:
         "kg_turns": n_turns,
         "kg_triples": counts["kg_triples"],
         "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
+        "ann_recall_at_5": recalls,
     }
     spark.stop()
     print(json.dumps(out))

@@ -89,6 +89,15 @@ ENTITIES: List[Tuple[str, List[str], str, bool]] = [
     ("Øresund Bridge", ["Øresund"], "/location", True),
     ("Čapek Robotics", ["Čapek"], "/organization/company", True),
     ("42", [], "", False),
+    # AMBIGUOUS aliases (T5 disambiguation fixtures): these three share a
+    # surface with an earlier entity — "Franklin" / "Turing" / "Hamilton"
+    # each have TWO KB candidates with distinct priors (the earlier entity
+    # wins on prior; max-prior stays unique, so the prior-only linker is
+    # still deterministic).  A context-aware scorer can flip the alias to
+    # the later entity when its full name co-occurs in the conversation.
+    ("Benjamin Franklin", ["Franklin"], "/person/politician", True),
+    ("Turing Dynamics", ["Turing"], "/organization/company", True),
+    ("Hamilton Precision", ["Hamilton"], "/organization/company", True),
 ]
 
 # 30 common nouns — the parser tags these NOUN; the noun-projection operator
@@ -160,11 +169,29 @@ BY_WORD = "by"
 # The parser consumes the expanded (syntax) tokens; the surface token list
 # keeps the contraction so per-turn text reconstruction is exact.
 CONTRACTIONS: Dict[str, Tuple[str, ...]] = {
+    "am": ("an", "dem"),
+    "ans": ("an", "das"),
+    "aufs": ("auf", "das"),
+    "beim": ("bei", "dem"),
+    "durchs": ("durch", "das"),
+    "fürs": ("für", "das"),
+    "hinterm": ("hinter", "dem"),
     "im": ("in", "dem"),
+    "ins": ("in", "das"),
+    "übers": ("über", "das"),
+    "ums": ("um", "das"),
+    "unterm": ("unter", "dem"),
+    "vom": ("von", "dem"),
+    "vors": ("vor", "das"),
     "zum": ("zu", "dem"),
+    "zur": ("zu", "der"),
 }
-DET_WORDS = frozenset({DET_WORD, "dem"})
-_EXTRA_PREPS = frozenset({"zu"})  # syntax-only forms introduced by expansion
+DET_WORDS = frozenset({DET_WORD, "dem", "das", "der"})
+# syntax-only preposition forms introduced by MWT expansion
+_EXTRA_PREPS = frozenset(
+    {"zu", "an", "auf", "bei", "durch", "für", "hinter",
+     "über", "um", "unter", "von", "vor"}
+)
 CCONJ_WORD = "and"
 REL_PRON = "who"
 COMMA = ","

@@ -68,10 +68,21 @@ def link_mentions_in_row(with_mentions: DataFrame, kb_bc: Broadcast,
     )
 
 
+# context-scorer boost: added to a candidate's prior when its URL is the
+# max-prior link of ANOTHER surface in the same conversation (coreference
+# evidence: "Benjamin Franklin … Franklin" ⇒ the alias follows the full
+# name).  0.5 dominates any prior gap (priors are in [0,1], same-surface
+# candidates differ by <0.5) while never outweighing a second boost.
+CTX_BOOST = 0.5
+
+
 def score_links_grouped(
     mention_rows: DataFrame,
     kb_bc: Broadcast,
     figer_bc: Broadcast,
+    mode: str = "prior",
+    cands_bc: Broadcast = None,
+    boost: float = CTX_BOOST,
 ) -> DataFrame:
     """applyInPandas link scoring grouped **by conversation** — the
     north_star's batched link-scoring stage: a context-aware scorer sees all
@@ -79,6 +90,20 @@ def score_links_grouped(
 
     Input: exploded mention rows (operators/mentions.explode_mentions).
     Output: same rows + (url, figer, score).
+
+    Two scorer modes behind one schema (the linker-swap design the reference
+    proves with its Spotlight shim, ``ner_nel.py:207-255``):
+
+    * ``mode='prior'`` — max-prior candidate per surface (equality-tested
+      against the in-row and broadcast-join linkers).
+    * ``mode='context'`` — the reason this stage is conversation-grouped:
+      each candidate's score is ``prior + boost·[url ∈ ctx]`` where ``ctx``
+      is the set of max-prior URLs of the OTHER surfaces in the same
+      conversation; ties break (score desc, url asc).  With no other
+      surfaces (or no overlap) every boost is 0 and the scorer degrades
+      exactly to max-prior (equality-tested).  Needs ``cands_bc`` — the
+      FULL candidate lists per surface (plans.pipeline.
+      build_candidates_broadcast), not just the max-prior winner.
 
     Scale contract: the group key is ``conv_id``, so the largest pandas frame
     any executor materializes is ONE conversation's mentions — bounded by
@@ -88,12 +113,14 @@ def score_links_grouped(
     by the generator/business cap on turns-per-conversation; the scorer
     itself is vectorized within the group.
     """
+    if mode == "context" and cands_bc is None:
+        raise ValueError("mode='context' requires cands_bc (full candidate lists)")
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in mention_rows.schema.fields
     )
     out_schema = out_fields + ", url string, figer string, score double"
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_prior(pdf: pd.DataFrame) -> pd.DataFrame:
         kb = kb_bc.value
         figer = figer_bc.value
         urls, figs, scores = [], [], []
@@ -109,6 +136,42 @@ def score_links_grouped(
         pdf["score"] = scores
         return pdf
 
+    def score_context(pdf: pd.DataFrame) -> pd.DataFrame:
+        cands = cands_bc.value  # surface -> [(url, prior)] (prior desc, url asc)
+        figer = figer_bc.value
+        surfaces = pdf["surface"].astype(str)
+        # max-prior URL per distinct surface in THIS conversation (row-order
+        # independent: derived from the pre-sorted candidate lists)
+        best = {s: cands[s][0][0] for s in set(surfaces) if s in cands}
+        urls, figs, scores = [], [], []
+        for s in surfaces:
+            cl = cands.get(s)
+            if cl is None:
+                urls.append(rules.NOT_IN_WIKI_PREFIX + s.replace(" ", "_"))
+                figs.append("none")
+                scores.append(0.0)
+                continue
+            ctx = {u for s2, u in best.items() if s2 != s}
+            chosen_url, chosen_score = None, None
+            for url, prior in cl:
+                sc = prior + (boost if url in ctx else 0.0)
+                if (
+                    chosen_score is None
+                    or sc > chosen_score
+                    or (sc == chosen_score and url < chosen_url)
+                ):  # (score desc, url asc) — same tie-break as the SQL oracle
+                    chosen_url, chosen_score = url, sc
+            fg = figer.get(chosen_url, "none")
+            urls.append(chosen_url)
+            figs.append(fg if fg != "" else "none")
+            scores.append(float(chosen_score))
+        pdf = pdf.copy()
+        pdf["url"] = urls
+        pdf["figer"] = figs
+        pdf["score"] = scores
+        return pdf
+
+    score = score_context if mode == "context" else score_prior
     # the groupBy below is itself the shuffle — no pre-repartition
     return mention_rows.groupBy("conv_id").applyInPandas(
         lambda key, pdf: score(pdf), schema=out_schema

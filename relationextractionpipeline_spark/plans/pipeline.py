@@ -71,6 +71,29 @@ def build_broadcasts(spark: SparkSession, entity_kb: DataFrame, figer_map: DataF
     return sc.broadcast(kb), sc.broadcast(kb_index), sc.broadcast(figer)
 
 
+def build_candidates_broadcast(spark: SparkSession, entity_kb: DataFrame):
+    """Broadcast the FULL candidate lists per surface — what a context-aware
+    disambiguator needs (the max-prior dict from build_broadcasts keeps only
+    the winner).  surface -> [(url, prior)] sorted (prior desc, url asc), so
+    index 0 is the deterministic max-prior candidate.  Same LIMIT-probe guard
+    as build_broadcasts."""
+    limit = 5_000_000
+    if entity_kb.limit(limit + 1).count() > limit:
+        raise ValueError(
+            "entity_kb too large for candidate-list broadcast; "
+            "use link_mentions_broadcast_join"
+        )
+    pdf: pd.DataFrame = entity_kb.toPandas()
+    cands: Dict[str, list] = {}
+    for surface, url, prior in pdf[["surface", "url", "prior"]].itertuples(
+        index=False
+    ):
+        cands.setdefault(surface, []).append((url, float(prior)))
+    for surface in cands:
+        cands[surface].sort(key=lambda c: (-c[1], c[0]))
+    return spark.sparkContext.broadcast(cands)
+
+
 def build_gazetteer_broadcast(spark: SparkSession, entity_kb: DataFrame):
     """Broadcast ONLY the surface→token-tuple gazetteer (mention detection).
 

@@ -35,7 +35,9 @@ SCALES = {"tiny": 20, "small": 2000, "bench": 30000, "scaling": 120000}
 
 # bump whenever the grammar/generator changes: cached parquet is valid for a
 # given generator version only, and the cache key is the directory name
-GEN_VERSION = 3
+# v4: +ambiguous aliases (Franklin/Turing/Hamilton), 16-entry MWT inventory,
+#     _xcomp_deep / _neg_xcomp / _neg_under_xcomp adversarial templates
+GEN_VERSION = 4
 
 
 def scale_dir(scale: str) -> str:
@@ -203,11 +205,45 @@ def _relative(rng):
     )
 
 
+def _xcomp_deep(rng):
+    """R5 depth-≥3 fixture: the object attaches to the FIRST verb (it sits
+    before the xcomp chain), so the pair gate passes with ent1head==ent2head
+    and the recursive xcomp descent appends every chained verb — pred is
+    ``v1.v2.v3[.v4]`` (binary_relation.py:193-204 recursion depth ≥ 2)."""
+    v1 = lx.VERBS[rng.choice(lx.XCOMP_VERBS)]
+    chain = [lx.VERBS[rng.choice(lx.XCOMP_VERBS)]
+             for _ in range(rng.randint(2, 3))]
+    tail = " ".join(f"to {v['base']}" for v in chain)
+    return f"{_ent(rng)} {v1['past']} {_arg(rng)} {tail}."
+
+
+def _neg_xcomp(rng):
+    """R7×R5 interaction fixture: negation on the MATRIX verb of an xcomp
+    bridge — emits ``NEG__`` with pred ``v1.v2`` (the advmod descent starts
+    at the predicate index, binary_relation.py:177-190, and the xcomp hop
+    passes the pair gate, :252)."""
+    v1 = lx.VERBS[rng.choice(lx.XCOMP_VERBS)]
+    v2 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_ent(rng)} not {v1['base']} to {v2['base']} {_arg(rng)}."
+
+
+def _neg_under_xcomp(rng):
+    """Parser-analog boundary fixture: ``to not V`` — the negation particle
+    sits between the marker and the verb, so the analog parser attaches the
+    verb as ``conj`` (not xcomp) and the pair gate rejects the pair: must
+    emit NOTHING.  Documents where the deterministic parser's xcomp
+    detection ends; the shared oracle agrees by construction."""
+    v1 = lx.VERBS[rng.choice(lx.XCOMP_VERBS)]
+    v2 = lx.VERBS[rng.choice(lx.PLAIN_VERBS)]
+    return f"{_ent(rng)} {v1['past']} to not {v2['base']} {_arg(rng)}."
+
+
 TEMPLATES = [
     (_svo, 22), (_particle, 10), (_xcomp1, 10), (_xcomp2, 4), (_prep, 10),
     (_neg, 8), (_neg_nested, 4), (_passive, 10), (_comcom, 6),
     (_entity_free, 6), (_multi, 6), (_adjacent, 4), (_mwt, 5),
-    (_conj, 5), (_relative, 4),
+    (_conj, 5), (_relative, 4), (_xcomp_deep, 4), (_neg_xcomp, 4),
+    (_neg_under_xcomp, 3),
 ]
 _TOTAL_W = sum(w for _, w in TEMPLATES)
 

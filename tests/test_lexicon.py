@@ -184,6 +184,28 @@ def test_mwt_sentence_yields_triples():
     assert trips[0]["obj"] == "archive"
 
 
+def test_mwt_inventory_full_roundtrip():
+    """Every contraction in the inventory (16 German preposition-article
+    forms, the range the reference's post-processor handles,
+    unstable_parser_post_proc.py:11-41) expands to its two syntax tokens,
+    records one MWT range, and round-trips exactly at the surface level."""
+    assert len(lx.CONTRACTIONS) >= 16
+    for c, parts in sorted(lx.CONTRACTIONS.items()):
+        s = f"Turing testified {c} archive."
+        full = lx.parse_sentence_full(s)
+        surface = [t["form"] for t in full["surface_tokens"]]
+        syntax = [t["form"] for t in full["tokens"]]
+        assert surface[2] == c
+        assert tuple(syntax[2:4]) == parts
+        assert full["mwt"] == [{"start": 3, "end": 4, "form": c}]
+        assert rules.detokenize_surface(surface) == s
+        d = _by_form(full["tokens"])
+        # expansion parses like an uncontracted prep+det pair
+        assert d[parts[0]]["upos"] == "ADP"
+        assert d[parts[1]]["deprel"] == "det"
+        assert d["archive"]["deprel"] == "obj"
+
+
 def test_multiword_numeric_and_unicode_surfaces():
     toks = lx.parse_sentence("42 audited São Paulo.")
     d = _by_form(toks)

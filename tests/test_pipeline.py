@@ -234,3 +234,66 @@ def test_link_variants_agree(spark, run, tiny_paths):
     )
     pc = in_row.toPandas().sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pc)
+
+
+def test_context_scorer_degrades_to_prior_without_context(spark, tiny_paths):
+    """mode='context' over conversations holding a SINGLE distinct surface
+    (incl. an unknown one): the context set is empty, every boost is 0 —
+    urls, figers AND scores must equal the max-prior scorer exactly."""
+    _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kb_bc, _kbi, figer_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+    rows = [
+        ("c1", 0, 0, 0, 1, 1, "Turing", "ner1", "ner"),
+        ("c1", 1, 0, 0, 1, 1, "Turing", "ner1", "ner"),
+        ("c2", 0, 0, 0, 1, 1, "Franklin", "ner1", "ner"),
+        ("c3", 0, 0, 0, 1, 1, "report", "com1", "com"),  # unknown → notInWiki
+    ]
+    sub = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, sent_idx int, mention_id int, "
+        "start_tok int, end_tok int, surface string, tag string, kind string",
+    )
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_id",
+            "url", "figer", "score"]
+    a = link.score_links_grouped(sub, kb_bc, figer_bc)
+    b = link.score_links_grouped(
+        sub, kb_bc, figer_bc, mode="context", cands_bc=cands_bc
+    )
+    pa = a.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pb = b.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_context_scorer_flips_alias_on_coreference(spark, tiny_paths):
+    """The ambiguous alias 'Franklin' links to Rosalind_Franklin on prior
+    alone, but flips to Benjamin_Franklin when the conversation also
+    mentions 'Benjamin Franklin' (within-conversation surface coreference);
+    a context-free conversation stays on the prior winner."""
+    _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kb_bc, _kbi, figer_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+    rows = [
+        ("c1", 0, 0, 0, 1, 2, "Benjamin Franklin", "ner1", "ner"),
+        ("c1", 1, 0, 0, 1, 1, "Franklin", "ner1", "ner"),
+        ("c2", 0, 0, 0, 1, 1, "Franklin", "ner1", "ner"),
+    ]
+    mention_rows = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, sent_idx int, mention_id int, "
+        "start_tok int, end_tok int, surface string, tag string, kind string",
+    )
+    prior = {
+        (r["conv_id"], r["surface"]): r["url"]
+        for r in link.score_links_grouped(mention_rows, kb_bc, figer_bc).collect()
+    }
+    ctx = {
+        (r["conv_id"], r["surface"]): r["url"]
+        for r in link.score_links_grouped(
+            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc
+        ).collect()
+    }
+    assert prior[("c1", "Franklin")].endswith("/Rosalind_Franklin")
+    assert ctx[("c1", "Franklin")].endswith("/Benjamin_Franklin")  # flipped
+    assert ctx[("c2", "Franklin")].endswith("/Rosalind_Franklin")  # no context
+    assert ctx[("c1", "Benjamin Franklin")].endswith("/Benjamin_Franklin")

@@ -142,6 +142,31 @@ def test_depth2_xcomp_emits_nothing():
     assert _triples("Ada Lovelace wanted to try to audit Berlin.") == []
 
 
+def test_r5_deep_xcomp_chain_object_on_matrix_verb():
+    """R5 depth ≥3: the object sits BEFORE the xcomp chain, so the pair gate
+    passes on ent1head==ent2head and the recursive descent
+    (binary_relation.py:193-204) appends every chained verb."""
+    (t,) = _triples("Ada Lovelace wanted Berlin to try to plan to audit.")
+    assert t["pred"] == "want.try.plan.audit"
+    # arg-1 still drops the suffixes (binary_relation.py:126)
+    assert "(want.1,want.try.plan.audit.2)" in t["rel"]
+
+
+def test_r7_negation_with_xcomp_bridge():
+    """R7×R5: negation on the matrix verb of an xcomp bridge — advmod
+    descent starts at the predicate index (binary_relation.py:177-190),
+    the xcomp hop passes the pair gate (:252)."""
+    (t,) = _triples("Ada Lovelace not want to audit Berlin.")
+    assert t["pred"] == "want.audit"
+    assert t["neg"] is True and t["rel"].startswith("(NEG__(")
+
+
+def test_to_not_verb_emits_nothing():
+    """Parser-analog boundary: 'to not V' breaks the TO-adjacency xcomp
+    detection, the verb attaches as conj, the gate rejects the pair."""
+    assert _triples("Ada Lovelace wanted to not audit Berlin.") == []
+
+
 def test_r6_preposition_suffix():
     (t,) = _triples("Ada Lovelace relied on Berlin.")
     assert t["pred"] == "rely.on"
