@@ -359,6 +359,62 @@ _UPOS_XPOS = {
 Token = Dict[str, object]  # {id, form, lemma, upos, xpos, head, deprel}
 
 
+class Sent:
+    """Struct-of-arrays token table — the hot-path representation.
+
+    Same fields as the CoNLL-U-shaped ``Token`` dicts (1-based ids are
+    implicit: token ``i`` has id ``i+1``; ``heads`` hold 1-based head ids,
+    0 = root), but stored as six parallel lists: the rule core then does
+    list indexing instead of per-token dict hashing, and the parser emits
+    no per-token dict at all.  Converted to dicts only at Arrow/schema
+    boundaries (``sent_to_dicts``); anything dict-shaped (including
+    pyspark Rows) converts in with ``as_soa``.
+    """
+
+    __slots__ = ("forms", "lemmas", "upos", "xpos", "heads", "deprels")
+
+    def __init__(self, forms, lemmas, upos, xpos, heads, deprels):
+        self.forms = forms
+        self.lemmas = lemmas
+        self.upos = upos
+        self.xpos = xpos
+        self.heads = heads
+        self.deprels = deprels
+
+    def __len__(self) -> int:
+        return len(self.forms)
+
+
+def as_soa(tokens) -> "Sent":
+    """Sequence of dict-like tokens (dicts or pyspark Rows, positional
+    order) → Sent.  The one-listcomp-per-field cost replaces the per-field
+    dict lookups the rule core would otherwise do on every access."""
+    return Sent(
+        [str(t["form"]) for t in tokens],
+        [str(t["lemma"]) for t in tokens],
+        [str(t["upos"]) for t in tokens],
+        [str(t["xpos"]) for t in tokens],
+        [int(t["head"]) for t in tokens],
+        [str(t["deprel"]) for t in tokens],
+    )
+
+
+def sent_to_dicts(sent: "Sent") -> List[Token]:
+    """Sent → the CoNLL-U-shaped dicts the Spark schemas and tests read."""
+    return [
+        {
+            "id": i + 1,
+            "form": sent.forms[i],
+            "lemma": sent.lemmas[i],
+            "upos": sent.upos[i],
+            "xpos": sent.xpos[i],
+            "head": sent.heads[i],
+            "deprel": sent.deprels[i],
+        }
+        for i in range(len(sent.forms))
+    ]
+
+
 def _entity_chunks(forms: Sequence[str], cats: Sequence[str]) -> List[Tuple[int, int]]:
     """Split PROPN runs into per-entity chunks via KB longest-match.
 
@@ -441,7 +497,7 @@ def parse_sentence_full(sentence: str) -> Dict[str, object]:
     limited to."""
     surface_forms = tokenize(sentence)
     syntax_forms, mwt = expand_contractions(surface_forms)
-    tokens = _parse_forms(syntax_forms)
+    tokens = sent_to_dicts(_parse_forms(syntax_forms))
     return {
         "surface_tokens": [
             {"id": i + 1, "form": f} for i, f in enumerate(surface_forms)
@@ -458,13 +514,20 @@ def parse_sentence(sentence: str) -> List[Token]:
     ``nltk.parse.DependencyGraph`` (``helper_functions.py:11-30``): 1-based
     ``id``, ``head`` (0 = root), and the deprels the extraction rules read
     (``binary_relation.py:243-266``).  MWT contractions are expanded first
-    (P6); use ``parse_sentence_full`` when the surface list is also needed.
+    (P6); use ``parse_sentence_full`` when the surface list is also needed,
+    ``parse_sentence_soa`` on the hot path (no per-token dicts).
     """
+    return sent_to_dicts(parse_sentence_soa(sentence))
+
+
+def parse_sentence_soa(sentence: str) -> Sent:
+    """Hot-path parse: same semantics as ``parse_sentence``, emitted as the
+    struct-of-arrays ``Sent`` (no per-token dict construction)."""
     forms, _mwt = expand_contractions(tokenize(sentence))
     return _parse_forms(forms)
 
 
-def _parse_forms(forms: List[str]) -> List[Token]:
+def _parse_forms(forms: List[str]) -> Sent:
     n = len(forms)
     cats = [classify(f) for f in forms]
     heads = [0] * n
@@ -641,24 +704,12 @@ def _parse_forms(forms: List[str]) -> List[Token]:
             heads[i] = (v + 1) if v is not None else root + 1
             rels[i] = "mark"
 
-    # --- emit ---------------------------------------------------------------
-    out: List[Token] = []
+    # --- emit (struct-of-arrays; dicts only at schema boundaries) -----------
+    upos_l: List[str] = [""] * n
+    xpos_l: List[str] = [""] * n
+    lemmas: List[str] = [""] * n
     for i in range(n):
         c = cats[i]
-        upos, xpos = _UPOS_XPOS[c]
-        if c == CAT_VERB:
-            lemma = VERB_FORM_TO_LEMMA[forms[i]]
-        else:
-            lemma = forms[i]
-        out.append(
-            {
-                "id": i + 1,
-                "form": forms[i],
-                "lemma": lemma,
-                "upos": upos,
-                "xpos": xpos,
-                "head": heads[i],
-                "deprel": rels[i],
-            }
-        )
-    return out
+        upos_l[i], xpos_l[i] = _UPOS_XPOS[c]
+        lemmas[i] = VERB_FORM_TO_LEMMA[forms[i]] if c == CAT_VERB else forms[i]
+    return Sent(list(forms), lemmas, upos_l, xpos_l, heads, rels)

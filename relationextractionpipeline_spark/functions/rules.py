@@ -25,6 +25,15 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from relationextractionpipeline_spark.functions import lexicon as _lx
+
+
+def _ensure_sent(tokens) -> "_lx.Sent":
+    """Normalize any token representation (Sent, list of dicts, list of
+    pyspark Rows) to the struct-of-arrays Sent — the rule core indexes
+    parallel lists instead of hashing per-token dicts on every access."""
+    return tokens if isinstance(tokens, _lx.Sent) else _lx.as_soa(tokens)
+
 # ---------------------------------------------------------------------------
 # T1 — sentence segmentation (analog of NLTK Punkt, preprocessing.py:101-112)
 # ---------------------------------------------------------------------------
@@ -105,16 +114,18 @@ def _gaz_first(kb_index: Dict[Tuple[str, ...], str]) -> Dict[str, List[int]]:
     return got
 
 
-def ner_tags(tokens: Sequence[Dict], kb_index: Dict[Tuple[str, ...], str],
+def ner_tags(tokens, kb_index: Dict[Tuple[str, ...], str],
              max_len: int = 3) -> List[str]:
     """Named-entity tags per token: longest-match gazetteer over KB surfaces
     plus a capitalized-run fallback (deterministic Stanford-NER analog,
     ner.py:108-143).  Output alphabet mirrors nel.py: '0' or 'ner{k}' with k
     incrementing per new entity left-to-right (nel.py:204 boundary rule).
     """
+    sent = _ensure_sent(tokens)
     first = _gaz_first(kb_index)
-    n = len(tokens)
-    forms = [str(t["form"]) for t in tokens]
+    forms = sent.forms
+    upos = sent.upos
+    n = len(forms)
     tags = ["0"] * n
     counter = 0
 
@@ -134,10 +145,10 @@ def ner_tags(tokens: Sequence[Dict], kb_index: Dict[Tuple[str, ...], str],
             for k in range(matched):
                 tags[i + k] = f"ner{counter}"
             i += matched
-        elif tokens[i]["upos"] == "PROPN":
+        elif upos[i] == "PROPN":
             counter += 1
             j = i
-            while j < n and tokens[j]["upos"] == "PROPN" and tags[j] == "0":
+            while j < n and upos[j] == "PROPN" and tags[j] == "0":
                 # stop the fallback run where a KB match would begin
                 if j > i and match_at(j):
                     break
@@ -149,7 +160,7 @@ def ner_tags(tokens: Sequence[Dict], kb_index: Dict[Tuple[str, ...], str],
     return tags
 
 
-def noun_tags(tokens: Sequence[Dict]) -> List[str]:
+def noun_tags(tokens) -> List[str]:
     """Common-entity tags: contiguous NOUN runs become one 'com{k}' span.
 
     Two-step analog of the reference: NOUN projection
@@ -157,11 +168,12 @@ def noun_tags(tokens: Sequence[Dict]) -> List[str]:
     (nel.py:179-208 — same non-O tag and no 'B-' prefix ⇒ contiguous run is a
     single span).
     """
-    tags = ["0"] * len(tokens)
+    upos = _ensure_sent(tokens).upos
+    tags = ["0"] * len(upos)
     counter = 0
     prev_noun = False
-    for i, t in enumerate(tokens):
-        if t["upos"] == "NOUN":
+    for i, u in enumerate(upos):
+        if u == "NOUN":
             if not prev_noun:
                 counter += 1
             tags[i] = f"com{counter}"
@@ -189,13 +201,14 @@ def merge_tags(ner: Sequence[str], com: Sequence[str]) -> List[str]:
     return merged
 
 
-def spans_from_tags(tokens: Sequence[Dict], tags: Sequence[str]) -> List[Dict]:
+def spans_from_tags(tokens, tags: Sequence[str]) -> List[Dict]:
     """A3 — fold the merged tag sequence into mention spans.
 
     Returns mentions ``{start_tok, end_tok, surface, tag, kind}`` with
     1-based token offsets (the reference keys its map by ``start+1``,
     nel.py:107) and ``kind = tag[0:3]`` ('ner'/'com', nel.py:308).
     """
+    forms = _ensure_sent(tokens).forms
     mentions: List[Dict] = []
     cur_tag = "0"
     start = -1
@@ -203,7 +216,7 @@ def spans_from_tags(tokens: Sequence[Dict], tags: Sequence[str]) -> List[Dict]:
         tag = tags[i] if i < len(tags) else "0"
         if tag != cur_tag:
             if cur_tag != "0":
-                surface = " ".join(str(tokens[k]["form"]) for k in range(start, i))
+                surface = " ".join(forms[start:i])
                 mentions.append(
                     {
                         "start_tok": start + 1,
@@ -218,7 +231,7 @@ def spans_from_tags(tokens: Sequence[Dict], tags: Sequence[str]) -> List[Dict]:
     return mentions
 
 
-def detect_mentions(tokens: Sequence[Dict],
+def detect_mentions(tokens,
                     kb_index: Dict[Tuple[str, ...], str],
                     include_common: bool = True,
                     fuse_adjacent: bool = False) -> List[Dict]:
@@ -229,6 +242,7 @@ def detect_mentions(tokens: Sequence[Dict],
     ``fuse_adjacent=True`` mirrors that path's fusing of adjacent NE spans
     into one mention (``ner_nel.py:139-142``).
     """
+    tokens = _ensure_sent(tokens)
     nt = ner_tags(tokens, kb_index)
     if fuse_adjacent:
         fused: List[str] = []
@@ -280,71 +294,72 @@ def link_mention(surface: str,
 # ---------------------------------------------------------------------------
 
 
-def _deps(tokens: Sequence[Dict]) -> Dict[int, Dict[str, List[int]]]:
+def _deps(sent) -> Dict[int, Dict[str, List[int]]]:
     """head-id -> deprel -> [child ids] (the reference's node['deps'])."""
     deps: Dict[int, Dict[str, List[int]]] = {}
-    for t in tokens:
-        h = int(t["head"])
-        deps.setdefault(h, {}).setdefault(str(t["deprel"]), []).append(int(t["id"]))
+    heads = sent.heads
+    deprels = sent.deprels
+    for i in range(len(heads)):
+        deps.setdefault(heads[i], {}).setdefault(deprels[i], []).append(i + 1)
     return deps
 
 
-def _negation(tokens: Sequence[Dict], deps, i: int, neg: bool) -> bool:
+def _negation(sent, deps, i: int, neg: bool) -> bool:
     """R7 — recursive advmod descent looking for xpos PTKNEG
     (binary_relation.py:177-190)."""
-    if i < 1 or i > len(tokens):
+    if i < 1 or i > len(sent.forms):
         return neg
     children = deps.get(i, {}).get("advmod", [])
     for n_ in children:
-        if tokens[n_ - 1]["xpos"] == "PTKNEG":
+        if sent.xpos[n_ - 1] == "PTKNEG":
             neg = True
     for n_ in children:
-        neg = _negation(tokens, deps, n_, neg)
+        neg = _negation(sent, deps, n_, neg)
     return neg
 
 
-def _xcomp_modifiers(tokens: Sequence[Dict], deps, i: int, mods: List[int]) -> List[int]:
+def _xcomp_modifiers(sent, deps, i: int, mods: List[int]) -> List[int]:
     """R5 — recursive xcomp descent, skipping PTKNEG (binary_relation.py:193-204)."""
     for n_ in deps.get(i, {}).get("xcomp", []):
-        if tokens[n_ - 1]["xpos"] != "PTKNEG":
+        if sent.xpos[n_ - 1] != "PTKNEG":
             mods.append(n_)
-            mods = _xcomp_modifiers(tokens, deps, n_, mods)
+            mods = _xcomp_modifiers(sent, deps, n_, mods)
     return mods
 
 
-def _predicate(tokens: Sequence[Dict], deps, ent1: Dict, ent2: Dict) -> Tuple[str, int, bool]:
+def _predicate(sent, deps, ent1: Dict, ent2: Dict) -> Tuple[str, int, bool]:
     """R1-R6 + R8 detect — predicate linking two mentions
     (binary_relation.py:236-267)."""
     pred_string = ""
     pred_index = -1
     passive = False
-    t1 = tokens[int(ent1["start_tok"]) - 1]
-    t2 = tokens[int(ent2["start_tok"]) - 1]
-    ent1rel = t1["deprel"]
-    ent2rel = t2["deprel"]
+    i1 = int(ent1["start_tok"]) - 1
+    i2 = int(ent2["start_tok"]) - 1
+    ent1rel = sent.deprels[i1]
+    ent2rel = sent.deprels[i2]
     if ent1rel in ("nsubj", "nsubj:pass", "dep") and ent2rel in ("obj", "obl", "dep"):
         if ent1rel == "nsubj:pass":
             passive = True
-        ent1head = int(t1["head"])
-        ent2head = int(t2["head"])
+        ent1head = sent.heads[i1]
+        ent2head = sent.heads[i2]
         if ent2head >= 1:
-            ent2headhead = int(tokens[ent2head - 1]["head"])
-            ent2headrel = tokens[ent2head - 1]["deprel"]
+            ent2headhead = sent.heads[ent2head - 1]
+            ent2headrel = sent.deprels[ent2head - 1]
         else:
             ent2headhead, ent2headrel = -1, ""
         if ent1head == ent2head or (ent2headhead == ent1head and ent2headrel == "xcomp"):
             if ent1head >= 1:
-                pred_string = str(tokens[ent1head - 1]["lemma"])
+                pred_string = sent.lemmas[ent1head - 1]
                 pred_index = ent1head
                 # R4 — particle verbs
                 for prt in deps.get(ent1head, {}).get("compound:prt", []):
-                    pred_string += "_" + str(tokens[prt - 1]["lemma"])
+                    pred_string += "_" + sent.lemmas[prt - 1]
                 # R5 — xcomp modifiers
-                for mod in _xcomp_modifiers(tokens, deps, pred_index, []):
-                    pred_string += "." + str(tokens[mod - 1]["lemma"])
+                for mod in _xcomp_modifiers(sent, deps, pred_index, []):
+                    pred_string += "." + sent.lemmas[mod - 1]
                 # R6 — prepositions (case children of ent2's start token)
-                for prep in deps.get(int(ent2["start_tok"]), {}).get("case", []):
-                    pred_string += "." + str(tokens[prep - 1]["lemma"])
+                for prep in deps.get(i2 + 1, {}).get("case", []):
+                    pred_string += "." + sent.lemmas[prep - 1]
     return pred_string, pred_index, passive
 
 
@@ -397,7 +412,7 @@ def render_human_string(subj: str, obj: str, pred: str, subj_figer: str,
     )
 
 
-def extract_relations(tokens: Sequence[Dict], mentions: Sequence[Dict]) -> List[Dict]:
+def extract_relations(tokens, mentions: Sequence[Dict]) -> List[Dict]:
     """J6 + P8-P10 + R1-R9: emit triples for one sentence.
 
     ``mentions`` carry link fields ``url`` and ``figer``.  Mirrors
@@ -405,7 +420,8 @@ def extract_relations(tokens: Sequence[Dict], mentions: Sequence[Dict]) -> List[
     pairs dropped (P8), self pairs dropped (P9), empty predicates dropped
     (P10), passive pairs swapped (R8).
     """
-    deps = _deps(tokens)
+    sent = _ensure_sent(tokens)
+    deps = _deps(sent)
     out: List[Dict] = []
     for a in range(len(mentions)):
         for b in range(len(mentions)):
@@ -414,8 +430,8 @@ def extract_relations(tokens: Sequence[Dict], mentions: Sequence[Dict]) -> List[
             e1, e2 = mentions[a], mentions[b]
             if e1["kind"] == "com" and e2["kind"] == "com":
                 continue
-            pred_string, pred_index, passive = _predicate(tokens, deps, e1, e2)
-            negation = _negation(tokens, deps, pred_index, False)
+            pred_string, pred_index, passive = _predicate(sent, deps, e1, e2)
+            negation = _negation(sent, deps, pred_index, False)
             if passive:
                 e1, e2 = e2, e1
             if pred_string != "":

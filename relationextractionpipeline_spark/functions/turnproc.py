@@ -57,7 +57,7 @@ def _sentence_triples(
     _SENT_CACHE["lookups"] += 1
     got = m.get(sent)
     if got is None:
-        tokens = lx.parse_sentence(sent)
+        tokens = lx.parse_sentence_soa(sent)  # hot path: no per-token dicts
         mentions = rules.detect_mentions(tokens, kb_index)
         for mm in mentions:
             url, fg = rules.link_mention(str(mm["surface"]), kb, figer)

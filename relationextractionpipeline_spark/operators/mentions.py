@@ -31,7 +31,7 @@ def make_mentions_udf(kb_index_bc: Broadcast, include_common: bool = True,
         kb_index: Dict[Tuple[str, ...], str] = kb_index_bc.value
         return tokens.map(
             lambda toks: rules.detect_mentions(
-                list(toks), kb_index,
+                toks, kb_index,  # Arrow structs normalize via rules._ensure_sent
                 include_common=include_common, fuse_adjacent=fuse_adjacent,
             )
         )

@@ -21,7 +21,7 @@ from relationextractionpipeline_spark.plans import schemas
 def triples_udf(tokens: pd.Series, mentions: pd.Series) -> pd.Series:
     return pd.Series(
         [
-            rules.extract_relations(list(t), [dict(m) for m in ms])
+            rules.extract_relations(t, ms)  # Arrow structs arrive dict-shaped
             for t, ms in zip(tokens, mentions)
         ]
     )

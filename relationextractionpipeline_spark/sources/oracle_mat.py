@@ -153,7 +153,7 @@ def mention_rows(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
         for sent_idx, (_li, sent) in enumerate(
             rules.segment_text_with_lines(text or "")
         ):
-            tokens = lx.parse_sentence(sent)
+            tokens = lx.parse_sentence_soa(sent)
             for mid, m in enumerate(rules.detect_mentions(tokens, kb_index)):
                 rows.append(
                     {
