@@ -543,6 +543,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_topk_lsh"] = q_embed_topk_lsh
 
+    def q_embed_topk_lsh_multi(spark, sf_dir):
+        """Multi-table LSH (4 independent 6-plane tables): the standard
+        recall remedy once single-table LSH's recall number (bench.py
+        ann_recall_at_5) exposes how little one table finds on weakly
+        structured vectors — recall per true neighbor is 1-(1-p^6)^4
+        instead of p^8."""
+        if _small_scale(sf_dir):
+            oracle_mat.lsh_multi_aux(sf_dir)
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.lsh_multi_topk(
+            emb, qs, k=5, n_planes=6, n_tables=4
+        ).select("query_id", "neighbor_id", "cos", "rank")
+
+    q["q_embed_topk_lsh_multi"] = q_embed_topk_lsh_multi
+
     def q_embed_topk_ivf(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)
@@ -1108,6 +1126,34 @@ def oracle_sql() -> dict[str, str]:
                 JOIN bk cb ON cb.bucket = qb.bucket
                 JOIN embeddings ce ON ce.vec_id = cb.vec_id
                 WHERE qe.vec_id % 100 = 0 AND ce.vec_id <> qe.vec_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC
+                       ) AS rank
+                FROM j
+            ) WHERE rank <= 5
+        """,
+        "q_embed_topk_lsh_multi": f"""
+            WITH bk AS (
+                SELECT vec_id, table_idx, bucket
+                FROM read_parquet('{aux}/lsh_multi_p6t4.parquet')
+            ),
+            cand AS (
+                SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+                FROM bk qb
+                JOIN bk cb
+                  ON cb.table_idx = qb.table_idx AND cb.bucket = qb.bucket
+                WHERE qb.vec_id % 100 = 0 AND cb.vec_id <> qb.vec_id
+            ),
+            j AS (
+                SELECT ca.query_id, ca.neighbor_id,
+                       {_cos("qe.embedding", "ce.embedding")} AS cos
+                FROM cand ca
+                JOIN embeddings qe ON qe.vec_id = ca.query_id
+                JOIN embeddings ce ON ce.vec_id = ca.neighbor_id
             )
             SELECT query_id, neighbor_id, cos, rank FROM (
                 SELECT query_id, neighbor_id, cos,

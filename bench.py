@@ -139,8 +139,8 @@ def main() -> None:
 
     exact = _topk_sets("q_embed_topk")
     recalls: dict[str, float] = {}
-    for name in ("q_embed_topk_lsh", "q_embed_topk_ivf",
-                 "q_embed_topk_pq", "q_embed_topk_ivfpq"):
+    for name in ("q_embed_topk_lsh", "q_embed_topk_lsh_multi",
+                 "q_embed_topk_ivf", "q_embed_topk_pq", "q_embed_topk_ivfpq"):
         approx = _topk_sets(name)
         vals = [
             len(approx.get(q_, set()) & nbrs) / len(nbrs)

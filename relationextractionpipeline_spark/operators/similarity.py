@@ -155,6 +155,86 @@ def lsh_bucketed_topk(
     )
 
 
+def hyperplane_buckets_multi(
+    mat: "np.ndarray", n_planes: int, dim: int, n_tables: int, seed: int = 42
+) -> "np.ndarray":
+    """(n, n_tables) bucket ids — one independent hyperplane table per
+    column (seeds ``seed + 1000·t``).  Shared by the Spark UDF and the
+    sequential oracle materialization."""
+    return np.stack(
+        [
+            hyperplane_buckets(mat, n_planes, dim, seed + 1000 * t)
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )
+
+
+def _hyperplane_bucket_multi_udf(n_planes: int, dim: int, n_tables: int,
+                                 seed: int = 42):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.map(np.asarray).to_numpy())
+        out = hyperplane_buckets_multi(mat, n_planes, dim, n_tables, seed)
+        return pd.Series([row.tolist() for row in out])
+
+    return buckets
+
+
+def lsh_multi_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table hyperplane LSH top-k — the standard recall remedy for
+    single-table LSH (recall per true neighbor rises from p^b to
+    1-(1-p^b)^L): candidates are the UNION over L independent tables of
+    same-bucket pairs, deduplicated BEFORE any vector math, then scored
+    exactly once.
+
+    Plan shape: corpus/query bucket tables are narrow (id + 2 ints, L rows
+    per vector); the candidate join is (table_idx, bucket)-keyed; vectors
+    join back only for distinct candidate pairs, so the expensive cosine is
+    candidate-bound, never L×-duplicated.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    bucket_udf = _hyperplane_bucket_multi_udf(n_planes, dim, n_tables)
+    cb = c.select(
+        "neighbor_id",
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+    qb = q.select(
+        query_id_col,
+        F.posexplode(bucket_udf(F.col("_qvec"))).alias("table_idx", "bucket"),
+    )
+    cand = (
+        cb.join(qb, ["table_idx", "bucket"])
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q), query_id_col)
+        .join(c, "neighbor_id")
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
 def train_centroids(
     mat: "np.ndarray", n_clusters: int, seed: int = 42, iters: int = 10
 ) -> "np.ndarray":

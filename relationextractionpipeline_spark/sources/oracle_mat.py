@@ -443,6 +443,36 @@ def embed_aux(
     return out
 
 
+def lsh_multi_aux(
+    sf_dir: str, n_planes: int = 6, n_tables: int = 4
+) -> str:
+    """(vec_id, table_idx, bucket) rows for multi-table hyperplane LSH,
+    via the shared numpy function (similarity.hyperplane_buckets_multi)."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    adir = aux_dir(sf_dir)
+    dst = os.path.join(adir, f"lsh_multi_p{n_planes}t{n_tables}.parquet")
+    if os.path.exists(dst):
+        return dst
+    emb, mat = _load_embeddings(sf_dir)
+    buckets = similarity.hyperplane_buckets_multi(
+        mat, n_planes, mat.shape[1], n_tables
+    )
+    _publish(
+        pd.DataFrame(
+            {
+                "vec_id": np.repeat(emb["vec_id"].to_numpy(), n_tables),
+                "table_idx": np.tile(
+                    np.arange(n_tables, dtype=np.int32), len(emb)
+                ),
+                "bucket": buckets.reshape(-1).astype("int32"),
+            }
+        ),
+        dst,
+    )
+    return dst
+
+
 def pq_aux(
     sf_dir: str, n_sub: int = 8, n_codes: int = 16, query_mod: int = 100
 ) -> Dict[str, str]:

@@ -113,6 +113,23 @@ def test_ngram_jaccard_df_cap_bounds_boilerplate_blowup(spark):
 
 # --- similarity --------------------------------------------------------------
 
+def test_lsh_multi_recall_dominates_single_table(spark, emb):
+    """Multi-table LSH candidates are a superset of single-table's (table 0
+    shares the single table's seed), so recall against the exact top-k can
+    only go up; self-pairs stay excluded and ranks stay deterministic."""
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    exact = pairs(similarity.brute_force_topk(emb, qs, k=5))
+    single = pairs(similarity.lsh_bucketed_topk(emb, qs, k=5, n_planes=6))
+    multi = pairs(similarity.lsh_multi_topk(emb, qs, k=5, n_planes=6, n_tables=4))
+    assert len(multi & exact) >= len(single & exact)
+    assert all(q != n for q, n in multi)  # no self matches
+    spark.catalog.clearCache()
+
+
 def test_brute_force_topk_self_similarity(spark, emb):
     # plant an exact copy: its top-1 neighbor must be the original with cos≈1
     q = emb.limit(1).select(
