@@ -44,8 +44,11 @@ def parse_args(argv):
                                    "(tiny|small|bench|scaling)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--mode", default="fused",
-                   choices=["fused", "staged", "staged-joinlink",
-                            "checkpointed", "partitioned"])
+                   choices=["auto", "fused", "staged", "staged-joinlink",
+                            "checkpointed", "partitioned"],
+                   help="'auto' probes the KB size and picks fused "
+                        "(dict-broadcast linking) vs staged-joinlink "
+                        "(relational linking) automatically")
     p.add_argument("--checkpoint-dir",
                    help="manifest dir (mode=checkpointed|partitioned)")
     p.add_argument("--group-size", type=int, default=8,

@@ -223,6 +223,14 @@ def run_fused(
     )
 
 
+# Above this many candidate rows the KB stops shipping to workers as a
+# Python dict broadcast and linking becomes relational joins (staged-joinlink).
+# Well under build_broadcasts' hard 5M guard: the dict costs ~100B+/entry in
+# every Python worker, so 2M rows ≈ a few hundred MB per worker — the point
+# where the one-extra-shuffle join path is the cheaper trade.
+AUTO_JOINLINK_KB_ROWS = 2_000_000
+
+
 def run_pipeline(
     spark: SparkSession,
     paths: Dict[str, str],
@@ -237,10 +245,21 @@ def run_pipeline(
     (``preprocessing.py:46``, ``helper_functions.py:94-107``).  Rebalancing is
     round-robin (no key): the extract path is embarrassingly parallel over
     turns, so no co-location is needed and no key skew is possible.
+
+    ``mode='auto'`` probes the KB size (one LIMIT job) and selects the
+    linking strategy: dict-broadcast fused path while the KB fits worker
+    memory, relational ``staged-joinlink`` beyond ``AUTO_JOINLINK_KB_ROWS``
+    — the selection the two equality-tested paths existed for.
     """
     transcripts, entity_kb, figer_map = load_inputs(spark, paths)
     if input_partitions:
         transcripts = transcripts.repartition(input_partitions)
+    if mode == "auto":
+        big_kb = (
+            entity_kb.limit(AUTO_JOINLINK_KB_ROWS + 1).count()
+            > AUTO_JOINLINK_KB_ROWS
+        )
+        mode = "staged-joinlink" if big_kb else "fused"
     if mode == "staged-joinlink":
         # big-KB path: never driver-collects the candidate table
         kbi_bc = build_gazetteer_broadcast(spark, entity_kb)

@@ -236,6 +236,22 @@ def test_link_variants_agree(spark, run, tiny_paths):
     pd.testing.assert_frame_equal(pa, pc)
 
 
+def test_auto_mode_selects_linker_by_kb_size(spark, tiny_paths, monkeypatch):
+    """mode='auto': dict-broadcast fused path while the KB is small,
+    relational staged-joinlink beyond the row threshold — same triples
+    either way (the two paths are equality-tested; this pins the switch)."""
+    auto = pipeline.run_pipeline(spark, tiny_paths, mode="auto")
+    assert "links" not in auto  # fused selection (tiny KB)
+    monkeypatch.setattr(pipeline, "AUTO_JOINLINK_KB_ROWS", 5)
+    auto_big = pipeline.run_pipeline(spark, tiny_paths, mode="auto")
+    assert "links" in auto_big  # joinlink selection
+    cols = ["conv_id", "turn_idx", "sent_idx", "rel"]
+    a = {tuple(r) for r in auto["triples"].select(cols).collect()}
+    b = {tuple(r) for r in auto_big["triples"].select(cols).collect()}
+    assert a == b
+    spark.catalog.clearCache()
+
+
 def test_context_scorer_degrades_to_prior_without_context(spark, tiny_paths):
     """mode='context' over conversations holding a SINGLE distinct surface
     (incl. an unknown one): the context set is empty, every boost is 0 —
