@@ -138,17 +138,37 @@ def main() -> None:
         return d
 
     exact = _topk_sets("q_embed_topk")
-    recalls: dict[str, float] = {}
-    for name in ("q_embed_topk_lsh", "q_embed_topk_lsh_multi",
-                 "q_embed_topk_ivf", "q_embed_topk_pq", "q_embed_topk_ivfpq"):
-        approx = _topk_sets(name)
+
+    def _recall(approx: dict) -> float | None:
         vals = [
             len(approx.get(q_, set()) & nbrs) / len(nbrs)
             for q_, nbrs in exact.items() if nbrs
         ]
-        recalls[name.replace("q_embed_topk_", "")] = (
-            round(sum(vals) / len(vals), 4) if vals else None
-        )
+        return round(sum(vals) / len(vals), 4) if vals else None
+
+    recalls: dict[str, float | None] = {}
+    for name in ("q_embed_topk_lsh", "q_embed_topk_lsh_multi",
+                 "q_embed_topk_ivf", "q_embed_topk_pq", "q_embed_topk_ivfpq"):
+        recalls[name.replace("q_embed_topk_", "")] = _recall(_topk_sets(name))
+
+    # IVF recall curve over nprobe — the knob a user actually turns; recall
+    # approaches exact as nprobe → n_clusters, cost grows with probed cells
+    from relationextractionpipeline_spark.operators import similarity as _sim
+
+    ivf_curve: dict[str, float | None] = {}
+    emb_df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q_df = emb_df.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for nprobe in (2, 4, 8):
+        pdf = _sim.ivf_topk(
+            emb_df, q_df, k=5, n_clusters=16, nprobe=nprobe
+        ).select("query_id", "neighbor_id").toPandas()
+        d: dict = {}
+        for q_, n_ in zip(pdf["query_id"], pdf["neighbor_id"]):
+            d.setdefault(q_, set()).add(n_)
+        ivf_curve[f"nprobe{nprobe}"] = _recall(d)
+        spark.catalog.clearCache()
 
     n_turns = spark.read.parquet(paths["transcripts"]).count()
     kg_sec = timings["kg_triples"]
@@ -164,6 +184,7 @@ def main() -> None:
         "kg_triples": counts["kg_triples"],
         "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
         "ann_recall_at_5": recalls,
+        "ivf_recall_curve": ivf_curve,
     }
     spark.stop()
     print(json.dumps(out))

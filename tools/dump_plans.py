@@ -41,6 +41,9 @@ def main() -> None:
     sections = [
         ("Fused extract path (turns → triples) — must contain no Exchange",
          run["triples"]),
+        ("Staged extract path — each Arrow UDF stage appears EXACTLY once "
+         "(the asNondeterministic fences stop InferFiltersFromGenerate from "
+         "cloning the chain into inferred filters)", staged["triples"]),
         ("Conversation assembly (W2) — exactly one hash-partition Exchange, "
          "partial+final aggregate", run["assembled"]),
         ("Linker broadcast joins (J3) — BroadcastHashJoin, never SortMerge",
@@ -61,6 +64,17 @@ def main() -> None:
          "windowed shortlist, one narrow join back to full vectors",
          __import__("relationextractionpipeline_spark.operators.similarity",
                     fromlist=["similarity"]).ivf_pq_topk(
+             spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                 "vec_id", "embedding"),
+             spark.read.parquet(f"{SF}/embeddings.parquet").where(
+                 F.col("vec_id") % 100 == 0).select(
+                 F.col("vec_id").alias("query_id"), "embedding"),
+             k=5)),
+        ("Multi-table LSH top-k — (table_idx, bucket)-keyed candidate join, "
+         "distinct pairs BEFORE the vector joins (cosine is candidate-bound, "
+         "never L-times duplicated)",
+         __import__("relationextractionpipeline_spark.operators.similarity",
+                    fromlist=["similarity"]).lsh_multi_topk(
              spark.read.parquet(f"{SF}/embeddings.parquet").select(
                  "vec_id", "embedding"),
              spark.read.parquet(f"{SF}/embeddings.parquet").where(
