@@ -601,7 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return similarity.ivf_pq_topk(
-            emb, qs, k=5, n_clusters=16, nprobe=4, shortlist=25
+            emb, qs, k=5, n_clusters=16, nprobe=4, shortlist=50
         ).select("query_id", "neighbor_id", "cos", "rank")
 
     q["q_embed_topk_ivfpq"] = q_embed_topk_ivfpq
@@ -1230,7 +1230,7 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY adc_dist ASC, neighbor_id ASC
                            ) AS arank
                     FROM adc
-                ) WHERE arank <= 25
+                ) WHERE arank <= 50
             )
             SELECT query_id, neighbor_id, cos, rank FROM (
                 SELECT s.query_id, s.neighbor_id,
