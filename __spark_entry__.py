@@ -579,12 +579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         to 4-bit-per-subvector codes distributed; queries rank neighbors via
         a broadcast lookup table — full-precision vectors never shuffle."""
         if _small_scale(sf_dir):
-            oracle_mat.pq_aux(sf_dir)
+            oracle_mat.pq_aux(sf_dir, n_codes=64)
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return similarity.pq_topk(emb, qs, k=5).select(
+        return similarity.pq_topk(emb, qs, k=5, n_codes=64).select(
             "query_id", "neighbor_id", "adc_dist", "rank"
         )
 
@@ -595,13 +595,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         distance over 4-bit codes → exact-cosine re-rank of the shortlist."""
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)
-            oracle_mat.pq_aux(sf_dir)
+            oracle_mat.pq_aux(sf_dir, n_codes=64)
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return similarity.ivf_pq_topk(
-            emb, qs, k=5, n_clusters=16, nprobe=4, shortlist=50
+            emb, qs, k=5, n_clusters=16, nprobe=4, shortlist=50, n_codes=64
         ).select("query_id", "neighbor_id", "cos", "rank")
 
     q["q_embed_topk_ivfpq"] = q_embed_topk_ivfpq
@@ -1188,8 +1188,8 @@ def oracle_sql() -> dict[str, str]:
             WITH j AS (
                 SELECT l.query_id, c.vec_id AS neighbor_id,
                        round(sum(l.dist), 6) AS adc_dist
-                FROM read_parquet('{aux}/pq_codes.parquet') c
-                JOIN read_parquet('{aux}/pq_lut.parquet') l
+                FROM read_parquet('{aux}/pq_codes_s8c64.parquet') c
+                JOIN read_parquet('{aux}/pq_lut_s8c64.parquet') l
                   USING (sub_idx, code)
                 WHERE c.vec_id <> l.query_id
                 GROUP BY l.query_id, c.vec_id
@@ -1215,9 +1215,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ca.query_id, ca.neighbor_id,
                        round(sum(l.dist), 6) AS adc_dist
                 FROM cand ca
-                JOIN read_parquet('{aux}/pq_codes.parquet') c
+                JOIN read_parquet('{aux}/pq_codes_s8c64.parquet') c
                   ON c.vec_id = ca.neighbor_id
-                JOIN read_parquet('{aux}/pq_lut.parquet') l
+                JOIN read_parquet('{aux}/pq_lut_s8c64.parquet') l
                   ON l.query_id = ca.query_id
                  AND l.sub_idx = c.sub_idx AND l.code = c.code
                 GROUP BY 1, 2

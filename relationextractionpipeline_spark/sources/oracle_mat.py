@@ -481,9 +481,11 @@ def pq_aux(
     from relationextractionpipeline_spark.operators import similarity
 
     adir = aux_dir(sf_dir)
+    # param-suffixed filenames: a default change can never silently serve
+    # codes built with another codebook resolution (see NOTES.md)
     out = {
-        "codes": os.path.join(adir, "pq_codes.parquet"),
-        "lut": os.path.join(adir, "pq_lut.parquet"),
+        "codes": os.path.join(adir, f"pq_codes_s{n_sub}c{n_codes}.parquet"),
+        "lut": os.path.join(adir, f"pq_lut_s{n_sub}c{n_codes}.parquet"),
     }
     if all(os.path.exists(p) for p in out.values()):
         return out
