@@ -223,6 +223,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entities"] = kg_entities
 
+    def kg_predicates(spark, sf_dir):
+        """Predicate canonicalization (north_star: near-duplicate predicate
+        strings cluster via minhash-LSH + connected components, canonical =
+        min string, singletons self-map) — the edge-fragmentation fix at
+        corpus scale.  Gated against a sequential LSH+union-find replica
+        (sources/oracle_mat.predicate_clusters)."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        triples = _kg_triples(spark, sf_dir)
+        return canonicalize.canonicalize_predicates(triples).select(
+            "pred", "pred_canonical"
+        )
+
+    q["kg_predicates"] = kg_predicates
+
     def kg_cooccurrence(spark, sf_dir):
         """Term co-occurrence edges over the driver's documents table — the
         KG-construction primitive that applies to schema-free corpora (the
@@ -973,6 +990,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": f"""
             SELECT canonical_id, n_keys, n_surfaces, n_mentions
             FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
+        """,
+        "kg_predicates": f"""
+            SELECT pred, pred_canonical
+            FROM read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}')
         """,
         "kg_assembly": f"""
             SELECT conv_id, count(*) AS n_turns,

@@ -317,6 +317,74 @@ def entity_clusters(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str
     return _publish(pdf, dst)
 
 
+PREDICATE_CLUSTERS_FILE = f"predicate_clusters_v{ORACLE_MAT_VERSION}.parquet"
+
+
+def predicate_clusters(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
+    """Sequential replica of operators/canonicalize.canonicalize_predicates:
+    distinct predicate strings from the oracle triples, minhash-LSH over
+    2-char shingles (32 hashes, 8 bands of 4, max_bucket=1000 — the exact
+    banding/cap of the Spark operator), candidates verified by exact
+    char-shingle Jaccard ≥ 0.8, union-find with min-label components,
+    singletons map to themselves.  The DuckDB comparison then gates the
+    distributed machinery (band shuffle, candidate joins, iterative CC)
+    against this single-threaded run."""
+    dst = os.path.abspath(
+        os.path.join(data_dir, testgen.scale_dir(scale), PREDICATE_CLUSTERS_FILE)
+    )
+    if os.path.exists(dst):
+        return dst
+    preds = sorted(
+        set(pd.read_parquet(oracle_triples(scale, data_dir), columns=["pred"])["pred"])
+    )
+    shingle_k, n_hashes, bands, threshold = 2, 32, 8, 0.8
+    sigs = {
+        p: sketches.minhash_signature(sketches.char_shingles(p, shingle_k), n_hashes)
+        for p in preds
+    }
+    buckets: Dict[tuple, List[str]] = {}
+    for p, sig in sigs.items():
+        for b in range(bands):
+            buckets.setdefault((b, tuple(sig[b * 4 : b * 4 + 4])), []).append(p)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > 1000:  # operator bucket cap
+            continue
+        uniq = sorted(set(members))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                cand.add((uniq[i], uniq[j]))
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        if (
+            sketches.jaccard(
+                sketches.char_shingles(a, shingle_k),
+                sketches.char_shingles(b, shingle_k),
+            )
+            >= threshold
+        ):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    comp = {p: find(p) for p in preds}
+    cmin: Dict[str, str] = {}
+    for p, r in comp.items():
+        cmin[r] = min(cmin.get(r, p), p)
+    pdf = pd.DataFrame(
+        {"pred": preds, "pred_canonical": [cmin[comp[p]] for p in preds]}
+    )
+    return _publish(pdf, dst)
+
+
 # ---------------------------------------------------------------------------
 # Document sketches (driver `documents` table)
 # ---------------------------------------------------------------------------
