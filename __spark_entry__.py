@@ -223,6 +223,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entities"] = kg_entities
 
+    def kg_edges(spark, sf_dir):
+        """Graph materialize (north_star's final stage): triples rewritten
+        onto canonical entity ids — each subj/obj P11 string joins the
+        entity key map produced by the minhash-LSH + connected-components
+        clustering.  Gated on the canonical STRINGS (the 64-bit surrogate
+        eids are xxhash64 of exactly these, not SQL-reproducible in DuckDB);
+        the oracle rewrites the sequential triples through the sequential
+        union-find key map."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return edges.select(
+            "conv_id", "turn_idx", "sent_idx", "rel_idx",
+            "subj", "pred", "obj", "subj_canonical", "obj_canonical",
+        )
+
+    q["kg_edges"] = kg_edges
+
     def kg_predicates(spark, sf_dir):
         """Predicate canonicalization (north_star: near-duplicate predicate
         strings cluster via minhash-LSH + connected components, canonical =
@@ -990,6 +1011,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": f"""
             SELECT canonical_id, n_keys, n_surfaces, n_mentions
             FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
+        """,
+        "kg_edges": f"""
+            SELECT t.conv_id, t.turn_idx, t.sent_idx, t.rel_idx,
+                   t.subj, t.pred, t.obj,
+                   ks.canonical_id AS subj_canonical,
+                   ko.canonical_id AS obj_canonical
+            FROM read_parquet('{otriples}') t
+            LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+              ON ks.ent_key = t.subj
+            LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+              ON ko.ent_key = t.obj
         """,
         "kg_predicates": f"""
             SELECT pred, pred_canonical

@@ -350,16 +350,22 @@ def canonicalize(
     key_map = keyed.select(
         F.col("ent_key"), F.col("canonical_id"), F.xxhash64("canonical_id").alias("eid")
     )
+    # edges carry BOTH the stable canonical string (gate-comparable, join key
+    # for humans) and its 64-bit surrogate id (the compact join key at scale)
     edges = (
         triples.join(
             key_map.select(
-                F.col("ent_key").alias("subj"), F.col("eid").alias("subj_id")
+                F.col("ent_key").alias("subj"),
+                F.col("eid").alias("subj_id"),
+                F.col("canonical_id").alias("subj_canonical"),
             ),
             "subj",
             "left",
         ).join(
             key_map.select(
-                F.col("ent_key").alias("obj"), F.col("eid").alias("obj_id")
+                F.col("ent_key").alias("obj"),
+                F.col("eid").alias("obj_id"),
+                F.col("canonical_id").alias("obj_canonical"),
             ),
             "obj",
             "left",

@@ -192,6 +192,7 @@ def mention_rows(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
 
 
 ENTITY_CLUSTERS_FILE = f"entity_clusters_v{ORACLE_MAT_VERSION}.parquet"
+ENTITY_KEYMAP_FILE = f"entity_keymap_v{ORACLE_MAT_VERSION}.parquet"
 
 
 def entity_clusters(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str:
@@ -207,7 +208,10 @@ def entity_clusters(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str
     dst = os.path.abspath(
         os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_CLUSTERS_FILE)
     )
-    if os.path.exists(dst):
+    keymap_dst = os.path.abspath(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    if os.path.exists(dst) and os.path.exists(keymap_dst):
         return dst
     mrows = pd.read_parquet(mention_rows(scale, data_dir))
     _paths, _t, entity_kb, _f = _load_kg_inputs(scale)
@@ -314,6 +318,15 @@ def entity_clusters(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str
     pdf["n_keys"] = pdf["n_keys"].astype("int32")
     pdf["n_surfaces"] = pdf["n_surfaces"].astype("int32")
     pdf["n_mentions"] = pdf["n_mentions"].astype("int64")
+    # key map (ent_key → canonical) — the kg_edges oracle rewrites the
+    # oracle triples' subj/obj through this, mirroring canonicalize()'s
+    # edge join
+    _publish(
+        pd.DataFrame(
+            sorted(canon.items()), columns=["ent_key", "canonical_id"]
+        ),
+        keymap_dst,
+    )
     return _publish(pdf, dst)
 
 
