@@ -599,6 +599,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_topk_lsh_multi"] = q_embed_topk_lsh_multi
 
+    def q_embed_topk_lsh_probe(spark, sf_dir):
+        """Multi-probe LSH: the query probes its base bucket plus the 7
+        lowest-|margin| bit-flip buckets — recall without index duplication
+        (the corpus stores ONE bucket row per vector; multi-table stores L)."""
+        if _small_scale(sf_dir):
+            oracle_mat.embed_aux(sf_dir)  # corpus lsh8 buckets
+            oracle_mat.lsh_probe_aux(sf_dir)
+        emb = _read(spark, sf_dir, "embeddings")
+        qs = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.lsh_multiprobe_topk(
+            emb, qs, k=5, n_planes=8, n_probes=7
+        ).select("query_id", "neighbor_id", "cos", "rank")
+
+    q["q_embed_topk_lsh_probe"] = q_embed_topk_lsh_probe
+
     def q_embed_topk_ivf(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)
@@ -1207,6 +1224,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand ca
                 JOIN embeddings qe ON qe.vec_id = ca.query_id
                 JOIN embeddings ce ON ce.vec_id = ca.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC
+                       ) AS rank
+                FROM j
+            ) WHERE rank <= 5
+        """,
+        "q_embed_topk_lsh_probe": f"""
+            WITH cb AS (
+                SELECT vec_id, bucket FROM read_parquet('{aux}/lsh8.parquet')
+            ),
+            qb AS (
+                SELECT query_id, bucket
+                FROM read_parquet('{aux}/lsh_probe_p8m7.parquet')
+            ),
+            j AS (
+                SELECT qb.query_id, cb.vec_id AS neighbor_id,
+                       {_cos("qe.embedding", "ce.embedding")} AS cos
+                FROM qb
+                JOIN cb USING (bucket)
+                JOIN embeddings qe ON qe.vec_id = qb.query_id
+                JOIN embeddings ce ON ce.vec_id = cb.vec_id
+                WHERE cb.vec_id <> qb.query_id
             )
             SELECT query_id, neighbor_id, cos, rank FROM (
                 SELECT query_id, neighbor_id, cos,

@@ -155,6 +155,85 @@ def lsh_bucketed_topk(
     )
 
 
+def hyperplane_probe_buckets(
+    mat: "np.ndarray", n_planes: int, dim: int, n_probes: int, seed: int = 42
+) -> "np.ndarray":
+    """(n, n_probes+1) buckets per row: the base bucket plus the single-bit
+    flips of the ``n_probes`` LOWEST-|margin| planes — standard multi-probe
+    LSH perturbations (a point near a hyperplane is the one most likely to
+    be mis-bucketed on exactly that bit).  Base bucket construction is
+    identical to ``hyperplane_buckets`` (same seed ⇒ same planes), which the
+    sequential oracle and the corpus side rely on."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    proj = mat.astype(np.float64, copy=False) @ planes
+    signs = proj > 0
+    base = np.zeros(len(mat), dtype=np.int32)
+    for j in range(n_planes):
+        base |= signs[:, j].astype(np.int32) << j
+    order = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :n_probes]
+    out = np.zeros((len(mat), n_probes + 1), dtype=np.int32)
+    out[:, 0] = base
+    for p in range(n_probes):
+        out[:, p + 1] = base ^ (1 << order[:, p]).astype(np.int32)
+    return out
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_probes: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k — the OTHER recall lever: instead of storing L
+    index copies (multi-table), each QUERY probes its base bucket plus the
+    ``n_probes`` most-likely-misbucketed neighbors (lowest-|margin| bit
+    flips).  The corpus keeps exactly ONE bucket row per vector — at 100 TB
+    that's the difference between 1× and L× index storage; the extra cost is
+    query-side only (n_probes+1 rows per query, trivially small).
+
+    Probe buckets are distinct per query and each corpus vector has one
+    bucket, so the join cannot produce duplicate (query, neighbor) pairs —
+    no distinct needed before scoring."""
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        vec_col, n_planes, dim,
+    )
+    probe_udf_ = _hyperplane_probe_udf(n_planes, dim, n_probes)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ).withColumn("bucket", F.explode(probe_udf_(F.col("_qvec"))))
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane_probe_udf(n_planes: int, dim: int, n_probes: int,
+                          seed: int = 42):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.map(np.asarray).to_numpy())
+        out = hyperplane_probe_buckets(mat, n_planes, dim, n_probes, seed)
+        return pd.Series([row.tolist() for row in out])
+
+    return probes
+
+
 def hyperplane_buckets_multi(
     mat: "np.ndarray", n_planes: int, dim: int, n_tables: int, seed: int = 42
 ) -> "np.ndarray":

@@ -554,6 +554,37 @@ def lsh_multi_aux(
     return dst
 
 
+def lsh_probe_aux(
+    sf_dir: str, n_planes: int = 8, n_probes: int = 7, query_mod: int = 100
+) -> str:
+    """(query_id, bucket) probe rows for multi-probe LSH — base bucket +
+    lowest-|margin| bit flips, via the shared numpy function
+    (similarity.hyperplane_probe_buckets).  Corpus-side buckets reuse
+    ``lsh8.parquet`` from embed_aux (same planes: seed 42, 8 planes)."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    adir = aux_dir(sf_dir)
+    dst = os.path.join(adir, f"lsh_probe_p{n_planes}m{n_probes}.parquet")
+    if os.path.exists(dst):
+        return dst
+    emb, mat = _load_embeddings(sf_dir)
+    qmask = (emb["vec_id"] % query_mod == 0).to_numpy()
+    qids = emb["vec_id"].to_numpy()[qmask]
+    probes = similarity.hyperplane_probe_buckets(
+        mat[qmask], n_planes, mat.shape[1], n_probes
+    )
+    _publish(
+        pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, n_probes + 1),
+                "bucket": probes.reshape(-1).astype("int32"),
+            }
+        ),
+        dst,
+    )
+    return dst
+
+
 def pq_aux(
     sf_dir: str, n_sub: int = 8, n_codes: int = 16, query_mod: int = 100
 ) -> Dict[str, str]:

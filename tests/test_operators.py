@@ -130,6 +130,24 @@ def test_lsh_multi_recall_dominates_single_table(spark, emb):
     spark.catalog.clearCache()
 
 
+def test_lsh_multiprobe_recall_dominates_single_table(spark, emb):
+    """Multi-probe candidates include the base bucket (probe 0 IS the
+    single-table bucket), so recall vs exact can only go up — without
+    duplicating the corpus index."""
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    exact = pairs(similarity.brute_force_topk(emb, qs, k=5))
+    single = pairs(similarity.lsh_bucketed_topk(emb, qs, k=5, n_planes=8))
+    probe = pairs(similarity.lsh_multiprobe_topk(emb, qs, k=5, n_planes=8,
+                                                 n_probes=7))
+    assert len(probe & exact) >= len(single & exact)
+    assert all(q != n for q, n in probe)
+    spark.catalog.clearCache()
+
+
 def test_brute_force_topk_self_similarity(spark, emb):
     # plant an exact copy: its top-1 neighbor must be the original with cos≈1
     q = emb.limit(1).select(
