@@ -93,3 +93,60 @@ def test_minhash_identical_iff_equal_shingles(a, b):
     # estimator bounded in [0,1] and symmetric
     est = sum(x == y for x, y in zip(ma, mb)) / 32
     assert 0.0 <= est <= 1.0
+
+
+# --- struct-of-arrays token representation (round 3) -------------------------
+
+_token_dicts = st.lists(
+    st.builds(
+        lambda i, form, upos, head, rel: {
+            "id": i, "form": form, "lemma": form.lower(), "upos": upos,
+            "xpos": "NN", "head": head, "deprel": rel,
+        },
+        st.integers(1, 30),
+        st.text(min_size=1, max_size=8),
+        st.sampled_from(["NOUN", "PROPN", "VERB", "ADP"]),
+        st.integers(0, 30),
+        st.sampled_from(["dep", "nsubj", "obj", "root"]),
+    ),
+    min_size=0, max_size=20,
+)
+
+
+@given(_token_dicts)
+@settings(max_examples=200, deadline=None)
+def test_soa_roundtrip_preserves_token_fields(tokens):
+    """sent_to_dicts(as_soa(tokens)) preserves every rule-visible field;
+    ids renumber positionally (1-based), which is what every consumer
+    assumes (the dict 'id' field is redundant with position by contract)."""
+    from relationextractionpipeline_spark.functions import lexicon as lx
+
+    sent = lx.as_soa(tokens)
+    back = lx.sent_to_dicts(sent)
+    assert len(back) == len(tokens)
+    for i, (a, b) in enumerate(zip(tokens, back)):
+        assert b["id"] == i + 1
+        for f in ("form", "lemma", "upos", "xpos", "head", "deprel"):
+            assert b[f] == a[f]
+
+
+@given(st.integers(2, 10), st.integers(1, 7), st.integers(0, 2**32 - 1))
+@settings(max_examples=100, deadline=None)
+def test_multiprobe_buckets_distinct_and_extend_base(n_planes, n_probes, seed_vec):
+    """Probe bucket 0 IS the single-table bucket (same planes); all probes
+    are distinct single-bit perturbations within range."""
+    import numpy as np
+
+    from relationextractionpipeline_spark.operators import similarity
+
+    n_probes = min(n_probes, n_planes)
+    rng = np.random.RandomState(seed_vec % (2**31 - 1))
+    mat = rng.standard_normal((5, 16))
+    base = similarity.hyperplane_buckets(mat, n_planes, 16)
+    probes = similarity.hyperplane_probe_buckets(mat, n_planes, 16, n_probes)
+    assert (probes[:, 0] == base).all()
+    for row in probes:
+        assert len(set(row.tolist())) == n_probes + 1  # all distinct
+        assert all(0 <= b < 2**n_planes for b in row.tolist())
+        for p in row[1:]:
+            assert bin(int(p) ^ int(row[0])).count("1") == 1  # single-bit flip
