@@ -157,16 +157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mention_path = oracle_mat.mention_rows(_scale_for(sf_dir))
             mention_rows = spark.read.parquet(mention_path)
         else:
-            from relationextractionpipeline_spark.operators import (
-                mentions as mentions_op,
-                parse,
-                segment,
-            )
+            # fused one-Arrow-crossing detector (≡ the staged explode path,
+            # equality-tested) — the staged chain would ferry token structs
+            # through Arrow three times
+            from relationextractionpipeline_spark.operators import fused
 
-            parsed = parse.parse_sentences(segment.segment_sentences(transcripts))
-            mention_rows = mentions_op.explode_mentions(
-                mentions_op.detect_mentions(parsed, kbi_bc)
-            )
+            mention_rows = fused.mention_rows_fused(transcripts, kbi_bc)
         return entity_kb, kb_bc, figer_bc, mention_rows
 
     _LINK_COLS = ["conv_id", "turn_idx", "sent_idx", "mention_id", "surface",

@@ -27,6 +27,7 @@ from relationextractionpipeline_spark.sources import testgen  # noqa: E402
 
 BENCH_QUERIES = [
     "kg_triples",
+    "kg_links",
     "kg_assembly",
     "q1_lineitem_agg",
     "q_lineitem_rollup",

@@ -20,7 +20,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.broadcast import Broadcast
 
-from relationextractionpipeline_spark.functions import turnproc
+from relationextractionpipeline_spark.functions import (
+    lexicon as lx,
+    rules,
+    turnproc,
+)
 
 TRIPLE_COLS = [
     "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj", "subj_type",
@@ -80,4 +84,59 @@ def extract_triples_fused(
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         run, schema=OUT_SCHEMA
+    )
+
+
+MENTION_ROW_COLS = [
+    "conv_id", "turn_idx", "sent_idx", "mention_id", "start_tok", "end_tok",
+    "surface", "tag", "kind",
+]
+
+MENTION_ROW_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, mention_id int, "
+    "start_tok int, end_tok int, surface string, tag string, kind string"
+)
+
+
+def mention_rows_fused(
+    transcripts: DataFrame, kb_index_bc: Broadcast
+) -> DataFrame:
+    """Fused turns→mention-rows: segment + parse + mention detection in ONE
+    ``mapInPandas`` crossing, emitting the exploded mention-row table
+    directly (same columns as ``mentions.explode_mentions`` over the staged
+    path — equality-tested).
+
+    Rationale: the staged chain serializes the token-struct arrays through
+    Arrow three times (parse out, mentions in/out); per-sentence token
+    tables are ~10× the text's bytes, so at bench scale the staged path
+    spends ~4× the fused path's wall just ferrying structs.  The link stage
+    consumes only mention ROWS, so for link-only jobs nothing else needs to
+    cross."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kb_index = kb_index_bc.value
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                ti = int(turn_idx)
+                for sent_idx, (_li, sent) in enumerate(
+                    rules.segment_text_with_lines(text or "")
+                ):
+                    toks = lx.parse_sentence_soa(sent)
+                    for mid, m in enumerate(
+                        rules.detect_mentions(toks, kb_index)
+                    ):
+                        rows.append(
+                            (
+                                conv_id, ti, sent_idx, mid,
+                                int(m["start_tok"]), int(m["end_tok"]),
+                                m["surface"], m["tag"], m["kind"],
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=MENTION_ROW_COLS)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=MENTION_ROW_SCHEMA
     )

@@ -120,36 +120,41 @@ def score_links_grouped(
     )
     out_schema = out_fields + ", url string, figer string, score double"
 
+    def _attach(pdf: pd.DataFrame, per_surface: Dict[str, tuple]) -> pd.DataFrame:
+        mapped = pdf["surface"].astype(str).map(per_surface)
+        pdf = pdf.copy()
+        pdf["url"] = mapped.str[0]
+        pdf["figer"] = mapped.str[1]
+        pdf["score"] = mapped.str[2]
+        return pdf
+
     def score_prior(pdf: pd.DataFrame) -> pd.DataFrame:
         kb = kb_bc.value
         figer = figer_bc.value
-        urls, figs, scores = [], [], []
-        for s in pdf["surface"].astype(str):
+        # score each DISTINCT surface once, map back over the rows: mention
+        # surfaces repeat heavily within a conversation, so the Python work
+        # per group is O(unique surfaces), not O(mention rows)
+        per_surface: Dict[str, tuple] = {}
+        for s in pd.unique(pdf["surface"].astype(str)):
             url, fg = rules.link_mention(s, kb, figer)
             hit = kb.get(s)
-            urls.append(url)
-            figs.append(fg)
-            scores.append(float(hit[1]) if hit is not None else 0.0)
-        pdf = pdf.copy()
-        pdf["url"] = urls
-        pdf["figer"] = figs
-        pdf["score"] = scores
-        return pdf
+            per_surface[s] = (url, fg, float(hit[1]) if hit is not None else 0.0)
+        return _attach(pdf, per_surface)
 
     def score_context(pdf: pd.DataFrame) -> pd.DataFrame:
         cands = cands_bc.value  # surface -> [(url, prior)] (prior desc, url asc)
         figer = figer_bc.value
-        surfaces = pdf["surface"].astype(str)
+        uniq = pd.unique(pdf["surface"].astype(str))
         # max-prior URL per distinct surface in THIS conversation (row-order
         # independent: derived from the pre-sorted candidate lists)
-        best = {s: cands[s][0][0] for s in set(surfaces) if s in cands}
-        urls, figs, scores = [], [], []
-        for s in surfaces:
+        best = {s: cands[s][0][0] for s in uniq if s in cands}
+        per_surface: Dict[str, tuple] = {}
+        for s in uniq:
             cl = cands.get(s)
             if cl is None:
-                urls.append(rules.NOT_IN_WIKI_PREFIX + s.replace(" ", "_"))
-                figs.append("none")
-                scores.append(0.0)
+                per_surface[s] = (
+                    rules.NOT_IN_WIKI_PREFIX + s.replace(" ", "_"), "none", 0.0
+                )
                 continue
             ctx = {u for s2, u in best.items() if s2 != s}
             chosen_url, chosen_score = None, None
@@ -162,14 +167,10 @@ def score_links_grouped(
                 ):  # (score desc, url asc) — same tie-break as the SQL oracle
                     chosen_url, chosen_score = url, sc
             fg = figer.get(chosen_url, "none")
-            urls.append(chosen_url)
-            figs.append(fg if fg != "" else "none")
-            scores.append(float(chosen_score))
-        pdf = pdf.copy()
-        pdf["url"] = urls
-        pdf["figer"] = figs
-        pdf["score"] = scores
-        return pdf
+            per_surface[s] = (
+                chosen_url, fg if fg != "" else "none", float(chosen_score)
+            )
+        return _attach(pdf, per_surface)
 
     score = score_context if mode == "context" else score_prior
     # the groupBy below is itself the shuffle — no pre-repartition

@@ -236,6 +236,26 @@ def test_link_variants_agree(spark, run, tiny_paths):
     pd.testing.assert_frame_equal(pa, pc)
 
 
+def test_fused_mention_rows_equal_staged_explode(spark, run, tiny_paths):
+    """mention_rows_fused (one Arrow crossing) ≡ explode_mentions over the
+    staged segment→parse→mentions chain, row for row."""
+    from relationextractionpipeline_spark.operators import fused
+
+    transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    _kb, kbi_bc, _fg = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_id", "start_tok",
+            "end_tok", "surface", "tag", "kind"]
+    a = (
+        mentions_op.explode_mentions(run["with_mentions"])
+        .select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    b_ = (
+        fused.mention_rows_fused(transcripts, kbi_bc)
+        .select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b_.astype(a.dtypes))
+
+
 def test_auto_mode_selects_linker_by_kb_size(spark, tiny_paths, monkeypatch):
     """mode='auto': dict-broadcast fused path while the KB is small,
     relational staged-joinlink beyond the row threshold — same triples
