@@ -88,3 +88,44 @@ def test_stateful_assembly_matches_batch(spark, tiny_paths, tmp_path):
     a = got[cols].astype({"n_turns": "int64"}).sort_values("conv_id").reset_index(drop=True)
     b = want[cols].astype({"n_turns": "int64"}).sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tiny_paths, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the content
+    hash pair): the surviving distinct contents equal the batch distinct
+    set, and a second drain with duplicate files emits nothing new
+    (dedup state survives in the checkpoint)."""
+    import os
+
+    import pandas as pd
+
+    from relationextractionpipeline_spark.plans import schemas
+    from relationextractionpipeline_spark.streaming import dedup as sdedup
+
+    src = pd.read_parquet(tiny_paths["transcripts"]).head(200)
+    in_dir = str(tmp_path / "turns_in")
+    os.makedirs(in_dir)
+    # shard + plant duplicates across DIFFERENT files (cross-batch dedup)
+    src.iloc[0::2].to_parquet(os.path.join(in_dir, "part-0.parquet"), index=False)
+    src.iloc[1::2].to_parquet(os.path.join(in_dir, "part-1.parquet"), index=False)
+    src.head(50).to_parquet(os.path.join(in_dir, "part-2-dups.parquet"), index=False)
+
+    out = str(tmp_path / "deduped")
+    ck = str(tmp_path / "ck_dedup")
+    sdedup.stream_dedup_exact(
+        spark, in_dir, out, ck, schemas.TRANSCRIPTS, watermark="365 days",
+        max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(set(got["text"])) == sorted(set(src["text"]))
+    # one survivor per distinct content
+    assert got["text"].nunique() == len(got)
+
+    # re-drain with MORE duplicate files against the same checkpoint
+    src.head(80).to_parquet(os.path.join(in_dir, "part-3-dups.parquet"), index=False)
+    sdedup.stream_dedup_exact(
+        spark, in_dir, out, ck, schemas.TRANSCRIPTS, watermark="365 days",
+        max_files_per_trigger=1,
+    )
+    again = spark.read.parquet(out).toPandas()
+    assert len(again) == len(got)  # nothing new: all contents already seen
