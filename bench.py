@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_dedup_simhash",
     "q_embed_topk",
     "q_embed_topk_ivf",
+    "q_embed_topk_ivfpq",
     "q_sample_deterministic",
     "q_multimodal_features",
 ]

@@ -433,6 +433,87 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    dim: int = 64,
+    max_train: int = 100_000,
+) -> None:
+    """Materialize the IVF index as tables — what "the assigned corpus is a
+    materialized index table, written once" means concretely:
+
+    * ``{index_dir}/centroids`` — (cell, centroid array<double>), tiny;
+    * ``{index_dir}/cells``     — (vec_id, cell), one row per corpus vector,
+      written cell-partitioned so a query's probe prunes to its cells'
+      files at scan time (partition pruning = the IVF cell prune).
+
+    Deterministic (ordered bounded training sample), so rebuilds are
+    idempotent; at production scale this job runs once per corpus version
+    and every query reads the index instead of re-training."""
+    spark = corpus.sparkSession
+    centroids = _ivf_centroids(
+        corpus, vec_col, n_clusters, dim, id_col=id_col, max_train=max_train
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assign = _ivf_assign_udf(centroids, nprobe=1)
+    (
+        corpus.select(id_col, vec_col)
+        .withColumn("cell", F.element_at(assign(F.col(vec_col)), 1))
+        .select(id_col, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/cells")
+    )
+
+
+def ivf_topk_from_index(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search against a materialized index (``build_ivf_index``): no
+    training, no corpus-wide assignment UDF — queries assign against the
+    read-back centroids and the cell table joins the corpus vectors.
+    Equality with the self-training ``ivf_topk`` is tested."""
+    spark = corpus.sparkSession
+    cpdf = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").toPandas()
+    centroids = np.vstack(cpdf["centroid"].map(np.asarray).to_numpy())
+    cells = spark.read.parquet(f"{index_dir}/cells").withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
+    c = cells.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+    )
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the 100 TB ANN memory story
 # ---------------------------------------------------------------------------

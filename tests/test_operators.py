@@ -130,6 +130,28 @@ def test_lsh_multi_recall_dominates_single_table(spark, emb):
     spark.catalog.clearCache()
 
 
+def test_ivf_index_materialization_roundtrip(spark, emb, tmp_path):
+    """build_ivf_index → ivf_topk_from_index reproduces the self-training
+    ivf_topk exactly (same deterministic centroids), and the cell table is
+    written cell-partitioned (partition pruning = the IVF prune)."""
+    import os
+
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, idx, n_clusters=8)
+    assert any(d.startswith("cell=") for d in os.listdir(f"{idx}/cells"))
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = similarity.ivf_topk(emb, qs, k=5, n_clusters=8, nprobe=2).toPandas()
+    via_idx = similarity.ivf_topk_from_index(emb, qs, idx, k=5, nprobe=2).toPandas()
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    a = direct[cols].sort_values(cols).reset_index(drop=True)
+    b = via_idx[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    spark.catalog.clearCache()
+
+
 def test_lsh_multiprobe_recall_dominates_single_table(spark, emb):
     """Multi-probe candidates include the base bucket (probe 0 IS the
     single-table bucket), so recall vs exact can only go up — without
