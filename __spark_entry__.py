@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (37/37) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (43/43) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -688,6 +688,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sample_stratified"] = q_sample_stratified
 
+    def q_curate_corpus(spark, sf_dir):
+        """End-to-end training-data curation — the composition the operator
+        families exist for: exact dedup (keep min-id survivor per content) →
+        quality gate (score ≥ 0.5, stop_ratio > 0) → deterministic 50%
+        sample (md5-threshold membership).  Entirely native Columns; each
+        stage is individually oracled elsewhere, this gates the COMPOSITION
+        (filter ordering, column flow, no recomputation drift)."""
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        survivors = dedup.dedup_exact(d)
+        scored = quality.with_quality(survivors)
+        kept = scored.where(
+            (F.col("quality_score") >= 0.5) & (F.col("stop_ratio") > 0)
+        )
+        return sampling.deterministic_sample(kept, "doc_id", 0.5).select(
+            "doc_id", "lang", "n_chars",
+            F.round("quality_score", 6).alias("quality_score"),
+        )
+
+    q["q_curate_corpus"] = q_curate_corpus
+
     # ---- multimodal plumbing (decode stubbed; md5-derived fake features) ---
     def q_multimodal_features(spark, sf_dir):
         path = multimodal.materialize_assets(os.path.join(DATA_DIR, "assets"))
@@ -981,6 +1003,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa._id = id_a
             JOIN sizes sb ON sb._id = id_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "q_curate_corpus": f"""
+            SELECT doc_id, lang, n_chars, {quality_score} AS quality_score
+            FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+              AND {quality_score} >= 0.5
+              AND round({stop_ratio}, 6) > 0
+              AND ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+                  < {_sampling.threshold(0.5)}
         """,
         "q_embed_topk": f"""
             SELECT query_id, neighbor_id, cos, rank FROM (
