@@ -199,10 +199,10 @@ def main(argv=None) -> int:
         triples = run["triples"]
     elif args.mode == "checkpointed":
         ck = args.checkpoint_dir or os.path.join(args.out, "_checkpoints")
-        run = manifests.run_checkpointed(spark, paths, ck)
-        # staged intermediates for the reference-format sinks
-        staged = pipeline.run_pipeline(spark, paths, mode="staged")
-        parsed = staged["parsed"]
+        run = manifests.run_checkpointed(spark, paths, ck, graph=args.graph)
+        # reference-format sinks re-derive `parsed` lazily below only when
+        # --reference-formats is set (no unconditional staged re-run)
+        parsed = None
         triples = run["triples"]
     else:
         run = pipeline.run_pipeline(
@@ -218,10 +218,15 @@ def main(argv=None) -> int:
     if args.graph:
         from relationextractionpipeline_spark.sources.tableio import TableIO
 
-        staged = run if "links" in run else pipeline.run_pipeline(
-            spark, paths, mode="staged"
-        )
-        g = pipeline.materialize_graph(staged)
+        if "entities" in run:
+            # checkpointed mode already materialized the graph stages under
+            # manifest control — reuse them (resume-safe)
+            g = {k: run[k] for k in ("entities", "edges", "predicates")}
+        else:
+            staged = run if "links" in run else pipeline.run_pipeline(
+                spark, paths, mode="staged"
+            )
+            g = pipeline.materialize_graph(staged)
         io = TableIO(spark, args.out)
         io.write(g["entities"], "entities")
         # bucket edges by canonical subject so downstream per-entity joins

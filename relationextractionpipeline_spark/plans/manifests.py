@@ -257,8 +257,14 @@ def run_checkpointed(
     spark: SparkSession,
     paths: Dict[str, str],
     checkpoint_dir: str,
+    graph: bool = False,
 ) -> Dict[str, DataFrame]:
-    """Checkpointed staged pipeline: sentences → links+tokens → triples.
+    """Checkpointed staged pipeline: sentences → links+tokens → triples,
+    optionally + the graph tail (entities / edges / predicates) as three
+    more manifest-gated stages — the north rule's "every stage checkpoints
+    … resumes without recomputation" extended to canonicalization: a kill
+    during the iterative CC recomputes only the graph stage it died in,
+    never the extraction.
 
     Each stage's fingerprint chains the input files, so editing the input (or
     bumping STAGE_CODE_VERSION) invalidates downstream checkpoints while a
@@ -299,9 +305,28 @@ def run_checkpointed(
         fp,
         lambda: triples_op.extract_triples(linked),
     )
-    return {
+    out = {
         "sentences": sentences,
         "linked": linked,
         "triples": triples,
         "runner": runner,
     }
+    if graph:
+        from relationextractionpipeline_spark.operators import (
+            canonicalize as canon_op,
+        )
+
+        # canonicalize() runs the iterative CC eagerly (Spark actions), so
+        # only invoke it when at least one of its two outputs is missing —
+        # a fully-resumed run must not pay the clustering again
+        if runner.is_complete("entities", fp) and runner.is_complete("edges", fp):
+            ents_df = edges_df = None
+        else:
+            links = mentions_op.explode_mentions(linked)
+            ents_df, edges_df = canon_op.canonicalize(triples, links)
+        out["entities"] = runner.stage("entities", fp, lambda: ents_df)
+        out["edges"] = runner.stage("edges", fp, lambda: edges_df)
+        out["predicates"] = runner.stage(
+            "predicates", fp, lambda: canon_op.canonicalize_predicates(triples)
+        )
+    return out

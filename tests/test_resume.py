@@ -45,6 +45,43 @@ def test_checkpoint_then_resume(spark, tiny_paths, tmp_path):
     assert _triple_set(r3["triples"].toPandas()) == t1
 
 
+def test_checkpointed_graph_tail_resume(spark, tiny_paths, tmp_path):
+    """Graph stages (entities/edges/predicates) under manifest control: a
+    kill during the graph tail recomputes only the dead stage; a full
+    resume never re-runs the iterative CC; outputs match the direct
+    materialize_graph path."""
+    ck = str(tmp_path / "ck_graph")
+    r1 = manifests.run_checkpointed(spark, tiny_paths, ck, graph=True)
+    assert _events(r1["runner"]) >= {
+        ("entities", "computed"), ("edges", "computed"), ("predicates", "computed"),
+    }
+    ents1 = {r["canonical_id"] for r in r1["entities"].collect()}
+    edges1 = r1["edges"].count()
+
+    # direct path equality
+    staged = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
+    g = pipeline.materialize_graph(staged)
+    assert {r["canonical_id"] for r in g["entities"].collect()} == ents1
+    assert g["edges"].count() == edges1
+
+    # kill during the graph tail: drop edges only
+    shutil.rmtree(os.path.join(ck, "edges"))
+    os.remove(os.path.join(ck, "edges._manifest.json"))
+    r2 = manifests.run_checkpointed(spark, tiny_paths, ck, graph=True)
+    ev = _events(r2["runner"])
+    assert ("edges", "computed") in ev
+    assert ("entities", "resumed") in ev and ("triples", "resumed") in ev
+    assert r2["edges"].count() == edges1
+
+    # full resume: every stage (incl. graph) resumed, CC never re-ran
+    r3 = manifests.run_checkpointed(spark, tiny_paths, ck, graph=True)
+    assert _events(r3["runner"]) == {
+        (s, "resumed")
+        for s in ("sentences", "linked", "triples",
+                  "entities", "edges", "predicates")
+    }
+
+
 def test_checkpointed_matches_direct(spark, tiny_paths, tmp_path):
     ck = str(tmp_path / "ck2")
     r = manifests.run_checkpointed(spark, tiny_paths, ck)
