@@ -301,6 +301,36 @@ def test_context_scorer_degrades_to_prior_without_context(spark, tiny_paths):
     pd.testing.assert_frame_equal(pa, pb)
 
 
+def test_context_scorer_partition_invariant(spark, tiny_paths):
+    """The grouped context scorer's output must not depend on input
+    partitioning or row order (the context set derives from pre-sorted
+    candidate lists, not frame order)."""
+    from relationextractionpipeline_spark.operators import fused
+
+    transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kb_bc, kbi_bc, figer_bc = pipeline.build_broadcasts(
+        spark, entity_kb, figer_map
+    )
+    cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+    rows = fused.mention_rows_fused(transcripts, kbi_bc).localCheckpoint()
+    scrambled = rows.repartition(7).orderBy(
+        F.desc("surface"), F.asc("turn_idx")
+    )
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_id",
+            "url", "figer", "score"]
+    a = (
+        link.score_links_grouped(rows, kb_bc, figer_bc,
+                                 mode="context", cands_bc=cands_bc)
+        .select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    b_ = (
+        link.score_links_grouped(scrambled, kb_bc, figer_bc,
+                                 mode="context", cands_bc=cands_bc)
+        .select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b_)
+
+
 def test_context_scorer_flips_alias_on_coreference(spark, tiny_paths):
     """The ambiguous alias 'Franklin' links to Rosalind_Franklin on prior
     alone, but flips to Benjamin_Franklin when the conversation also
