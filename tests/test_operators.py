@@ -170,6 +170,25 @@ def test_lsh_multiprobe_recall_dominates_single_table(spark, emb):
     spark.catalog.clearCache()
 
 
+def test_nprobe_for_recall_meets_target(spark, emb):
+    """The recall-targeted tuning surface: asking for recall ≥ X returns an
+    nprobe whose MEASURED recall meets X (monotone knob: nprobe=n_clusters
+    degenerates to exact search, so the walk always terminates)."""
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.nprobe_for_recall(
+        emb, qs, target_recall=0.9, k=5, n_clusters=8
+    )
+    assert out["recall"] >= 0.9
+    assert 1 <= out["nprobe"] <= 8
+    assert list(out["curve"].values())[-1] == out["recall"]
+    # the curve is the audit trail: recall never decreases along the walk
+    vals = list(out["curve"].values())
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    spark.catalog.clearCache()
+
+
 def test_brute_force_topk_self_similarity(spark, emb):
     # plant an exact copy: its top-1 neighbor must be the original with cos≈1
     q = emb.limit(1).select(

@@ -206,9 +206,9 @@ def test_pq_topk_partition_invariant_and_matches_sequential(spark):
         .reset_index(drop=True),
         check_dtype=False,
     )
-    # compression sanity: 8 codes of 4 bits per 64-dim float vector
+    # compression sanity: 8 codes of 8 bits (n_codes=256) per 64-dim vector
     assert set(codes.sub_idx) == set(range(8))
-    assert codes.code.between(0, 15).all()
+    assert codes.code.between(0, 255).all()
 
 
 def test_ivf_pq_topk_partition_invariant_with_reasonable_recall(spark):

@@ -130,23 +130,33 @@ def test_soa_roundtrip_preserves_token_fields(tokens):
             assert b[f] == a[f]
 
 
-@given(st.integers(2, 10), st.integers(1, 7), st.integers(0, 2**32 - 1))
+@given(st.integers(2, 10), st.integers(1, 20), st.integers(0, 2**32 - 1))
 @settings(max_examples=100, deadline=None)
 def test_multiprobe_buckets_distinct_and_extend_base(n_planes, n_probes, seed_vec):
     """Probe bucket 0 IS the single-table bucket (same planes); all probes
-    are distinct single-bit perturbations within range."""
+    are distinct ≤3-bit perturbations within range, lowest-total-margin
+    first — so probe 1 is always the single min-|margin| bit flip (any
+    multi-bit set's margin sum is ≥ the smallest single margin)."""
     import numpy as np
 
     from relationextractionpipeline_spark.operators import similarity
 
-    n_probes = min(n_probes, n_planes)
     rng = np.random.RandomState(seed_vec % (2**31 - 1))
     mat = rng.standard_normal((5, 16))
     base = similarity.hyperplane_buckets(mat, n_planes, 16)
     probes = similarity.hyperplane_probe_buckets(mat, n_planes, 16, n_probes)
+    masks, _ind = similarity._probe_flip_sets(n_planes)
+    eff = min(n_probes, len(masks))  # n_probes clamps to enumerable sets
+    assert probes.shape == (5, eff + 1)
     assert (probes[:, 0] == base).all()
-    for row in probes:
-        assert len(set(row.tolist())) == n_probes + 1  # all distinct
+    planes = np.random.RandomState(42).standard_normal((16, n_planes))
+    margins = np.abs(mat @ planes)
+    for i, row in enumerate(probes):
+        assert len(set(row.tolist())) == eff + 1  # all distinct
         assert all(0 <= b < 2**n_planes for b in row.tolist())
         for p in row[1:]:
-            assert bin(int(p) ^ int(row[0])).count("1") == 1  # single-bit flip
+            flips = bin(int(p) ^ int(row[0])).count("1")
+            assert 1 <= flips <= 3
+        # first perturbation = flip of the single lowest-margin plane
+        jmin = int(np.argmin(margins[i]))
+        assert int(row[1]) == int(row[0]) ^ (1 << jmin)
