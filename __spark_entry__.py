@@ -163,20 +163,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from relationextractionpipeline_spark.operators import fused
 
             mention_rows = fused.mention_rows_fused(transcripts, kbi_bc)
-        return entity_kb, kb_bc, figer_bc, mention_rows
+        # mention-row estimate for data-scaled scorer bucketing: one cheap
+        # NATIVE count of the turns table × the measured ~5 mentions/turn —
+        # never a count() through the mention-detection UDF chain (that
+        # would run the Arrow stage twice at bench scale)
+        est_mentions = transcripts.count() * 5
+        return entity_kb, kb_bc, figer_bc, mention_rows, est_mentions
 
     _LINK_COLS = ["conv_id", "turn_idx", "sent_idx", "mention_id", "surface",
                   "kind", "url", "figer"]
 
     def kg_links(spark, sf_dir):
         """Entity links via the north_star's batched applyInPandas
-        link-scoring stage grouped by conversation, max-prior scorer
-        (equality with the in-row and broadcast-join linkers is tested in
-        tests/)."""
+        link-scoring stage, max-prior scorer (equality with the in-row and
+        broadcast-join linkers is tested in tests/).  Groups are data-scaled
+        ~50k-row buckets of WHOLE conversations (link.groups_for) — the
+        per-conversation grouping pays Spark's per-group overhead once per
+        conversation (~8.5s of the 12.7s r3 bench line at 30k convs)."""
         from relationextractionpipeline_spark.operators import link as link_op
 
-        _kb, kb_bc, figer_bc, mention_rows = _link_inputs(spark, sf_dir)
-        scored = link_op.score_links_grouped(mention_rows, kb_bc, figer_bc)
+        _kb, kb_bc, figer_bc, mention_rows, est = _link_inputs(spark, sf_dir)
+        scored = link_op.score_links_grouped(
+            mention_rows, kb_bc, figer_bc,
+            n_groups=link_op.groups_for(est, spark.sparkContext.defaultParallelism),
+        )
         return scored.select(*_LINK_COLS, F.round("score", 6).alias("score"))
 
     q["kg_links"] = kg_links
@@ -193,10 +203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         once."""
         from relationextractionpipeline_spark.operators import link as link_op
 
-        entity_kb, kb_bc, figer_bc, mention_rows = _link_inputs(spark, sf_dir)
+        entity_kb, kb_bc, figer_bc, mention_rows, est = _link_inputs(spark, sf_dir)
         cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
         scored = link_op.score_links_grouped(
-            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc
+            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+            n_groups=link_op.groups_for(est, spark.sparkContext.defaultParallelism),
         )
         return scored.select(*_LINK_COLS, F.round("score", 6).alias("score"))
 

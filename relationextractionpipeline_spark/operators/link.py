@@ -75,6 +75,22 @@ def link_mentions_in_row(with_mentions: DataFrame, kb_bc: Broadcast,
 # candidates differ by <0.5) while never outweighing a second boost.
 CTX_BOOST = 0.5
 
+# target pandas-frame size for bucket-grouped link scoring: big enough to
+# amortize Spark's per-group slicing/FFI cost (~0.3 ms/group) ~100× over
+# per-conversation grouping, small enough that a frame of (surface, …)
+# string rows stays tens of MB on an executor
+TARGET_GROUP_ROWS = 50_000
+
+
+def groups_for(approx_rows: int, parallelism: int = 0,
+               target_rows: int = TARGET_GROUP_ROWS) -> int:
+    """Data-scaled group count for ``score_links_grouped(n_groups=...)``:
+    ``ceil(rows / target_rows)``, floored at ``parallelism`` so small inputs
+    still use every core.  The count grows WITH the data — each group stays
+    ~``target_rows`` rows at any corpus size (never a fixed fraction of the
+    table, which would OOM executors at 10^12 turns)."""
+    return max(1, -(-int(approx_rows) // target_rows), int(parallelism))
+
 
 def score_links_grouped(
     mention_rows: DataFrame,
@@ -83,6 +99,7 @@ def score_links_grouped(
     mode: str = "prior",
     cands_bc: Broadcast = None,
     boost: float = CTX_BOOST,
+    n_groups: int = None,
 ) -> DataFrame:
     """applyInPandas link scoring grouped **by conversation** — the
     north_star's batched link-scoring stage: a context-aware scorer sees all
@@ -105,13 +122,22 @@ def score_links_grouped(
       FULL candidate lists per surface (plans.pipeline.
       build_candidates_broadcast), not just the max-prior winner.
 
-    Scale contract: the group key is ``conv_id``, so the largest pandas frame
-    any executor materializes is ONE conversation's mentions — bounded by
-    conversation length, never by corpus size.  (A fixed-bucket variant
-    ``pmod(hash(conv_id), P)`` would make each group 1/P of the *table* —
-    hundreds of GB per group at 10^12 turns.)  Hot conversations are bounded
-    by the generator/business cap on turns-per-conversation; the scorer
-    itself is vectorized within the group.
+    Scale contract, two group granularities:
+
+    * ``n_groups=None`` — group key is ``conv_id``: the largest pandas frame
+      is ONE conversation's mentions, bounded by conversation length.
+      Simple, but Spark's per-group slicing/FFI overhead (~0.3 ms/group) is
+      paid once per CONVERSATION — measured ~8.5 s of a 12.7 s bench run at
+      30k single-turn conversations.
+    * ``n_groups=N`` — group key is ``pmod(xxhash64(conv_id), N)``:
+      conversations stay whole (same hash ⇒ same group), the per-group
+      overhead amortizes over ~rows/N rows, and the context scorer iterates
+      per-conversation INSIDE the frame, so its semantics are unchanged
+      (equality-tested against the per-conv grouping).  Size N from the DATA
+      — ``N = ceil(rows / target_rows)`` with target_rows ~50k — so each
+      frame is ~50k rows regardless of corpus size.  N must NOT be a fixed
+      constant independent of data volume: a constant P makes each group
+      1/P of the *table* — hundreds of GB per frame at 10^12 turns.
     """
     if mode == "context" and cands_bc is None:
         raise ValueError("mode='context' requires cands_bc (full candidate lists)")
@@ -119,6 +145,9 @@ def score_links_grouped(
         f"{f.name} {f.dataType.simpleString()}" for f in mention_rows.schema.fields
     )
     out_schema = out_fields + ", url string, figer string, score double"
+    out_cols = [f.name for f in mention_rows.schema.fields] + [
+        "url", "figer", "score"
+    ]
 
     def _attach(pdf: pd.DataFrame, per_surface: Dict[str, tuple]) -> pd.DataFrame:
         mapped = pdf["surface"].astype(str).map(per_surface)
@@ -129,11 +158,12 @@ def score_links_grouped(
         return pdf
 
     def score_prior(pdf: pd.DataFrame) -> pd.DataFrame:
+        # conversation-independent: score each DISTINCT surface once across
+        # the whole frame, map back over the rows — the Python work per
+        # frame is O(unique surfaces), not O(mention rows), whichever
+        # grouping produced the frame
         kb = kb_bc.value
         figer = figer_bc.value
-        # score each DISTINCT surface once, map back over the rows: mention
-        # surfaces repeat heavily within a conversation, so the Python work
-        # per group is O(unique surfaces), not O(mention rows)
         per_surface: Dict[str, tuple] = {}
         for s in pd.unique(pdf["surface"].astype(str)):
             url, fg = rules.link_mention(s, kb, figer)
@@ -141,7 +171,7 @@ def score_links_grouped(
             per_surface[s] = (url, fg, float(hit[1]) if hit is not None else 0.0)
         return _attach(pdf, per_surface)
 
-    def score_context(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_context_one_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         cands = cands_bc.value  # surface -> [(url, prior)] (prior desc, url asc)
         figer = figer_bc.value
         uniq = pd.unique(pdf["surface"].astype(str))
@@ -172,7 +202,28 @@ def score_links_grouped(
             )
         return _attach(pdf, per_surface)
 
+    def score_context(pdf: pd.DataFrame) -> pd.DataFrame:
+        # context is PER CONVERSATION: under bucket grouping the frame holds
+        # many whole conversations — iterate them inside the frame so the
+        # ctx set never crosses a conversation boundary
+        if pdf["conv_id"].nunique() <= 1:
+            return score_context_one_conv(pdf)
+        return pd.concat(
+            [
+                score_context_one_conv(g)
+                for _cid, g in pdf.groupby("conv_id", sort=False)
+            ],
+            ignore_index=True,
+        )
+
     score = score_context if mode == "context" else score_prior
+    if n_groups:
+        grouped = mention_rows.withColumn(
+            "_grp", F.pmod(F.xxhash64("conv_id"), F.lit(int(n_groups)))
+        ).groupBy("_grp")
+        return grouped.applyInPandas(
+            lambda key, pdf: score(pdf.drop(columns="_grp")), schema=out_schema
+        ).select(*out_cols)
     # the groupBy below is itself the shuffle — no pre-repartition
     return mention_rows.groupBy("conv_id").applyInPandas(
         lambda key, pdf: score(pdf), schema=out_schema

@@ -331,6 +331,43 @@ def test_context_scorer_partition_invariant(spark, tiny_paths):
     pd.testing.assert_frame_equal(a, b_)
 
 
+def test_bucket_grouped_scorer_equals_per_conversation(spark, tiny_paths):
+    """Data-scaled bucket grouping (n_groups: whole conversations hashed
+    into ~target-row frames, scorer iterating per-conv inside the frame)
+    must reproduce the per-conversation grouping row for row, in BOTH
+    scorer modes — the grouping is an overhead-amortization knob, never a
+    semantics knob.  n_groups=3 forces many conversations per frame."""
+    from relationextractionpipeline_spark.operators import fused
+
+    transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kb_bc, kbi_bc, figer_bc = pipeline.build_broadcasts(
+        spark, entity_kb, figer_map
+    )
+    cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+    rows = fused.mention_rows_fused(transcripts, kbi_bc).localCheckpoint()
+    cols = ["conv_id", "turn_idx", "sent_idx", "mention_id",
+            "url", "figer", "score"]
+    for kwargs in (
+        {},
+        {"mode": "context", "cands_bc": cands_bc},
+    ):
+        per_conv = (
+            link.score_links_grouped(rows, kb_bc, figer_bc, **kwargs)
+            .select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+        )
+        bucketed = (
+            link.score_links_grouped(rows, kb_bc, figer_bc, n_groups=3, **kwargs)
+            .select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(per_conv, bucketed)
+    # the bucketed plan shuffles on the hash bucket, not per-conversation
+    plan = (
+        link.score_links_grouped(rows, kb_bc, figer_bc, n_groups=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(_grp" in plan
+
+
 def test_context_scorer_flips_alias_on_coreference(spark, tiny_paths):
     """The ambiguous alias 'Franklin' links to Rosalind_Franklin on prior
     alone, but flips to Benjamin_Franklin when the conversation also
