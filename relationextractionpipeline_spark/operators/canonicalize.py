@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from relationextractionpipeline_spark.operators import sketches
+from relationextractionpipeline_spark.operators import cache, sketches
 
 
 def connected_components(
@@ -253,9 +253,12 @@ def canonicalize_predicates(
     form is the cluster's min string; singletons map to themselves.
     """
     preds = triples.select("pred").distinct().withColumnRenamed("pred", "ent_key")
-    sigs = sketches.with_minhash(
-        preds, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
-    ).persist()
+    # tracked persist — caller releases (operators/cache.py)
+    sigs = cache.track(
+        sketches.with_minhash(
+            preds, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+        )
+    )
     cand = sketches.lsh_candidate_pairs(sigs, "ent_key", "minhash", bands=bands)
     pairs = cand.join(
         preds.select(F.col("ent_key").alias("id_a")), "id_a"

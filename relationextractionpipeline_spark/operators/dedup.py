@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from relationextractionpipeline_spark.operators import sketches
+from relationextractionpipeline_spark.operators import cache, sketches
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -77,10 +77,12 @@ def near_dup_pairs_minhash(
       exact (precision 1 against the threshold by construction) — banding
       only bounds recall.
     """
-    sigs = sketches.with_minhash(
-        df.select(id_col, text_col), text_col, n_hashes=n_hashes,
-        shingle_k=shingle_k, mode="word",
-    ).persist()  # reused by LSH banding and both verification joins
+    sigs = cache.track(  # reused by LSH banding and both verification
+        sketches.with_minhash(  # joins; caller releases (operators/cache.py)
+            df.select(id_col, text_col), text_col, n_hashes=n_hashes,
+            shingle_k=shingle_k, mode="word",
+        )
+    )
     cand = sketches.lsh_candidate_pairs(sigs, id_col, "minhash", bands=bands)
     if verify == "exact":
         t = df.select(F.col(id_col), F.col(text_col))
@@ -166,11 +168,14 @@ def near_dup_pairs_simhash(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    chunks = chunks.persist()  # self-join + size pre-pass: sketch UDF once
-    chunks = chunks.join(
-        chunks.groupBy("chunk_idx", "chunk_val").count(),
-        ["chunk_idx", "chunk_val"],
-    ).where(F.col("count") <= max_bucket).drop("count").persist()
+    # self-join + size pre-pass: sketch UDF once; caller releases the caches
+    chunks = cache.track(chunks)
+    chunks = cache.track(
+        chunks.join(
+            chunks.groupBy("chunk_idx", "chunk_val").count(),
+            ["chunk_idx", "chunk_val"],
+        ).where(F.col("count") <= max_bucket).drop("count")
+    )
     a = chunks.select("chunk_idx", "chunk_val", F.col("_id").alias("id_a"),
                       F.col("simhash").alias("sim_a"))
     b = chunks.select("chunk_idx", "chunk_val", F.col("_id").alias("id_b"),
@@ -228,7 +233,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int = 10_000,
+    max_df: int = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard via an inverted index — pure native ops.
 
@@ -236,14 +241,18 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B|.  The shingle join only produces pairs that share
     content, so cost is output-bound, not |docs|².
 
-    ``max_df`` bounds the posting-list blowup: a shingle appearing in d
-    documents yields d² join rows, so one boilerplate gram ("terms of
-    service…") shared by a million docs would be quadratic at corpus scale.
-    Grams with document frequency > ``max_df`` are dropped from the inverted
-    index ONLY (denominators keep the full gram counts), so capped runs can
-    undercount |A∩B| — a pure recall trade, never a false positive — same
-    drop-oversized-buckets policy as SimHash's ``max_bucket``.  Dropped
-    grams are observable via ``ngram_hot_grams`` (same cap).
+    ``max_df`` (OPT-IN, default None = exact) bounds the posting-list
+    blowup: a shingle appearing in d documents yields d² join rows, so one
+    boilerplate gram ("terms of service…") shared by a million docs would be
+    quadratic at corpus scale — set ``max_df`` (e.g. 10_000) for any real
+    corpus run.  Grams with document frequency > ``max_df`` are dropped from
+    the inverted index ONLY (denominators keep the full gram counts), so
+    capped runs can undercount |A∩B| — a pure recall trade, never a false
+    positive — same drop-oversized-buckets policy as SimHash's
+    ``max_bucket``.  Dropped grams are observable via ``ngram_hot_grams``
+    (same cap).  The cap is opt-in precisely because it changes answers
+    silently otherwise: a default cap would undercount Jaccard on corpora
+    whose df exceeds it while every small-scale gate stays green.
     """
     grams = df.select(
         F.col(id_col).alias("_id"), F.explode(_gram_set_col(text_col, n)).alias("gram")

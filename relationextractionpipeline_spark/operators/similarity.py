@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from relationextractionpipeline_spark.operators import cache
+
 
 def _collect_query_pdf(queries: DataFrame, cols, max_rows: int = 100_000):
     """Driver-collect the (small) query table with a LIMIT probe first —
@@ -459,12 +461,15 @@ def ivf_topk(
     centroids = _ivf_centroids(corpus, vec_col, n_clusters, dim, id_col=id_col)
     c_assign = _ivf_assign_udf(centroids, nprobe=1)
     q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
-    ).withColumn("cell", F.element_at(c_assign(F.col(vec_col)), 1)).persist()
-    # persist: the cell assignment UDF would otherwise re-run per downstream
-    # action/join branch; at real scale the assigned corpus is a materialized
-    # index table, written once
+    c = cache.track(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+        ).withColumn("cell", F.element_at(c_assign(F.col(vec_col)), 1))
+    )
+    # tracked persist: the cell assignment UDF would otherwise re-run per
+    # downstream action/join branch; at real scale the assigned corpus is a
+    # materialized index table, written once.  Caller releases
+    # (operators/cache.py release_all, or clearCache).
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
@@ -649,9 +654,12 @@ def train_pq_codebooks(
     d = dim // n_sub
     books = np.zeros((n_sub, n_codes, d), dtype=np.float64)
     for s in range(n_sub):
-        books[s] = train_centroids(
-            mat[:, s * d : (s + 1) * d], n_codes, seed=seed + s
-        )
+        c = train_centroids(mat[:, s * d : (s + 1) * d], n_codes, seed=seed + s)
+        # fewer training rows than codes (tiny corpora): cycle the learned
+        # centroids to fill the book — duplicates are harmless (argmin picks
+        # the first occurrence deterministically), zero-filling would not be
+        # (the zero vector could win assignments spuriously)
+        books[s] = c[np.arange(n_codes) % len(c)]
     return books
 
 
@@ -822,11 +830,13 @@ def ivf_pq_topk(
         mat = np.vstack(vecs.map(np.asarray).to_numpy())
         return pd.Series([row.tolist() for row in pq_encode(mat, books)])
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
-        encode(F.col(vec_col)).alias("codes"),
-    ).persist()  # the indexed corpus — at scale a materialized artifact
+    c = cache.track(  # the indexed corpus — at scale a materialized
+        corpus.select(  # artifact; caller releases (operators/cache.py)
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
+            encode(F.col(vec_col)).alias("codes"),
+        )
+    )
     qpdf = _collect_query_pdf(
         queries, [query_id_col, vec_col],
         max_rows=max(1, LUT_ROW_BUDGET // (n_sub * n_codes)),

@@ -183,17 +183,22 @@ def lsh_candidate_pairs(
     the within-bucket quadratic pair expansion; AQE handles residual bucket
     skew.
     """
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(_band_hashes_col(sig_col, bands)).alias(
-            "band_idx", "band_hash"
-        ),
-    ).persist()  # referenced by both self-join sides + the size pre-pass:
-    # persist so the signature UDF upstream runs once, not three times
-    sized = banded.join(
-        banded.groupBy("band_idx", "band_hash").count(),
-        ["band_idx", "band_hash"],
-    ).where(F.col("count") <= max_bucket).persist()
+    from relationextractionpipeline_spark.operators import cache
+
+    banded = cache.track(  # referenced by both self-join sides + the size
+        df.select(  # pre-pass: persist so the signature UDF upstream runs
+            F.col(id_col).alias("_id"),  # once, not three times.  Tracked —
+            F.posexplode(_band_hashes_col(sig_col, bands)).alias(  # caller
+                "band_idx", "band_hash"  # releases (operators/cache.py)
+            ),
+        )
+    )
+    sized = cache.track(
+        banded.join(
+            banded.groupBy("band_idx", "band_hash").count(),
+            ["band_idx", "band_hash"],
+        ).where(F.col("count") <= max_bucket)
+    )
     a = sized.select("band_idx", "band_hash", F.col("_id").alias("id_a"))
     b = sized.select("band_idx", "band_hash", F.col("_id").alias("id_b"))
     return (

@@ -260,11 +260,15 @@ def run_checkpointed(
     graph: bool = False,
 ) -> Dict[str, DataFrame]:
     """Checkpointed staged pipeline: sentences → links+tokens → triples,
-    optionally + the graph tail (entities / edges / predicates) as three
+    optionally + the graph tail (predicates / entities / edges) as three
     more manifest-gated stages — the north rule's "every stage checkpoints
     … resumes without recomputation" extended to canonicalization: a kill
-    during the iterative CC recomputes only the graph stage it died in,
-    never the extraction.
+    in the graph tail never re-pays the extraction, and the predicates
+    stage resumes independently.  Entities and edges are the two outputs of
+    ONE eager ``canonicalize()`` call (the entity CC), so they form one
+    recovery unit: a kill between the entities write and the edges write
+    re-runs that clustering on restart (both stages' writes, not the
+    upstream extraction).
 
     Each stage's fingerprint chains the input files, so editing the input (or
     bumping STAGE_CODE_VERSION) invalidates downstream checkpoints while a
@@ -316,6 +320,14 @@ def run_checkpointed(
             canonicalize as canon_op,
         )
 
+        # predicates first: the edges stage rewrites onto pred_canonical /
+        # pred_id, so its build joins the materialized predicate map — the
+        # checkpointed edges schema stays identical to materialize_graph's
+        # (plans/pipeline.py), which every other mode produces
+        pred_map = runner.stage(
+            "predicates", fp, lambda: canon_op.canonicalize_predicates(triples)
+        )
+        out["predicates"] = pred_map
         # canonicalize() runs the iterative CC eagerly (Spark actions), so
         # only invoke it when at least one of its two outputs is missing —
         # a fully-resumed run must not pay the clustering again
@@ -325,8 +337,9 @@ def run_checkpointed(
             links = mentions_op.explode_mentions(linked)
             ents_df, edges_df = canon_op.canonicalize(triples, links)
         out["entities"] = runner.stage("entities", fp, lambda: ents_df)
-        out["edges"] = runner.stage("edges", fp, lambda: edges_df)
-        out["predicates"] = runner.stage(
-            "predicates", fp, lambda: canon_op.canonicalize_predicates(triples)
+        out["edges"] = runner.stage(
+            "edges",
+            fp,
+            lambda: edges_df.join(F.broadcast(pred_map), "pred", "left"),
         )
     return out

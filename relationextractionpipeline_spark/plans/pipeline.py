@@ -169,12 +169,16 @@ def run_staged_joinlink(
     that side is the surface→candidate index, orders of magnitude smaller
     than the full candidate table.  Output schema identical to run_staged
     (equality-tested)."""
+    from relationextractionpipeline_spark.operators import cache
+
     sentences = segment.segment_sentences(transcripts)
     # parsed feeds BOTH sides of the regroup join (the mention explode branch
     # and the sentence left side) — persist so the segment+parse Arrow stages
     # run once, not once per branch.  In a production run this is the
     # materialized parse-stage table from plans/manifests.py instead.
-    parsed = parse.parse_sentences(sentences).persist()
+    # Tracked persist: the caller owns the cache scope (operators/cache.py) —
+    # release_all() or clearCache() once the run's outputs are materialized.
+    parsed = cache.track(parse.parse_sentences(sentences))
     with_mentions = mentions_op.detect_mentions(parsed, kb_index_bc, nel_mode)
     rows = mentions_op.explode_mentions(with_mentions)
     linked_rows = link.link_mentions_broadcast_join(rows, entity_kb, figer_map)

@@ -1,0 +1,62 @@
+"""Executor-storage scope (operators/cache.py): operators that persist()
+intermediates register them; release_all() frees every one — a long session
+running many queries must not accumulate storage memory (round-3 verdict:
+unreleased persists leak executor storage in service-style sessions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import (
+    cache,
+    canonicalize,
+    dedup,
+    similarity,
+)
+from relationextractionpipeline_spark.plans import pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _persistent_ids(spark) -> set:
+    """Ids of RDDs currently registered as persistent in the JVM."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    ids, it = set(), jmap.keysIterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def test_release_all_frees_operator_caches(spark, tiny_paths):
+    """Sweep every tracked-persist operator (minhash/simhash dedup, IVF,
+    IVF-PQ, predicate canonicalization, staged-joinlink), materialize their
+    results, then release: no persisted RDD beyond the pre-sweep set may
+    survive.  (localCheckpoint sites are excluded by design — a checkpoint's
+    blocks ARE its data; see operators/cache.py.)"""
+    before = _persistent_ids(spark)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dedup.near_dup_pairs_minhash(docs, jaccard_threshold=0.5).count()
+    dedup.near_dup_pairs_simhash(docs, max_hamming=8).count()
+    similarity.ivf_topk(emb, qs, k=5, n_clusters=8, nprobe=2).count()
+    similarity.ivf_pq_topk(emb, qs, k=5, n_clusters=8, nprobe=2).count()
+    transcripts, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kbi_bc = pipeline.build_gazetteer_broadcast(spark, entity_kb)
+    run = pipeline.run_staged_joinlink(transcripts, kbi_bc, entity_kb, figer_map)
+    run["triples"].count()
+
+    mid = _persistent_ids(spark)
+    assert len(mid - before) >= 6  # the sweep really did cache intermediates
+
+    released = cache.release_all()
+    assert released >= 6
+    after = _persistent_ids(spark)
+    assert after - before == set(), (
+        f"leaked persisted RDDs: {sorted(after - before)}"
+    )
+    # idempotent: a second release is a no-op
+    assert cache.release_all() == 0

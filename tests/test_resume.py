@@ -58,11 +58,24 @@ def test_checkpointed_graph_tail_resume(spark, tiny_paths, tmp_path):
     ents1 = {r["canonical_id"] for r in r1["entities"].collect()}
     edges1 = r1["edges"].count()
 
-    # direct path equality
+    # direct path equality — including the EDGES SCHEMA: the checkpointed
+    # tail must carry the predicate rewrite (pred_canonical/pred_id), not a
+    # schema-diverged edges table missing the predicates join
     staged = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
     g = pipeline.materialize_graph(staged)
     assert {r["canonical_id"] for r in g["entities"].collect()} == ents1
     assert g["edges"].count() == edges1
+    assert r1["edges"].columns == g["edges"].columns
+    assert {"pred_canonical", "pred_id"} <= set(r1["edges"].columns)
+    pe_ck = {
+        (r["pred"], r["pred_canonical"])
+        for r in r1["edges"].select("pred", "pred_canonical").distinct().collect()
+    }
+    pe_direct = {
+        (r["pred"], r["pred_canonical"])
+        for r in g["edges"].select("pred", "pred_canonical").distinct().collect()
+    }
+    assert pe_ck == pe_direct
 
     # kill during the graph tail: drop edges only
     shutil.rmtree(os.path.join(ck, "edges"))
