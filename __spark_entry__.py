@@ -213,6 +213,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_links_ctx"] = kg_links_ctx
 
+    def kg_links_ctx_typed(spark, sf_dir):
+        """Context linking with BOTH context signals: the coreference boost
+        (+0.5 when the candidate URL is another surface's max-prior link in
+        the conversation) plus FIGER type-coherence (+0.25 when the
+        candidate's type matches the type of another surface's max-prior
+        link — entities in one conversation tend to share types).  The
+        weaker type signal only flips candidates whose prior gap is under
+        0.25; with no context both boosts are 0 and the scorer degrades
+        exactly to max-prior (equality-tested)."""
+        from relationextractionpipeline_spark.operators import link as link_op
+
+        entity_kb, kb_bc, figer_bc, mention_rows, est = _link_inputs(spark, sf_dir)
+        cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+        scored = link_op.score_links_grouped(
+            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+            type_boost=link_op.TYPE_BOOST,
+            n_groups=link_op.groups_for(est, spark.sparkContext.defaultParallelism),
+        )
+        return scored.select(*_LINK_COLS, F.round("score", 6).alias("score"))
+
+    q["kg_links_ctx_typed"] = kg_links_ctx_typed
+
     def kg_entities(spark, sf_dir):
         from relationextractionpipeline_spark.operators import canonicalize
 
@@ -1157,6 +1179,85 @@ def oracle_sql() -> dict[str, str]:
                              AND c.kb_url = k.url
                        ) THEN {link_mod.CTX_BOOST} ELSE 0.0 END AS score
                 FROM read_parquet('{mrows}') mr JOIN cand k USING (surface)
+            ),
+            picked AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, sent_idx, mention_id
+                        ORDER BY score DESC, url ASC
+                    ) AS rn FROM scored
+                ) WHERE rn = 1
+            ),
+            linked AS (
+                SELECT conv_id, turn_idx, sent_idx, mention_id, surface,
+                       kind, url, score
+                FROM picked
+                UNION ALL
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind,
+                       '{not_in_wiki}' || replace(mr.surface, ' ', '_') AS url,
+                       0.0 AS score
+                FROM read_parquet('{mrows}') mr
+                WHERE mr.surface NOT IN (SELECT surface FROM cand)
+            )
+            SELECT l.conv_id, l.turn_idx, l.sent_idx, l.mention_id,
+                   l.surface, l.kind, l.url,
+                   coalesce(nullif(f.figer_type, ''), 'none') AS figer,
+                   round(l.score, 6) AS score
+            FROM linked l
+            LEFT JOIN read_parquet('{small}/figer_map.parquet') f
+              ON f.url = l.url
+        """,
+        "kg_links_ctx_typed": f"""
+            WITH cand AS (
+                SELECT surface, url, prior
+                FROM read_parquet('{small}/entity_kb.parquet')
+            ),
+            best AS (
+                SELECT surface, url AS kb_url FROM (
+                    SELECT surface, url,
+                           row_number() OVER (
+                               PARTITION BY surface
+                               ORDER BY prior DESC, url ASC
+                           ) AS rn
+                    FROM cand
+                ) WHERE rn = 1
+            ),
+            surfs AS (
+                SELECT DISTINCT conv_id, surface FROM read_parquet('{mrows}')
+            ),
+            ctx AS (
+                SELECT s.conv_id, s.surface, b.kb_url
+                FROM surfs s JOIN best b USING (surface)
+            ),
+            ctxt AS (
+                SELECT DISTINCT c.conv_id, c.surface, f.figer_type
+                FROM ctx c
+                JOIN read_parquet('{small}/figer_map.parquet') f
+                  ON f.url = c.kb_url
+                WHERE f.figer_type <> '' AND f.figer_type <> 'none'
+            ),
+            scored AS (
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind, k.url,
+                       k.prior + CASE WHEN EXISTS (
+                           SELECT 1 FROM ctx c
+                           WHERE c.conv_id = mr.conv_id
+                             AND c.surface <> mr.surface
+                             AND c.kb_url = k.url
+                       ) THEN {link_mod.CTX_BOOST} ELSE 0.0 END
+                       + CASE WHEN kf.figer_type IS NOT NULL
+                              AND kf.figer_type <> '' AND kf.figer_type <> 'none'
+                              AND EXISTS (
+                                  SELECT 1 FROM ctxt t
+                                  WHERE t.conv_id = mr.conv_id
+                                    AND t.surface <> mr.surface
+                                    AND t.figer_type = kf.figer_type
+                              )
+                         THEN {link_mod.TYPE_BOOST} ELSE 0.0 END AS score
+                FROM read_parquet('{mrows}') mr JOIN cand k USING (surface)
+                LEFT JOIN read_parquet('{small}/figer_map.parquet') kf
+                  ON kf.url = k.url
             ),
             picked AS (
                 SELECT * FROM (

@@ -75,6 +75,15 @@ def link_mentions_in_row(with_mentions: DataFrame, kb_bc: Broadcast,
 # candidates differ by <0.5) while never outweighing a second boost.
 CTX_BOOST = 0.5
 
+# type-coherence boost (the second, weaker context signal): added when the
+# candidate's FIGER type matches the type of ANOTHER surface's max-prior
+# link in the same conversation — entities in one conversation tend to share
+# types ("…Curie…Turing…" ⇒ prefer /person readings of an ambiguous alias).
+# Deliberately < CTX_BOOST: direct URL coreference always outranks mere
+# type agreement, and 0.25 only flips candidates whose prior gap is smaller
+# than the type evidence.
+TYPE_BOOST = 0.25
+
 # target pandas-frame size for bucket-grouped link scoring: big enough to
 # amortize Spark's per-group slicing/FFI cost (~0.3 ms/group) ~100× over
 # per-conversation grouping, small enough that a frame of (surface, …)
@@ -99,6 +108,7 @@ def score_links_grouped(
     mode: str = "prior",
     cands_bc: Broadcast = None,
     boost: float = CTX_BOOST,
+    type_boost: float = 0.0,
     n_groups: int = None,
 ) -> DataFrame:
     """applyInPandas link scoring grouped **by conversation** — the
@@ -121,6 +131,10 @@ def score_links_grouped(
       exactly to max-prior (equality-tested).  Needs ``cands_bc`` — the
       FULL candidate lists per surface (plans.pipeline.
       build_candidates_broadcast), not just the max-prior winner.
+      ``type_boost > 0`` adds the second context signal: + type_boost when
+      the candidate's FIGER type matches the type of another surface's
+      max-prior link in the conversation (TYPE_BOOST; 0 disables — the
+      default keeps the single-signal scorer bit-identical).
 
     Scale contract, two group granularities:
 
@@ -178,6 +192,11 @@ def score_links_grouped(
         # max-prior URL per distinct surface in THIS conversation (row-order
         # independent: derived from the pre-sorted candidate lists)
         best = {s: cands[s][0][0] for s in uniq if s in cands}
+
+        def _ftype(url: str):
+            fg = figer.get(url)
+            return fg if fg not in (None, "", "none") else None
+
         per_surface: Dict[str, tuple] = {}
         for s in uniq:
             cl = cands.get(s)
@@ -187,9 +206,18 @@ def score_links_grouped(
                 )
                 continue
             ctx = {u for s2, u in best.items() if s2 != s}
+            # FIGER types of the OTHER surfaces' max-prior links — the
+            # type-coherence evidence set (only real types participate)
+            ctx_types = (
+                {t for u in ctx if (t := _ftype(u)) is not None}
+                if type_boost
+                else set()
+            )
             chosen_url, chosen_score = None, None
             for url, prior in cl:
                 sc = prior + (boost if url in ctx else 0.0)
+                if type_boost and _ftype(url) in ctx_types:
+                    sc += type_boost
                 if (
                     chosen_score is None
                     or sc > chosen_score

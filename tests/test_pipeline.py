@@ -293,12 +293,69 @@ def test_context_scorer_degrades_to_prior_without_context(spark, tiny_paths):
     cols = ["conv_id", "turn_idx", "sent_idx", "mention_id",
             "url", "figer", "score"]
     a = link.score_links_grouped(sub, kb_bc, figer_bc)
-    b = link.score_links_grouped(
-        sub, kb_bc, figer_bc, mode="context", cands_bc=cands_bc
-    )
     pa = a.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
-    pb = b.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
-    pd.testing.assert_frame_equal(pa, pb)
+    # both context scorers (coreference-only AND coreference+type) degrade
+    # exactly to max-prior with no other surfaces in the conversation
+    for extra in ({}, {"type_boost": link.TYPE_BOOST}):
+        b = link.score_links_grouped(
+            sub, kb_bc, figer_bc, mode="context", cands_bc=cands_bc, **extra
+        )
+        pb = b.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_type_coherence_boost_flips_on_shared_figer_type(spark):
+    """The second context signal: an ambiguous surface whose lower-prior
+    candidate shares a FIGER type with another surface's max-prior link in
+    the conversation flips to that candidate when the prior gap < 0.25 —
+    and only then (a 0.3 gap stays on the prior winner; a context-free
+    conversation is untouched).  URL coreference plays no role here (no
+    shared URLs), isolating the type signal."""
+    kb_rows = [
+        # "Jordan": country (prior .5) vs basketball person (.4) — gap .1
+        ("Jordan", "http://db/Jordan_Country", 0.5),
+        ("Jordan", "http://db/Michael_Jordan", 0.4),
+        # "Lincoln": city (.7) vs person (.4) — gap .3 > TYPE_BOOST
+        ("Lincoln", "http://db/Lincoln_City", 0.7),
+        ("Lincoln", "http://db/Abraham_Lincoln", 0.4),
+        # unambiguous person anchor
+        ("Serena Williams", "http://db/Serena_Williams", 0.9),
+    ]
+    figer_rows = [
+        ("http://db/Jordan_Country", "/location/country"),
+        ("http://db/Michael_Jordan", "/person/athlete"),
+        ("http://db/Lincoln_City", "/location/city"),
+        ("http://db/Abraham_Lincoln", "/person/athlete"),  # same type signal…
+        ("http://db/Serena_Williams", "/person/athlete"),
+    ]
+    entity_kb = spark.createDataFrame(kb_rows, "surface string, url string, prior double")
+    figer_map = spark.createDataFrame(figer_rows, "url string, figer_type string")
+    kb_bc, _kbi, figer_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+    rows = [
+        ("c1", 0, 0, 0, 1, 2, "Serena Williams", "ner1", "ner"),
+        ("c1", 1, 0, 0, 1, 1, "Jordan", "ner1", "ner"),
+        ("c1", 2, 0, 0, 1, 1, "Lincoln", "ner1", "ner"),
+        ("c2", 0, 0, 0, 1, 1, "Jordan", "ner1", "ner"),  # no context
+    ]
+    sub = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, sent_idx int, mention_id int, "
+        "start_tok int, end_tok int, surface string, tag string, kind string",
+    )
+    got = {
+        (r["conv_id"], r["surface"]): (r["url"], r["score"])
+        for r in link.score_links_grouped(
+            sub, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+            type_boost=link.TYPE_BOOST,
+        ).collect()
+    }
+    # /person/athlete coherence with Serena: Michael (.4+.25) beats country (.5)
+    assert got[("c1", "Jordan")] == ("http://db/Michael_Jordan", 0.65)
+    # …but Lincoln's .3 prior gap survives the .25 type boost: city stays
+    assert got[("c1", "Lincoln")] == ("http://db/Lincoln_City", 0.7)
+    # context-free conversation: prior winner untouched
+    assert got[("c2", "Jordan")] == ("http://db/Jordan_Country", 0.5)
 
 
 def test_context_scorer_partition_invariant(spark, tiny_paths):
