@@ -171,25 +171,37 @@ BY_WORD = "by"
 CONTRACTIONS: Dict[str, Tuple[str, ...]] = {
     "am": ("an", "dem"),
     "ans": ("an", "das"),
+    "aufm": ("auf", "dem"),     # colloquial register — UDPipe's range-line
+    "aufn": ("auf", "den"),     # handling covers these identically
     "aufs": ("auf", "das"),
+    "ausm": ("aus", "dem"),
     "beim": ("bei", "dem"),
+    "durchn": ("durch", "den"),
     "durchs": ("durch", "das"),
+    "fürn": ("für", "den"),
     "fürs": ("für", "das"),
+    "gegens": ("gegen", "das"),
     "hinterm": ("hinter", "dem"),
+    "hinters": ("hinter", "das"),
     "im": ("in", "dem"),
     "ins": ("in", "das"),
+    "überm": ("über", "dem"),
+    "übern": ("über", "den"),
     "übers": ("über", "das"),
     "ums": ("um", "das"),
+    "untern": ("unter", "den"),
     "unterm": ("unter", "dem"),
+    "unters": ("unter", "das"),
     "vom": ("von", "dem"),
+    "vorm": ("vor", "dem"),
     "vors": ("vor", "das"),
     "zum": ("zu", "dem"),
     "zur": ("zu", "der"),
 }
-DET_WORDS = frozenset({DET_WORD, "dem", "das", "der"})
+DET_WORDS = frozenset({DET_WORD, "dem", "das", "der", "den"})
 # syntax-only preposition forms introduced by MWT expansion
 _EXTRA_PREPS = frozenset(
-    {"zu", "an", "auf", "bei", "durch", "für", "hinter",
+    {"zu", "an", "auf", "aus", "bei", "durch", "für", "gegen", "hinter",
      "über", "um", "unter", "von", "vor"}
 )
 CCONJ_WORD = "and"

@@ -412,13 +412,24 @@ def render_human_string(subj: str, obj: str, pred: str, subj_figer: str,
     )
 
 
-def extract_relations(tokens, mentions: Sequence[Dict]) -> List[Dict]:
+def extract_relations(
+    tokens, mentions: Sequence[Dict], render: bool = True
+) -> List[Dict]:
     """J6 + P8-P10 + R1-R9: emit triples for one sentence.
 
     ``mentions`` carry link fields ``url`` and ``figer``.  Mirrors
     ``binary_relation.py:207-233``: ordered pair product over mentions, com-com
     pairs dropped (P8), self pairs dropped (P9), empty predicates dropped
     (P10), passive pairs swapped (R8).
+
+    ``render=False`` omits the serialized ``rel``/``rel_human`` strings —
+    they are pure functions of the other emitted fields, so the Spark
+    operators render them as NATIVE Column expressions instead
+    (operators/triples.with_rel_strings: JVM codegen, pruned away by
+    Catalyst for consumers that never read them).  The default True keeps
+    the sequential oracle and the rule fixtures rendering in Python — the
+    byte-equality of the two renderers is then part of what the kg_triples
+    hash gate verifies.
     """
     sent = _ensure_sent(tokens)
     deps = _deps(sent)
@@ -441,32 +452,32 @@ def extract_relations(tokens, mentions: Sequence[Dict]) -> List[Dict]:
                 obj_figer = figer_normalize(str(e2["figer"]))
                 subj_kind = kind_flag(str(e1["kind"]))
                 obj_kind = kind_flag(str(e2["kind"]))
-                out.append(
-                    {
-                        "subj": subj,
-                        "pred": pred_string,
-                        "obj": obj,
-                        "subj_type": subj_figer,
-                        "obj_type": obj_figer,
-                        "subj_kind": subj_kind,
-                        "obj_kind": obj_kind,
-                        "neg": bool(negation),
-                        "passive": bool(passive),
-                        "pred_tok": int(pred_index),
-                        "rel": render_rel_string(
-                            subj, obj, pred_string, subj_figer, obj_figer,
-                            subj_kind, obj_kind, negation, pred_index,
-                        ),
-                        "rel_human": render_human_string(
-                            subj, obj, pred_string, subj_figer, obj_figer,
-                            negation, passive,
-                        ),
-                        # emission index within the sentence = the reference's
-                        # pair-product order (binary_relation.py:207-233);
-                        # sinks sort by it for byte-level output parity
-                        "rel_idx": len(out),
-                    }
-                )
+                trip = {
+                    "subj": subj,
+                    "pred": pred_string,
+                    "obj": obj,
+                    "subj_type": subj_figer,
+                    "obj_type": obj_figer,
+                    "subj_kind": subj_kind,
+                    "obj_kind": obj_kind,
+                    "neg": bool(negation),
+                    "passive": bool(passive),
+                    "pred_tok": int(pred_index),
+                    # emission index within the sentence = the reference's
+                    # pair-product order (binary_relation.py:207-233);
+                    # sinks sort by it for byte-level output parity
+                    "rel_idx": len(out),
+                }
+                if render:
+                    trip["rel"] = render_rel_string(
+                        subj, obj, pred_string, subj_figer, obj_figer,
+                        subj_kind, obj_kind, negation, pred_index,
+                    )
+                    trip["rel_human"] = render_human_string(
+                        subj, obj, pred_string, subj_figer, obj_figer,
+                        negation, passive,
+                    )
+                out.append(trip)
     return out
 
 

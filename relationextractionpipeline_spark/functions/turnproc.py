@@ -43,6 +43,7 @@ def _sentence_triples(
     kb: Dict[str, Tuple[str, float]],
     kb_index: Dict[Tuple[str, ...], str],
     figer: Dict[str, str],
+    render: bool = True,
 ) -> List[dict]:
     pins = _SENT_CACHE["pins"]
     if (
@@ -55,7 +56,8 @@ def _sentence_triples(
         _SENT_CACHE["map"] = {}
     m = _SENT_CACHE["map"]
     _SENT_CACHE["lookups"] += 1
-    got = m.get(sent)
+    key = (render, sent)  # rendered and unrendered entries differ in shape
+    got = m.get(key)
     if got is None:
         tokens = lx.parse_sentence_soa(sent)  # hot path: no per-token dicts
         mentions = rules.detect_mentions(tokens, kb_index)
@@ -63,11 +65,11 @@ def _sentence_triples(
             url, fg = rules.link_mention(str(mm["surface"]), kb, figer)
             mm["url"] = url
             mm["figer"] = fg
-        got = rules.extract_relations(tokens, mentions)
+        got = rules.extract_relations(tokens, mentions, render=render)
         if len(m) >= _SENT_CACHE_MAX:
             m.clear()
             _SENT_CACHE["evictions"] += 1
-        m[sent] = got
+        m[key] = got
     else:
         _SENT_CACHE["hits"] += 1
     return got
@@ -78,14 +80,17 @@ def extract_turn_triples(
     kb: Dict[str, Tuple[str, float]],
     kb_index: Dict[Tuple[str, ...], str],
     figer: Dict[str, str],
+    render: bool = True,
 ) -> List[dict]:
     """All triples for one turn's text; ``sent_idx`` counts sentences within
     the turn (the reference's per-file sentence numbering, nel.py:259-264,
-    rekeyed per turn)."""
+    rekeyed per turn).  ``render=False`` skips the Python ``rel``/
+    ``rel_human`` string rendering (the fused Spark path renders them
+    natively instead — see rules.extract_relations)."""
     out: List[dict] = []
     sent_idx = 0
     for line_idx, sent in rules.segment_text_with_lines(text or ""):
-        for trip in _sentence_triples(sent, kb, kb_index, figer):
+        for trip in _sentence_triples(sent, kb, kb_index, figer, render):
             out.append({"sent_idx": sent_idx, "line_idx": line_idx, **trip})
         sent_idx += 1
     return out

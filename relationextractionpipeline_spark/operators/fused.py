@@ -26,17 +26,18 @@ from relationextractionpipeline_spark.functions import (
     turnproc,
 )
 
+# rel/rel_human are NOT ferried through Arrow: they render natively from
+# these fields after the crossing (operators/triples.with_rel_strings)
 TRIPLE_COLS = [
     "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj", "subj_type",
-    "obj_type", "subj_kind", "obj_kind", "neg", "passive", "pred_tok", "rel",
-    "rel_human", "rel_idx",
+    "obj_type", "subj_kind", "obj_kind", "neg", "passive", "pred_tok",
+    "rel_idx",
 ]
 
 OUT_SCHEMA = (
     "conv_id string, turn_idx int, sent_idx int, subj string, pred string, "
     "obj string, subj_type string, obj_type string, subj_kind string, "
-    "obj_kind string, neg boolean, passive boolean, pred_tok int, rel string, "
-    "rel_human string, rel_idx int"
+    "obj_kind string, neg boolean, passive boolean, pred_tok int, rel_idx int"
 )
 
 
@@ -63,7 +64,7 @@ def extract_triples_fused(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
                 for trip in turnproc.extract_turn_triples(
-                    text, kb, kb_index, figer
+                    text, kb, kb_index, figer, render=False
                 ):
                     rows.append(
                         (
@@ -72,7 +73,7 @@ def extract_triples_fused(
                             trip["subj_type"], trip["obj_type"],
                             trip["subj_kind"], trip["obj_kind"],
                             trip["neg"], trip["passive"], trip["pred_tok"],
-                            trip["rel"], trip["rel_human"], trip["rel_idx"],
+                            trip["rel_idx"],
                         )
                     )
             yield pd.DataFrame(rows, columns=TRIPLE_COLS)
@@ -82,8 +83,12 @@ def extract_triples_fused(
             cache_stats["hits"].add(now[1] - base[1])
             cache_stats["evictions"].add(now[2] - base[2])
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        run, schema=OUT_SCHEMA
+    from relationextractionpipeline_spark.operators import triples as triples_op
+
+    return triples_op.with_rel_strings(
+        transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+            run, schema=OUT_SCHEMA
+        )
     )
 
 

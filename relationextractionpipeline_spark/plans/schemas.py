@@ -90,7 +90,13 @@ LINKED_MENTION = T.StructType(
 )
 LINKED_MENTIONS = T.ArrayType(LINKED_MENTION)
 
-# R1-R9 output triple (binary_relation.py:232 tuple, made columnar)
+# R1-R9 output triple (binary_relation.py:232 tuple, made columnar).  The
+# serialized rel/rel_human strings are NOT part of the UDF output: they are
+# pure functions of these fields and render as native Column expressions
+# (operators/triples.rel_string_cols) — JVM codegen instead of Python string
+# formatting, pruned by Catalyst when unread.  rel_idx is the
+# within-sentence emission index (the reference's pair-product order) for
+# byte-parity sinks.
 TRIPLE = T.StructType(
     [
         T.StructField("subj", T.StringType(), False),
@@ -103,11 +109,6 @@ TRIPLE = T.StructType(
         T.StructField("neg", T.BooleanType(), False),
         T.StructField("passive", T.BooleanType(), False),
         T.StructField("pred_tok", T.IntegerType(), False),
-        T.StructField("rel", T.StringType(), False),
-        # S13 human-readable string (format_relation_string,
-        # binary_relation.py:270-289) and the within-sentence emission index
-        # (the reference's pair-product order) for byte-parity sinks
-        T.StructField("rel_human", T.StringType(), False),
         T.StructField("rel_idx", T.IntegerType(), False),
     ]
 )

@@ -185,11 +185,12 @@ def test_mwt_sentence_yields_triples():
 
 
 def test_mwt_inventory_full_roundtrip():
-    """Every contraction in the inventory (16 German preposition-article
-    forms, the range the reference's post-processor handles,
+    """Every contraction in the inventory (28 German preposition-article
+    forms — the full standard set plus colloquial-register variants; the
+    range the reference's post-processor handles,
     unstable_parser_post_proc.py:11-41) expands to its two syntax tokens,
     records one MWT range, and round-trips exactly at the surface level."""
-    assert len(lx.CONTRACTIONS) >= 16
+    assert len(lx.CONTRACTIONS) >= 28
     for c, parts in sorted(lx.CONTRACTIONS.items()):
         s = f"Turing testified {c} archive."
         full = lx.parse_sentence_full(s)
