@@ -151,7 +151,8 @@ def main() -> None:
     recalls: dict[str, float | None] = {}
     for name in ("q_embed_topk_lsh", "q_embed_topk_lsh_multi",
                  "q_embed_topk_lsh_probe", "q_embed_topk_ivf",
-                 "q_embed_topk_pq", "q_embed_topk_ivfpq"):
+                 "q_embed_topk_pq", "q_embed_topk_pq_rerank",
+                 "q_embed_topk_ivfpq"):
         recalls[name.replace("q_embed_topk_", "")] = _recall(_topk_sets(name))
 
     # IVF recall curve over nprobe — the knob a user actually turns; recall

@@ -227,6 +227,58 @@ def ngram_hot_grams(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_df: int = None,
+) -> DataFrame:
+    """Benchmark decontamination: per TRAINING document, how many of its
+    distinct word-``n``-grams also appear in ANY evaluation document —
+    the standard train/test-contamination check a training-data pipeline
+    runs before every corpus release (an eval example whose n-grams leak
+    into training data inflates downstream benchmark scores).
+
+    Output: (doc_id, n_grams, n_shared_grams, contaminated) for EVERY
+    training doc — zero-overlap docs included, so the row count is stable
+    and the sink can either drop flagged docs or audit near-misses.
+
+    Plan shape: inverted-index join, like ``ngram_jaccard_pairs`` but
+    one-sided — the EVAL gram set is the small side by construction (eval
+    suites are fixed-size; the corpus is the 100 TB side), so it
+    broadcasts: the training table is scanned once, never self-joined, and
+    cost is O(train grams).  ``max_df`` (opt-in) additionally drops
+    boilerplate grams from the TRAIN side before the join, same recall-only
+    policy as ``ngram_jaccard_pairs``."""
+    tgrams = train.select(
+        F.col(id_col).alias("_id"), F.explode(_gram_set_col(text_col, n)).alias("gram")
+    )
+    sizes = tgrams.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    if max_df is not None:
+        dfc = tgrams.groupBy("gram").agg(F.count("*").alias("_df"))
+        tgrams = tgrams.join(dfc.where(F.col("_df") <= max_df), "gram").drop("_df")
+    egrams = (
+        eval_df.select(F.explode(_gram_set_col(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    shared = (
+        tgrams.join(F.broadcast(egrams), "gram")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return (
+        sizes.join(shared, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

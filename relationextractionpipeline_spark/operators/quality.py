@@ -84,6 +84,75 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_word_max: float = 0.4,
+    top_bigram_max: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style repetition
+    filters, Rae et al. 2021 — boilerplate and generation loops show up as
+    repeated tokens long before any cross-document dedup sees them):
+
+    * ``dup_word_frac``   — 1 − distinct/total words (pure array ops);
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram /
+      total bigrams (explode + per-doc max — one shuffle keyed by doc);
+    * ``repetitive``      — either signal over its threshold.
+
+    Emits one row per input doc (degenerate ≤1-word docs score 0), so the
+    filter composes with the dedup → quality → sample curation chain."""
+    t = F.col(text_col)
+    w = F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(
+        words(F.lower(t))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.when(
+            F.size(w) > 0,
+            F.round(1 - F.size(F.array_distinct(w)) / F.size(w), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.when(F.size(w) >= 2, F.size(w) - 1).otherwise(F.lit(0)).alias("n_bigrams"),
+        F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bigrams"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_bg"))
+    )
+    return (
+        base.drop("_bigrams")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "dup_word_frac",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.coalesce("_top_bg", F.lit(0)) / F.col("n_bigrams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("dup_word_frac") > dup_word_max)
+            | (F.col("top_bigram_frac") > top_bigram_max),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 (cross-engine reproducible) + a 16-hex-prefix
     shard key usable for fingerprint-range partition pruning."""

@@ -170,6 +170,79 @@ def test_lsh_multiprobe_recall_dominates_single_table(spark, emb):
     spark.catalog.clearCache()
 
 
+def test_ngram_contamination_flags_planted_leak(spark, docs):
+    """A training doc sharing a 5-gram with an eval doc is flagged;
+    unrelated docs score zero; every train doc emits exactly one row."""
+    eval_df = docs.limit(2)
+    eval_ids = [r["doc_id"] for r in eval_df.select("doc_id").collect()]
+    # plant a leak: a copy of eval doc 0 with a fresh id, plus a clean doc
+    leak = eval_df.limit(1).withColumn("doc_id", F.col("doc_id") + 700000)
+    train = docs.where(~F.col("doc_id").isin(eval_ids)).unionByName(leak)
+    out = dedup.ngram_contamination(train, eval_df, n=5).toPandas()
+    assert len(out) == train.count()  # one row per train doc, zeros included
+    flagged = set(out[out.contaminated].doc_id)
+    assert {i + 700000 for i in eval_ids[:1]} <= flagged
+    planted = out[out.doc_id == eval_ids[0] + 700000].iloc[0]
+    assert planted.n_shared_grams == planted.n_grams  # verbatim copy
+    assert (out.n_shared_grams <= out.n_grams).all()
+
+
+def test_repetition_filter_flags_planted_loop(spark):
+    """A generation-loop doc (one bigram repeated) trips both signals; a
+    normal sentence trips neither; degenerate docs score 0."""
+    from relationextractionpipeline_spark.operators import quality as q_
+
+    rows = [
+        (1, "the cat sat on the mat near the door today"),
+        (2, "go go go go go go go go"),                # dup words + top bigram
+        (3, "one"),                                    # no bigrams
+        (4, ""),                                       # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in q_.with_repetition(df).collect()}
+    assert not out[1]["repetitive"]
+    assert out[2]["repetitive"]
+    assert out[2]["dup_word_frac"] > 0.8 and out[2]["top_bigram_frac"] == 1.0
+    assert out[3]["dup_word_frac"] == 0.0 and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["dup_word_frac"] == 0.0 and not out[4]["repetitive"]
+
+
+def test_pq_rerank_recall_dominates_adc(spark, emb):
+    """The exact re-rank of the ADC shortlist can only improve recall vs
+    the pure-ADC ranking, and its cosines are exact (match brute force)."""
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    exact_df = similarity.brute_force_topk(emb, qs, k=5).toPandas()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_df.itertuples()}
+    adc = pairs(similarity.pq_topk(emb, qs, k=5, n_codes=64))
+    rer_df = similarity.pq_topk(emb, qs, k=5, n_codes=64, rerank=50).toPandas()
+    rer = {(r.query_id, r.neighbor_id) for r in rer_df.itertuples()}
+    assert len(rer & exact) >= len(adc & exact)
+    merged = rer_df.merge(exact_df, on=["query_id", "neighbor_id"],
+                          suffixes=("_pq", "_ex"))
+    assert (merged.cos_pq == merged.cos_ex).all()
+    spark.catalog.clearCache()
+
+
+def test_lsh_tables_for_recall_meets_target(spark, emb):
+    """The multi-table recall autotuner returns an L whose measured recall
+    meets the stated target; the curve is monotone (tables 0..L-1 are a
+    prefix of tables 0..L, so candidates only grow)."""
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_tables_for_recall(
+        emb, qs, target_recall=0.6, k=5, n_planes=3, max_tables=16
+    )
+    assert out["recall"] >= 0.6 or out["n_tables"] == 16
+    vals = list(out["curve"].values())
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    spark.catalog.clearCache()
+
+
 def test_nprobe_for_recall_meets_target(spark, emb):
     """The recall-targeted tuning surface: asking for recall ≥ X returns an
     nprobe whose MEASURED recall meets X (monotone knob: nprobe=n_clusters
