@@ -328,6 +328,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_cooccurrence"] = kg_cooccurrence
 
+    def kg_cooccurrence_pmi(spark, sf_dir):
+        """PMI-weighted co-occurrence edges — raw counts over-rank stopword
+        pairs; pointwise mutual information ln(n_cooc·W / (c1·c2)) surfaces
+        the informative associations (the schema-free-corpus KG edge
+        weighting).  Same output-bound offset equi-join as kg_cooccurrence;
+        the corpus word-count table joins twice (broadcast — vocabulary is
+        the small side) and the scalar total crosses via a 1-row broadcast."""
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        w = d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos", "word"
+            ),
+        ).where(F.col("word") != "")
+        wc = w.groupBy("word").agg(F.count("*").alias("cnt"))
+        total = w.agg(F.count("*").alias("W"))
+        a = w.select(
+            "doc_id", F.col("pos").alias("pa"), F.col("word").alias("wa")
+        ).withColumn("off", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        b = w.select("doc_id", F.col("pos").alias("pb"), F.col("word").alias("wb"))
+        pairs = (
+            a.join(b, (a["doc_id"] == b["doc_id"]) & (b["pb"] == a["pa"] + a["off"]))
+            .select(
+                F.least("wa", "wb").alias("w1"),
+                F.greatest("wa", "wb").alias("w2"),
+            )
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("n_cooc"))
+            .where(F.col("n_cooc") >= 5)
+        )
+        return (
+            pairs.join(
+                F.broadcast(wc.select(F.col("word").alias("w1"),
+                                      F.col("cnt").alias("c1"))), "w1"
+            )
+            .join(
+                F.broadcast(wc.select(F.col("word").alias("w2"),
+                                      F.col("cnt").alias("c2"))), "w2"
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                "w1", "w2", "n_cooc",
+                F.round(
+                    F.log(F.col("n_cooc") * F.col("W")
+                          / (F.col("c1") * F.col("c2"))), 6
+                ).alias("pmi"),
+            )
+            .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+            .limit(50)
+        )
+
+    q["kg_cooccurrence_pmi"] = kg_cooccurrence_pmi
+
     # ---- generic relational operators, SQL-parity on driver tables -------
     def q1_lineitem_agg(spark, sf_dir):
         li = _read(spark, sf_dir, "lineitem")
@@ -933,6 +988,37 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
             GROUP BY 1, 2
             ORDER BY n_cooc DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
+        "kg_cooccurrence_pmi": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, words[i] AS word, i AS pos
+                FROM t, UNNEST(generate_series(1, len(words))) AS g(i)
+                WHERE words[i] <> ''
+            ),
+            wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+            total AS (SELECT count(*) AS W FROM w),
+            pairs AS (
+                SELECT least(a.word, b.word) AS w1,
+                       greatest(a.word, b.word) AS w2,
+                       count(*) AS n_cooc
+                FROM w a JOIN w b
+                  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+                GROUP BY 1, 2
+                HAVING count(*) >= 5
+            )
+            SELECT p.w1, p.w2, p.n_cooc,
+                   round(ln(p.n_cooc * t.W * 1.0 / (c1.cnt * c2.cnt)), 6) AS pmi
+            FROM pairs p
+            JOIN wc c1 ON c1.word = p.w1
+            JOIN wc c2 ON c2.word = p.w2
+            CROSS JOIN total t
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
             LIMIT 50
         """,
         "q_lineitem_rollup": """

@@ -15,9 +15,41 @@ transform.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def upsert_by_key(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: List[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins upsert — the engine-side semantics of Iceberg's
+    ``MERGE INTO target USING updates ON keys WHEN MATCHED THEN UPDATE
+    WHEN NOT MATCHED THEN INSERT`` (the north rule's incremental edge
+    maintenance), expressed as a plan so the parquet fallback can run it as
+    read → upsert → snapshot-overwrite while an Iceberg runtime would push
+    the same statement to the table format:
+
+    * one row per key survives;
+    * higher ``version_col`` wins; on a version tie the UPDATE side wins
+      (MERGE's WHEN MATCHED precedence).
+
+    One shuffle on the keys; updates are typically the small side, but the
+    window form stays correct at any ratio (no driver-side state)."""
+    tagged = current.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
 
 
 def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
@@ -73,3 +105,27 @@ class TableIO:
         if bucket_by is not None:
             writer = writer.partitionBy("_bucket")
         writer.parquet(self._path(name))
+
+    def upsert(
+        self, updates: DataFrame, name: str, keys: List[str], version_col: str
+    ) -> None:
+        """Table-level MERGE INTO analog: read → ``upsert_by_key`` →
+        snapshot replace.  With an Iceberg runtime this is where the real
+        ``MERGE INTO`` statement (or ``createOrReplace`` snapshot) goes; the
+        parquet fallback writes the merged table to a staging directory and
+        swaps it in — never overwriting the directory a lazy plan is still
+        reading from (Spark parquet overwrite deletes the input first)."""
+        merged = upsert_by_key(self.read(name), updates, keys, version_col)
+        if self.use_iceberg:
+            merged.writeTo(f"{self.catalog}.{name}").createOrReplace()
+            return
+        import os
+        import shutil
+
+        staging = self._path(f"{name}__staging")
+        merged.write.mode("overwrite").parquet(staging)
+        final, old = self._path(name), self._path(f"{name}__old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old)

@@ -111,6 +111,46 @@ def test_ngram_jaccard_df_cap_bounds_boilerplate_blowup(spark):
     assert (hot.df > 10).all()
 
 
+def test_native_rel_renderers_match_python_renderers(spark):
+    """The native Column renderers (triples.rel_string_cols) must be
+    byte-identical to the Python renderers the sequential oracle uses
+    (rules.render_rel_string / render_human_string) on adversarial field
+    values — multi-dot xcomp predicates, dotless predicates, all four
+    neg×passive combinations, unicode entities, large/zero pred_tok."""
+    from relationextractionpipeline_spark.functions import rules as rules_
+    from relationextractionpipeline_spark.operators import triples as triples_op
+
+    rows = [
+        ("c", 0, 0, "Alan_Turing", "audit", "Berlin", "#person", "#location",
+         "E", "E", False, False, 3, 0),
+        ("c", 0, 0, "Rosalind_Franklin", "reject.by", "Łódź", "#person",
+         "#location", "E", "E", False, True, 7, 1),
+        ("c", 1, 0, "São_Paulo", "want.try.plan.audit", "budget", "#location",
+         "#thing", "E", "G", True, False, 0, 0),
+        ("c", 1, 1, "x", "hand_off.to", "y", "#thing", "#thing", "G", "E",
+         True, True, 214748, 2),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, sent_idx int, subj string, pred string,"
+        " obj string, subj_type string, obj_type string, subj_kind string,"
+        " obj_kind string, neg boolean, passive boolean, pred_tok int,"
+        " rel_idx int"
+    )
+    out = triples_op.with_rel_strings(
+        spark.createDataFrame(rows, schema)
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r["rel"] == rules_.render_rel_string(
+            r["subj"], r["obj"], r["pred"], r["subj_type"], r["obj_type"],
+            r["subj_kind"], r["obj_kind"], r["neg"], r["pred_tok"],
+        )
+        assert r["rel_human"] == rules_.render_human_string(
+            r["subj"], r["obj"], r["pred"], r["subj_type"], r["obj_type"],
+            r["neg"], r["passive"],
+        )
+
+
 # --- similarity --------------------------------------------------------------
 
 def test_lsh_multi_recall_dominates_single_table(spark, emb):
