@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "q_dedup_exact_groups",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_decontaminate",
+    "q_repetition",
     "q_embed_topk",
     "q_embed_topk_ivf",
     "q_embed_topk_ivfpq",

@@ -129,3 +129,74 @@ def test_streaming_dedup_matches_batch_distinct(spark, tiny_paths, tmp_path):
     )
     again = spark.read.parquet(out).toPandas()
     assert len(again) == len(got)  # nothing new: all contents already seen
+
+
+def test_streaming_curation_matches_batch_composition(spark, tmp_path):
+    """Streaming curation (dedup → quality gate → deterministic sample)
+    admits exactly the docs the batch composition admits over the same
+    input — the quality/sampling operators are stateless/pure-function by
+    design, so batch and stream share one implementation; dedup winners
+    coincide because files drain in doc_id order (min id arrives first)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from relationextractionpipeline_spark.operators import (
+        dedup as bdedup,
+        quality,
+        sampling,
+    )
+    from relationextractionpipeline_spark.streaming import curate
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").sort_values(
+        "doc_id"
+    )
+    src["ts"] = (
+        pd.Timestamp("2026-01-01") + pd.to_timedelta(src["doc_id"], unit="s")
+    ).dt.tz_localize("UTC")  # tz-aware → parquet TIMESTAMP (watermarkable)
+    # plant a later-id duplicate: the batch min-id rule and the streaming
+    # first-arrival rule must both drop it
+    dup = src.head(3).copy()
+    dup["doc_id"] += 900000
+    dup["ts"] += pd.Timedelta(hours=1)
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    half = len(src) // 2
+    # pandas defaults to ns timestamps, which Spark's parquet reader
+    # rejects — coerce to µs (and declare ts as timestamp_ntz below)
+    src.iloc[:half].to_parquet(
+        os.path.join(in_dir, "part-0.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    pd.concat([src.iloc[half:], dup]).to_parquet(
+        os.path.join(in_dir, "part-1.parquet"), index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+
+    out = str(tmp_path / "curated")
+    ck = str(tmp_path / "ck_curate")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long, ts timestamp")
+    curate.stream_curate(
+        spark, in_dir, out, ck, schema, watermark="365 days",
+        max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(out)
+
+    full = spark.createDataFrame(pd.concat([src, dup]))
+    batch = sampling.deterministic_sample(
+        quality.with_quality(bdedup.dedup_exact(full)).where(
+            (F.col("quality_score") >= 0.5) & (F.col("stop_ratio") > 0)
+        ),
+        "doc_id",
+        0.5,
+    )
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert got_ids == batch_ids
+    assert len(got_ids) > 0
+    assert not any(i >= 900000 for i in got_ids)  # planted dups dropped
+    # the stream carries the same quality scores the batch operator computes
+    gq = {r["doc_id"]: r["quality_score"] for r in got.collect()}
+    bq = {r["doc_id"]: r["quality_score"] for r in batch.collect()}
+    assert gq == bq
+    spark.catalog.clearCache()
