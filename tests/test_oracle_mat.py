@@ -243,3 +243,20 @@ def test_ivf_pq_topk_partition_invariant_with_reasonable_recall(spark):
         exact, on=["query_id", "neighbor_id"], suffixes=("_pq", "_ex")
     )
     assert (merged.cos_pq == merged.cos_ex).all()
+
+
+def test_generator_output_pinned_to_gen_version(tmp_path):
+    """Corpus bytes must be a function of GEN_VERSION alone: a code change
+    that alters generated text without bumping the version silently
+    invalidates every cached corpus AND materialization (caught once in
+    round 4, when the generator sampled the PARSER's contraction inventory
+    and widening that inventory changed v4 corpora).  If this fails after
+    an intentional grammar change, bump testgen.GEN_VERSION and re-pin."""
+    import hashlib
+
+    paths = oracle_mat.testgen.materialize("tiny", str(tmp_path))
+    pdf = pd.read_parquet(paths["transcripts"]).sort_values(
+        ["conv_id", "turn_idx"]
+    )
+    h = hashlib.sha256("\n".join(pdf["text"]).encode()).hexdigest()[:16]
+    assert (oracle_mat.testgen.GEN_VERSION, h) == (4, "2cc0d7ee2635d1cc")
