@@ -679,6 +679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_embed_topk"] = q_embed_topk
 
     def q_embed_topk_lsh(spark, sf_dir):
+        """Single-table hyperplane LSH at the default 3 planes — the
+        one-table baseline the multi-table/multi-probe variants are
+        measured against.  Recall is ceiling-limited at ~p^b (measured
+        0.30 at b=3 on sf0.1, falling to 0.03 by b=8); the recall path
+        is lsh_multi / lsh_probe below, not more planes."""
         if _small_scale(sf_dir):
             oracle_mat.embed_aux(sf_dir)  # bucket table for the DuckDB oracle
         emb = _read(spark, sf_dir, "embeddings")
@@ -696,7 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         recall remedy once single-table LSH's recall number (bench.py
         ann_recall_at_5) exposes how little one table finds on weakly
         structured vectors — recall per true neighbor is 1-(1-p^4)^8
-        instead of p^8 (measured 0.72 vs 0.03 here)."""
+        instead of p^b (measured 0.72+ vs the single-table ceiling:
+        0.30 at b=3, 0.03 at b=8)."""
         if _small_scale(sf_dir):
             oracle_mat.lsh_multi_aux(sf_dir)
         emb = _read(spark, sf_dir, "embeddings")
@@ -1532,7 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_embed_topk_lsh": f"""
             WITH bk AS (
-                SELECT vec_id, bucket FROM read_parquet('{aux}/lsh8.parquet')
+                SELECT vec_id, bucket FROM read_parquet('{aux}/lsh3.parquet')
             ),
             j AS (
                 SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,

@@ -132,10 +132,20 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 8,
+    n_planes: int = 3,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's hyperplane bucket."""
+    """Approximate top-k: compare only within the query's hyperplane bucket.
+
+    Single-table recall is capped at ~p^b where p = 1 - θ/π per plane
+    (θ = angle to the true neighbor) — measured recall@5 on the bench
+    corpus (sf0.1, 25k × 64-d): 0.30 / 0.09 / 0.03 at b = 3 / 4 / 8.
+    The default b=3 picks the usable end of that ceiling (candidates =
+    corpus/2^b = 12.5% of brute force); past b≈4 this variant returns
+    almost nothing on weakly structured vectors.  For real recall at
+    sublinear cost use ``lsh_multitable_topk`` (recall 1-(1-p^b)^L) or
+    ``lsh_multiprobe_topk`` — this function is the one-table baseline
+    they are measured against (bench.py ``ann_recall_at_5``)."""
     c = with_lsh_bucket(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
                         vec_col, n_planes, dim)
     q = with_lsh_bucket(

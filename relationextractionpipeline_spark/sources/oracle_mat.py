@@ -480,8 +480,8 @@ def embed_aux(
     nprobes: tuple = (8, 12),
     query_mod: int = 100,
 ) -> Dict[str, str]:
-    """LSH buckets (8/6/4-plane) and IVF cell assignments per vector, via the
-    shared numpy functions in operators/similarity.py.
+    """LSH buckets (8/6/4/3-plane) and IVF cell assignments per vector, via
+    the shared numpy functions in operators/similarity.py.
 
     Every filename is parameter-suffixed (planes in the lsh names,
     ``_k{n_clusters}`` / ``p{nprobe}`` on the IVF files): changing an ANN
@@ -496,6 +496,7 @@ def embed_aux(
         "lsh8": os.path.join(adir, "lsh8.parquet"),
         "lsh6": os.path.join(adir, "lsh6.parquet"),
         "lsh4": os.path.join(adir, "lsh4.parquet"),
+        "lsh3": os.path.join(adir, "lsh3.parquet"),
         "ivf_cells": os.path.join(adir, f"ivf_cells_k{n_clusters}.parquet"),
     }
     for np_ in nprobes:
@@ -506,7 +507,7 @@ def embed_aux(
         return out
     emb, mat = _load_embeddings(sf_dir)
     dim = mat.shape[1]
-    for planes, key in ((8, "lsh8"), (6, "lsh6"), (4, "lsh4")):
+    for planes, key in ((8, "lsh8"), (6, "lsh6"), (4, "lsh4"), (3, "lsh3")):
         buckets = similarity.hyperplane_buckets(mat, planes, dim)
         _publish(
             pd.DataFrame({"vec_id": emb["vec_id"], "bucket": buckets}), out[key]

@@ -102,7 +102,7 @@ def test_embed_aux_matches_spark_udfs(spark):
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    for planes, key in ((8, "lsh8"), (4, "lsh4")):
+    for planes, key in ((8, "lsh8"), (4, "lsh4"), (3, "lsh3")):
         seq = pd.read_parquet(out[key]).sort_values("vec_id")
         sp = (
             similarity.with_lsh_bucket(emb, "embedding", n_planes=planes, dim=64)
