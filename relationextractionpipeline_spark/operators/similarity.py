@@ -579,33 +579,22 @@ def ivf_topk_from_index(
     )
 
 
-def nprobe_for_recall(
+def _recall_harness(
     corpus: DataFrame,
     queries: DataFrame,
-    target_recall: float,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    n_clusters: int = 16,
-    dim: int = 64,
-    sample_queries: int = 50,
-) -> dict:
-    """Map "I need recall ≥ X" to an IVF ``nprobe`` by measurement — the
-    recall-targeted tuning surface: hand-tuned ANN defaults silently decay as
-    the corpus changes, so pick the knob from a stated target instead.
-
-    Protocol: deterministically sample ≤ ``sample_queries`` queries
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    sample_queries: int,
+):
+    """Shared measurement rig for the ``*_for_recall`` autotuners:
+    deterministically thin the query set to ~``sample_queries`` rows
     (hash-mod on the id — same queries every run), compute their EXACT
-    top-k once (one brute-force pass over the corpus, query side is tiny and
-    broadcast), then walk nprobe upward (1, 2, 4, ... then +2 steps)
-    measuring recall@k on the sample until the target is met or
-    nprobe = n_clusters (recall 1.0 by construction).  Cost: the exact pass
-    + a few cell-pruned passes over the corpus — run it once per corpus
-    version, then pin the returned nprobe in the production job.
-
-    Returns {"nprobe", "recall", "curve": {nprobe: recall, ...}}.
-    """
+    top-k once (one brute-force pass, query side broadcast), and return
+    ``(qsample, sets_fn, recall_fn)`` where ``sets_fn`` collects a top-k
+    DataFrame into {query: {neighbors}} and ``recall_fn`` scores such a
+    dict against the exact baseline."""
     n_queries = queries.count()
     if n_queries <= sample_queries:
         qsample = queries
@@ -633,6 +622,39 @@ def nprobe_for_recall(
         ]
         return sum(vals) / len(vals) if vals else 1.0
 
+    return qsample, _sets, _recall
+
+
+def nprobe_for_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    target_recall: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_clusters: int = 16,
+    dim: int = 64,
+    sample_queries: int = 50,
+) -> dict:
+    """Map "I need recall ≥ X" to an IVF ``nprobe`` by measurement — the
+    recall-targeted tuning surface: hand-tuned ANN defaults silently decay as
+    the corpus changes, so pick the knob from a stated target instead.
+
+    Protocol: deterministically sample ≤ ``sample_queries`` queries
+    (hash-mod on the id — same queries every run), compute their EXACT
+    top-k once (one brute-force pass over the corpus, query side is tiny and
+    broadcast), then walk nprobe upward (1, 2, 4, ... then +2 steps)
+    measuring recall@k on the sample until the target is met or
+    nprobe = n_clusters (recall 1.0 by construction).  Cost: the exact pass
+    + a few cell-pruned passes over the corpus — run it once per corpus
+    version, then pin the returned nprobe in the production job.
+
+    Returns {"nprobe", "recall", "curve": {nprobe: recall, ...}}.
+    """
+    qsample, _sets, _recall = _recall_harness(
+        corpus, queries, k, id_col, vec_col, query_id_col, sample_queries
+    )
     curve: dict = {}
     nprobe, best = 1, 0.0
     while True:
@@ -672,33 +694,9 @@ def lsh_tables_for_recall(
 
     Returns {"n_tables", "recall", "curve": {L: recall, ...}}.
     """
-    n_queries = queries.count()
-    if n_queries <= sample_queries:
-        qsample = queries
-    else:
-        m = -(-n_queries // sample_queries)
-        qsample = queries.where(
-            F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(m)) == 0
-        )
-
-    def _sets(df: DataFrame) -> dict:
-        out: dict = {}
-        for r in df.select(query_id_col, "neighbor_id").collect():
-            out.setdefault(r[query_id_col], set()).add(r["neighbor_id"])
-        return out
-
-    exact = _sets(
-        brute_force_topk(corpus, qsample, k=k, id_col=id_col, vec_col=vec_col,
-                         query_id_col=query_id_col)
+    qsample, _sets, _recall = _recall_harness(
+        corpus, queries, k, id_col, vec_col, query_id_col, sample_queries
     )
-
-    def _recall(approx: dict) -> float:
-        vals = [
-            len(approx.get(q, set()) & nbrs) / len(nbrs)
-            for q, nbrs in exact.items() if nbrs
-        ]
-        return sum(vals) / len(vals) if vals else 1.0
-
     curve: dict = {}
     n_tables, best = 1, 0.0
     while True:
@@ -713,6 +711,53 @@ def lsh_tables_for_recall(
             break
         n_tables = min(n_tables * 2, max_tables)
     return {"n_tables": n_tables, "recall": round(best, 4), "curve": curve}
+
+
+def lsh_probes_for_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    target_recall: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    dim: int = 64,
+    sample_queries: int = 50,
+) -> dict:
+    """The multi-probe counterpart of ``nprobe_for_recall`` /
+    ``lsh_tables_for_recall`` — completes the recall-targeted tuning
+    surface so every monotone ANN knob in the family maps from a stated
+    target by measurement.  Walks the probe count upward (1, 2, 4, …)
+    at fixed ``n_planes``, measuring recall@k on a deterministic query
+    sample against a measured exact baseline, until the target is met
+    or every enumerable ≤3-bit flip set is probed (the candidate set is
+    then maximal for this index: past that the recall lever is more
+    tables, not more probes — see ``hyperplane_probe_buckets``).
+    Probing is query-side only (1× index storage), so unlike L the knob
+    costs bucket-lookups, not index copies.
+
+    Returns {"n_probes", "recall", "curve": {n_probes: recall, ...}}.
+    """
+    qsample, _sets, _recall = _recall_harness(
+        corpus, queries, k, id_col, vec_col, query_id_col, sample_queries
+    )
+    masks, _ = _probe_flip_sets(n_planes)
+    max_probes = len(masks)
+    curve: dict = {}
+    n_probes, best = 1, 0.0
+    while True:
+        approx = _sets(
+            lsh_multiprobe_topk(corpus, qsample, k=k, id_col=id_col,
+                                vec_col=vec_col, query_id_col=query_id_col,
+                                n_planes=n_planes, n_probes=n_probes, dim=dim)
+        )
+        best = _recall(approx)
+        curve[n_probes] = round(best, 4)
+        if best >= target_recall or n_probes >= max_probes:
+            break
+        n_probes = min(n_probes * 2, max_probes)
+    return {"n_probes": n_probes, "recall": round(best, 4), "curve": curve}
 
 
 # ---------------------------------------------------------------------------

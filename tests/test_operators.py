@@ -283,6 +283,25 @@ def test_lsh_tables_for_recall_meets_target(spark, emb):
     spark.catalog.clearCache()
 
 
+def test_lsh_probes_for_recall_meets_target(spark, emb):
+    """The multi-probe recall autotuner: walking the probe count meets the
+    stated target or exhausts every enumerable ≤3-bit flip set (candidate
+    sets are nested in probe count, so the curve is monotone)."""
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_probes_for_recall(
+        emb, qs, target_recall=0.6, k=5, n_planes=4
+    )
+    # 4 planes enumerate C(4,1)+C(4,2)+C(4,3) = 14 flip sets; probing all
+    # of them covers 15 of 16 buckets, so the walk terminates either way
+    assert out["recall"] >= 0.6 or out["n_probes"] >= 14
+    vals = list(out["curve"].values())
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    assert vals[-1] == out["recall"]
+    spark.catalog.clearCache()
+
+
 def test_nprobe_for_recall_meets_target(spark, emb):
     """The recall-targeted tuning surface: asking for recall ≥ X returns an
     nprobe whose MEASURED recall meets X (monotone knob: nprobe=n_clusters
