@@ -290,6 +290,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_predicates"] = kg_predicates
 
+    def kg_degree(spark, sf_dir):
+        """Graph analytics over the materialized KG: per-canonical-entity
+        degree (edge count, distinct neighbors, distinct predicates), top 50
+        — the hot-entity profile that drives skew decisions downstream (the
+        north_star's salted-repartition list IS this query's head).  Both
+        directions count: an entity's degree is edges where it appears as
+        subject OR object.  Deterministic tie-break (n_edges desc, entity
+        asc) so the top-50 SET is stable; unlinked (null) endpoints are
+        excluded.  Oracle: the same rollup in SQL over the sequential
+        triples rewritten through the sequential union-find key map."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        ends = edges.select(
+            F.col("subj_canonical").alias("entity"),
+            F.col("obj_canonical").alias("other"),
+            "pred",
+        ).unionByName(
+            edges.select(
+                F.col("obj_canonical").alias("entity"),
+                F.col("subj_canonical").alias("other"),
+                "pred",
+            )
+        )
+        return (
+            ends.where(F.col("entity").isNotNull())
+            .groupBy("entity")
+            .agg(
+                F.count("*").alias("n_edges"),
+                F.countDistinct("other").alias("n_neighbors"),
+                F.countDistinct("pred").alias("n_predicates"),
+            )
+            .orderBy(F.desc("n_edges"), F.asc("entity"))
+            .limit(50)
+        )
+
+    q["kg_degree"] = kg_degree
+
+    def kg_tool_transitions(spark, sf_dir):
+        """Tool-call bigram graph over the agent transcripts — which tool
+        follows which within a conversation (window lag over the same
+        conv-partitioned shuffle assembly uses).  Pure native Columns."""
+        from relationextractionpipeline_spark.operators import agentstats
+
+        t = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"])
+        return agentstats.tool_transitions(t).select(
+            "prev_tool", "tool", "n_transitions"
+        )
+
+    q["kg_tool_transitions"] = kg_tool_transitions
+
+    def kg_role_stats(spark, sf_dir):
+        """Per-role corpus profile of the transcripts input (turn counts,
+        conversation reach, mean turn length)."""
+        from relationextractionpipeline_spark.operators import agentstats
+
+        t = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"])
+        return agentstats.role_stats(t).select(
+            "role", "n_turns", "n_convs", "mean_chars"
+        )
+
+    q["kg_role_stats"] = kg_role_stats
+
+    def kg_triples_hourly(spark, sf_dir):
+        """Temporal KG slicing: triples per event-time hour (the ts column
+        the north_star's input schema carries) — the rollup an incremental
+        KG build partitions its output by.  Triples join back to their
+        turn's timestamp on the (conv_id, turn_idx) lineage keys the
+        extraction stage preserves end-to-end."""
+        if _small_scale(sf_dir):
+            oracle_mat.oracle_triples(_scale_for(sf_dir))
+        t = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"]).select(
+            "conv_id", "turn_idx", "ts"
+        )
+        triples = _kg_triples(spark, sf_dir).select("conv_id", "turn_idx")
+        return (
+            triples.join(t, ["conv_id", "turn_idx"])
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("hour")
+            )
+            .agg(
+                F.count("*").alias("n_triples"),
+                F.countDistinct("conv_id").alias("n_convs"),
+            )
+        )
+
+    q["kg_triples_hourly"] = kg_triples_hourly
+
     def kg_cooccurrence(spark, sf_dir):
         """Term co-occurrence edges over the driver's documents table — the
         KG-construction primitive that applies to schema-free corpora (the
@@ -621,6 +714,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_dedup_minhash"] = q_dedup_minhash
+
+    def q_dedup_clusters(spark, sf_dir):
+        """Transitive near-dup CLUSTERS — the step after pair generation:
+        minhash pair graph → large-star/small-star connected components →
+        min-id survivor per component (duplicates chain, so pairwise
+        deletion both over- and under-deletes).  Gated against a sequential
+        union-find over the same banded candidate set (oracle_mat.
+        dedup_clusters); the SQL re-derives sizes and survivors
+        relationally from the materialized (doc_id, cluster_id) labels."""
+        if _small_scale(sf_dir):
+            oracle_mat.dedup_clusters(sf_dir, jaccard_threshold=0.5)
+        d = _read(spark, sf_dir, "documents")
+        return dedup.near_dup_clusters(d, jaccard_threshold=0.5).select(
+            "doc_id", "cluster_id", "cluster_size", "is_survivor"
+        )
+
+    q["q_dedup_clusters"] = q_dedup_clusters
 
     def q_dedup_simhash(spark, sf_dir):
         if _small_scale(sf_dir):
@@ -1139,6 +1249,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY text
         """,
+        "q_dedup_clusters": f"""
+            WITH c AS (
+                SELECT doc_id, cluster_id
+                FROM read_parquet('{aux}/dedup_clusters_t50.parquet')
+            ),
+            s AS (
+                SELECT cluster_id, count(*) AS cluster_size
+                FROM c GROUP BY cluster_id
+            )
+            SELECT c.doc_id, c.cluster_id, s.cluster_size,
+                   (c.doc_id = c.cluster_id) AS is_survivor
+            FROM c JOIN s USING (cluster_id)
+        """,
         "q_dedup_exact_survivors": """
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
@@ -1312,6 +1435,67 @@ def oracle_sql() -> dict[str, str]:
               ON ks.ent_key = t.subj
             LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
               ON ko.ent_key = t.obj
+        """,
+        "kg_degree": f"""
+            WITH e AS (
+                SELECT t.pred,
+                       ks.canonical_id AS subj_canonical,
+                       ko.canonical_id AS obj_canonical
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+            ),
+            ends AS (
+                SELECT subj_canonical AS entity, obj_canonical AS other, pred
+                FROM e
+                UNION ALL
+                SELECT obj_canonical AS entity, subj_canonical AS other, pred
+                FROM e
+            )
+            SELECT entity, count(*) AS n_edges,
+                   count(DISTINCT other) AS n_neighbors,
+                   count(DISTINCT pred) AS n_predicates
+            FROM ends
+            WHERE entity IS NOT NULL
+            GROUP BY entity
+            ORDER BY n_edges DESC, entity ASC
+            LIMIT 50
+        """,
+        "kg_tool_transitions": f"""
+            WITH tools AS (
+                SELECT conv_id, turn_idx, tool
+                FROM read_parquet('{small}/transcripts.parquet/*.parquet')
+                WHERE role = 'tool' AND tool <> ''
+            ),
+            seq AS (
+                SELECT conv_id, tool,
+                       lag(tool) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                       ) AS prev_tool
+                FROM tools
+            )
+            SELECT prev_tool, tool, count(*) AS n_transitions
+            FROM seq WHERE prev_tool IS NOT NULL
+            GROUP BY prev_tool, tool
+        """,
+        "kg_role_stats": f"""
+            SELECT role, count(*) AS n_turns,
+                   count(DISTINCT conv_id) AS n_convs,
+                   round(avg(length(text)), 6) AS mean_chars
+            FROM read_parquet('{small}/transcripts.parquet/*.parquet')
+            GROUP BY role
+        """,
+        "kg_triples_hourly": f"""
+            SELECT strftime(date_trunc('hour', tr.ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n_triples,
+                   count(DISTINCT t.conv_id) AS n_convs
+            FROM read_parquet('{otriples}') t
+            JOIN read_parquet('{small}/transcripts.parquet/*.parquet') tr
+              ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+            GROUP BY 1
         """,
         "kg_predicates": f"""
             SELECT pred, pred_canonical

@@ -56,6 +56,60 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
     return df.join(keep, id_col, "left_semi")
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS with survivor selection — the step a real
+    dedup pass runs after pair generation: transitive closure over the
+    minhash near-dup pair graph, one keeper per cluster.
+
+    ``near_dup_pairs_minhash`` emits the pair EDGES; duplicates chain
+    (A≈B≈C with A,C below threshold), so keeping "one of each pair" both
+    over- and under-deletes.  This operator closes the chains with the same
+    large-star/small-star connected-components the entity canonicalizer
+    uses (O(log n) rounds at any chain length — boilerplate-heavy corpora
+    produce very long chains), then assigns every document its component:
+
+    * ``cluster_id``  — min ``id_col`` in the component (singletons map to
+      themselves; no extra join for singleton handling — a left join +
+      coalesce covers both).
+    * ``cluster_size``— component size (1 = unique document).
+    * ``is_survivor`` — ``doc_id == cluster_id``: the deterministic min-id
+      keeper, same winner rule as ``dedup_exact``.
+
+    Scale: pair generation is band-bucketed (never all-pairs), CC shuffles
+    only the pair edge set (≪ corpus), and the final size join keys on
+    ``cluster_id`` — the one potentially-skewed key is a giant boilerplate
+    cluster, which AQE skew-join splitting handles (session default)."""
+    from relationextractionpipeline_spark.operators import canonicalize
+
+    pairs = near_dup_pairs_minhash(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands,
+        shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
+    )
+    comp = canonicalize.connected_components(pairs, src="id_a", dst="id_b")
+    ids = df.select(F.col(id_col))
+    assigned = ids.join(comp, ids[id_col] == comp["node"], "left").select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str = "doc_id",

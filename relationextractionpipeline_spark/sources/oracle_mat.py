@@ -640,3 +640,71 @@ def pq_aux(
         out["lut"],
     )
     return out
+
+
+def dedup_clusters(
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> str:
+    """Sequential replica of operators/dedup.near_dup_clusters: banded
+    minhash candidate pairs → signature-agreement Jaccard estimate ≥
+    threshold → union-find transitive closure, components labeled by min
+    doc_id, singletons self-labeled.
+
+    Reads the ``doc_sketches`` signatures (whose build asserts no band
+    bucket exceeds the operator's max_bucket cap at gate scale, so both
+    sides provably see the same pair set).  The DuckDB comparison then
+    verifies the DISTRIBUTED machinery — band shuffle, pair joins, the
+    iterative large-star/small-star CC, the size join — against this
+    single-threaded union-find.  Filename is parameter-suffixed (threshold
+    in percent) so a default change can never serve a stale clustering."""
+    adir = aux_dir(sf_dir)
+    dst = os.path.join(
+        adir, f"dedup_clusters_t{int(jaccard_threshold * 100)}.parquet"
+    )
+    if os.path.exists(dst):
+        return dst
+    sketch_paths = doc_sketches(sf_dir, n_hashes=n_hashes)
+    mh = pd.read_parquet(sketch_paths["minhash"])
+    rows_per_band = n_hashes // bands
+    buckets: Dict[tuple, List[int]] = {}
+    for doc_id, sig in zip(mh["doc_id"], mh["minhash"]):
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(int(doc_id))
+    sig_of = dict(zip((int(i) for i in mh["doc_id"]), mh["minhash"]))
+    cand = set()
+    for members in buckets.values():
+        uniq = sorted(set(members))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                cand.add((uniq[i], uniq[j]))
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        sa, sb = sig_of[a], sig_of[b]
+        agree = sum(1 for x, y in zip(sa, sb) if x == y)
+        if agree / len(sa) >= jaccard_threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min label keeps roots = component minima
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    doc_ids = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"]
+    out = pd.DataFrame(
+        {
+            "doc_id": doc_ids.astype("int64"),
+            "cluster_id": [find(int(d)) for d in doc_ids],
+        }
+    )
+    return _publish(out, dst)

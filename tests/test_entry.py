@@ -33,16 +33,24 @@ def test_every_query_runs_at_sf0001(spark):
 
 def test_sql_column_names_match_spark(spark):
     """Lowercased column sets must agree — the driver sorts by name before
-    hashing, so any mismatch is an automatic fail."""
+    hashing, so any mismatch is an automatic fail.
+
+    Queries are constructed at the ORACLE sf dir (sf0.01, same as the
+    driver's gate): building the Spark side there eagerly materializes the
+    sequential-oracle parquets the SQL references, so this test is
+    self-contained on a fresh checkout instead of depending on cache state
+    left behind by earlier runs.
+    """
     import duckdb
 
+    osf = entrymod.ORACLE_SF_DIR
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{osf}/{t}.parquet'")
     qs = entrymod.queries()
     for name, sql in entrymod.oracle_sql().items():
-        spark_cols = sorted(c.lower() for c in qs[name](spark, SF).columns)
+        spark_cols = sorted(c.lower() for c in qs[name](spark, osf).columns)
         duck_cols = sorted(
             c.lower()
             for c in con.execute(

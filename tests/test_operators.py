@@ -51,6 +51,35 @@ def test_minhash_finds_planted_near_dup(spark, docs):
     assert planted <= found
 
 
+def test_near_dup_clusters_close_transitive_chains(spark, docs):
+    """A≈B≈C chains must land in ONE cluster with the min-id survivor, even
+    when the chain ends never pair directly; untouched docs stay
+    singletons."""
+    base = docs.limit(3).select("doc_id", "text")
+    chain1 = base.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" alpha")).alias("text"),
+    )
+    chain2 = base.select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat("text", F.lit(" alpha beta")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(chain1).unionByName(chain2)
+    out = dedup.near_dup_clusters(corpus, jaccard_threshold=0.6).toPandas()
+    assert len(out) == corpus.count()  # every doc assigned exactly once
+    by_id = out.set_index("doc_id")
+    for r in base.collect():
+        members = [r.doc_id, r.doc_id + 300000, r.doc_id + 600000]
+        clusters = {int(by_id.loc[m, "cluster_id"]) for m in members}
+        assert clusters == {r.doc_id}  # one component, min-id label
+        assert int(by_id.loc[r.doc_id, "cluster_size"]) >= 3
+        assert bool(by_id.loc[r.doc_id, "is_survivor"])
+        assert not bool(by_id.loc[r.doc_id + 600000, "is_survivor"])
+    # a doc with no near-dups is its own singleton survivor
+    lone = out[out.cluster_size == 1]
+    assert (lone.doc_id == lone.cluster_id).all() and lone.is_survivor.all()
+
+
 def test_simhash_finds_planted_near_dup(spark, docs):
     base = docs.limit(5)
     nd = base.select(
