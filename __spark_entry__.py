@@ -235,6 +235,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_links_ctx_typed"] = kg_links_ctx_typed
 
+    def kg_links_ctx_df(spark, sf_dir):
+        """Context linking with a document-frequency-WEIGHTED coreference
+        boost: evidence from a surface mentioned in many conversations is
+        discounted ``1/(1+ln(df))`` (log-scale, like IDF) — ubiquitous
+        surfaces stop flipping links they carry no information about.  The
+        df table is computed natively (one distinct-agg over mention rows,
+        semi-joined to the KB vocabulary BEFORE the collect, so the
+        broadcast dict is KB-bounded at any corpus size — link.
+        surface_conv_df)."""
+        from relationextractionpipeline_spark.operators import link as link_op
+
+        entity_kb, kb_bc, figer_bc, mention_rows, est = _link_inputs(spark, sf_dir)
+        cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+        df_bc = spark.sparkContext.broadcast(
+            link_op.surface_conv_df(mention_rows, entity_kb)
+        )
+        scored = link_op.score_links_grouped(
+            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+            df_bc=df_bc,
+            n_groups=link_op.groups_for(est, spark.sparkContext.defaultParallelism),
+        )
+        return scored.select(*_LINK_COLS, F.round("score", 6).alias("score"))
+
+    q["kg_links_ctx_df"] = kg_links_ctx_df
+
     def kg_entities(spark, sf_dir):
         from relationextractionpipeline_spark.operators import canonicalize
 
@@ -1567,6 +1592,74 @@ def oracle_sql() -> dict[str, str]:
                              AND c.surface <> mr.surface
                              AND c.kb_url = k.url
                        ) THEN {link_mod.CTX_BOOST} ELSE 0.0 END AS score
+                FROM read_parquet('{mrows}') mr JOIN cand k USING (surface)
+            ),
+            picked AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, sent_idx, mention_id
+                        ORDER BY score DESC, url ASC
+                    ) AS rn FROM scored
+                ) WHERE rn = 1
+            ),
+            linked AS (
+                SELECT conv_id, turn_idx, sent_idx, mention_id, surface,
+                       kind, url, score
+                FROM picked
+                UNION ALL
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind,
+                       '{not_in_wiki}' || replace(mr.surface, ' ', '_') AS url,
+                       0.0 AS score
+                FROM read_parquet('{mrows}') mr
+                WHERE mr.surface NOT IN (SELECT surface FROM cand)
+            )
+            SELECT l.conv_id, l.turn_idx, l.sent_idx, l.mention_id,
+                   l.surface, l.kind, l.url,
+                   coalesce(nullif(f.figer_type, ''), 'none') AS figer,
+                   round(l.score, 6) AS score
+            FROM linked l
+            LEFT JOIN read_parquet('{small}/figer_map.parquet') f
+              ON f.url = l.url
+        """,
+        "kg_links_ctx_df": f"""
+            WITH cand AS (
+                SELECT surface, url, prior
+                FROM read_parquet('{small}/entity_kb.parquet')
+            ),
+            best AS (
+                SELECT surface, url AS kb_url FROM (
+                    SELECT surface, url,
+                           row_number() OVER (
+                               PARTITION BY surface
+                               ORDER BY prior DESC, url ASC
+                           ) AS rn
+                    FROM cand
+                ) WHERE rn = 1
+            ),
+            surfs AS (
+                SELECT DISTINCT conv_id, surface FROM read_parquet('{mrows}')
+            ),
+            ctx AS (
+                SELECT s.conv_id, s.surface, b.kb_url
+                FROM surfs s JOIN best b USING (surface)
+            ),
+            dfreq AS (
+                SELECT surface, count(DISTINCT conv_id) AS df
+                FROM read_parquet('{mrows}')
+                WHERE surface IN (SELECT surface FROM cand)
+                GROUP BY surface
+            ),
+            scored AS (
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind, k.url,
+                       k.prior + {link_mod.CTX_BOOST} * coalesce((
+                           SELECT max(1.0 / (1.0 + ln(d.df)))
+                           FROM ctx c JOIN dfreq d ON d.surface = c.surface
+                           WHERE c.conv_id = mr.conv_id
+                             AND c.surface <> mr.surface
+                             AND c.kb_url = k.url
+                       ), 0.0) AS score
                 FROM read_parquet('{mrows}') mr JOIN cand k USING (surface)
             ),
             picked AS (

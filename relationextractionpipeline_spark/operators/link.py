@@ -101,6 +101,29 @@ def groups_for(approx_rows: int, parallelism: int = 0,
     return max(1, -(-int(approx_rows) // target_rows), int(parallelism))
 
 
+def surface_conv_df(mention_rows: DataFrame, entity_kb: DataFrame) -> dict:
+    """Per-surface document frequency = number of DISTINCT conversations the
+    surface is mentioned in, restricted to KB surfaces (the only surfaces
+    whose max-prior links can serve as coreference evidence).
+
+    Feeds the df-WEIGHTED context scorer: evidence from a surface seen in
+    thousands of conversations ("42") is weaker than evidence from a rare
+    one ("Marie Curie") — weight ``1/(1+ln(df))``, so df=1 keeps the full
+    boost and the weight decays slowly (log-scale, like IDF).
+
+    Scale: one distinct-aggregate over mention rows, semi-joined down to the
+    KB vocabulary via broadcast BEFORE the collect — the returned dict is
+    bounded by KB size (a fixed dimension), never by corpus size."""
+    surf = entity_kb.select("surface").distinct()
+    rows = (
+        mention_rows.join(F.broadcast(surf), "surface")
+        .groupBy("surface")
+        .agg(F.countDistinct("conv_id").alias("df"))
+        .collect()
+    )
+    return {r["surface"]: int(r["df"]) for r in rows}
+
+
 def score_links_grouped(
     mention_rows: DataFrame,
     kb_bc: Broadcast,
@@ -109,6 +132,7 @@ def score_links_grouped(
     cands_bc: Broadcast = None,
     boost: float = CTX_BOOST,
     type_boost: float = 0.0,
+    df_bc: Broadcast = None,
     n_groups: int = None,
 ) -> DataFrame:
     """applyInPandas link scoring grouped **by conversation** — the
@@ -135,6 +159,13 @@ def score_links_grouped(
       the candidate's FIGER type matches the type of another surface's
       max-prior link in the conversation (TYPE_BOOST; 0 disables — the
       default keeps the single-signal scorer bit-identical).
+      ``df_bc`` (surface → distinct-conversation document frequency, see
+      ``surface_conv_df``) WEIGHTS the coreference boost by its strongest
+      evidence surface: ``boost · max(1/(1+ln(df(s2))))`` over the other
+      surfaces s2 whose max-prior link is this candidate — ubiquitous
+      surfaces stop flipping links they know nothing about.  ``None``
+      weights every evidence surface 1.0 (bit-identical to the unweighted
+      scorer; the boost multiplies by exactly 1.0).
 
     Scale contract, two group granularities:
 
@@ -186,12 +217,21 @@ def score_links_grouped(
         return _attach(pdf, per_surface)
 
     def score_context_one_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         cands = cands_bc.value  # surface -> [(url, prior)] (prior desc, url asc)
         figer = figer_bc.value
+        dfm = df_bc.value if df_bc is not None else None
         uniq = pd.unique(pdf["surface"].astype(str))
         # max-prior URL per distinct surface in THIS conversation (row-order
         # independent: derived from the pre-sorted candidate lists)
         best = {s: cands[s][0][0] for s in uniq if s in cands}
+        # evidence weight per surface: 1.0 unweighted, else 1/(1+ln(df))
+        w_of = (
+            (lambda s2: 1.0)
+            if dfm is None
+            else (lambda s2: 1.0 / (1.0 + math.log(dfm.get(s2, 1))))
+        )
 
         def _ftype(url: str):
             fg = figer.get(url)
@@ -205,17 +245,25 @@ def score_links_grouped(
                     rules.NOT_IN_WIKI_PREFIX + s.replace(" ", "_"), "none", 0.0
                 )
                 continue
-            ctx = {u for s2, u in best.items() if s2 != s}
+            # url -> strongest evidence weight among the OTHER surfaces
+            # whose max-prior link is that url (max: rarest evidence wins)
+            ctx_w: Dict[str, float] = {}
+            for s2, u in best.items():
+                if s2 == s:
+                    continue
+                w = w_of(s2)
+                if u not in ctx_w or w > ctx_w[u]:
+                    ctx_w[u] = w
             # FIGER types of the OTHER surfaces' max-prior links — the
             # type-coherence evidence set (only real types participate)
             ctx_types = (
-                {t for u in ctx if (t := _ftype(u)) is not None}
+                {t for u in ctx_w if (t := _ftype(u)) is not None}
                 if type_boost
                 else set()
             )
             chosen_url, chosen_score = None, None
             for url, prior in cl:
-                sc = prior + (boost if url in ctx else 0.0)
+                sc = prior + (boost * ctx_w[url] if url in ctx_w else 0.0)
                 if type_boost and _ftype(url) in ctx_types:
                     sc += type_boost
                 if (

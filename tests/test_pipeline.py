@@ -457,3 +457,67 @@ def test_context_scorer_flips_alias_on_coreference(spark, tiny_paths):
     assert ctx[("c1", "Franklin")].endswith("/Benjamin_Franklin")  # flipped
     assert ctx[("c2", "Franklin")].endswith("/Rosalind_Franklin")  # no context
     assert ctx[("c1", "Benjamin Franklin")].endswith("/Benjamin_Franklin")
+
+
+def test_df_weighted_context_scorer_discounts_common_evidence(spark):
+    """df-weighting: coreference evidence from a surface seen in MANY
+    conversations is discounted 1/(1+ln(df)) — strong enough to keep a
+    rare-evidence flip, weak enough to suppress a common-evidence one.
+    df=1 evidence must reproduce the unweighted scores exactly."""
+    import math
+
+    kb_rows = [
+        ("X", "http://synthetic.kb/resource/A", 0.8),
+        ("X", "http://synthetic.kb/resource/B", 0.5),
+        ("S", "http://synthetic.kb/resource/B", 0.9),
+    ]
+    entity_kb = spark.createDataFrame(
+        kb_rows, "surface string, url string, prior double"
+    )
+    figer_map = spark.createDataFrame(
+        [("http://synthetic.kb/resource/A", "/person")],
+        "url string, figer_type string",
+    )
+    kb_bc, _kbi, figer_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+    mschema = (
+        "conv_id string, turn_idx int, sent_idx int, mention_id int, "
+        "start_tok int, end_tok int, surface string, tag string, kind string"
+    )
+    # evidence surface S appears in 9 conversations; the ambiguous X only in c0
+    rows = [("c0", 0, 0, 0, 1, 1, "X", "ner1", "ner"),
+            ("c0", 1, 0, 0, 1, 1, "S", "ner1", "ner")]
+    rows += [(f"c{i}", 0, 0, 0, 1, 1, "S", "ner1", "ner") for i in range(1, 9)]
+    mention_rows = spark.createDataFrame(rows, mschema)
+
+    def x_link(**kw):
+        out = link.score_links_grouped(
+            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc, **kw
+        ).collect()
+        return next((r.url, r.score) for r in out if r.surface == "X")
+
+    # unweighted: B gets the full 0.5 boost (0.5+0.5=1.0 > 0.8) → flips
+    url_u, score_u = x_link()
+    assert url_u.endswith("/B") and score_u == 1.0
+    # df-weighted: w = 1/(1+ln(9)) ≈ 0.313 → 0.5+0.157 < 0.8 → no flip
+    df_bc = spark.sparkContext.broadcast(
+        link.surface_conv_df(mention_rows, entity_kb)
+    )
+    assert df_bc.value == {"S": 9, "X": 1}
+    url_w, score_w = x_link(df_bc=df_bc)
+    assert url_w.endswith("/A") and score_w == 0.8
+    # df=1 evidence keeps the FULL boost: scores identical to unweighted
+    one_conv = spark.createDataFrame(rows[:2], mschema)
+    df1_bc = spark.sparkContext.broadcast(
+        link.surface_conv_df(one_conv, entity_kb)
+    )
+    plain = {(r.surface, r.url, r.score) for r in link.score_links_grouped(
+        one_conv, kb_bc, figer_bc, mode="context", cands_bc=cands_bc
+    ).collect()}
+    weighted = {(r.surface, r.url, r.score) for r in link.score_links_grouped(
+        one_conv, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+        df_bc=df1_bc,
+    ).collect()}
+    assert plain == weighted
+    # and the suppressed score is exactly prior (candidate A never boosted)
+    assert math.isclose(score_w, 0.8)
