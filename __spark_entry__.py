@@ -711,6 +711,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_quality"] = q_quality
 
+    def q_quality_quantiles(spark, sf_dir):
+        """Per-language exact quality-score quantiles (p25/p50/p75/p90) —
+        the data-derived thresholds a curation gate uses instead of
+        hand-chosen constants.  Rank-based definition so the SQL oracle
+        reproduces it bit-for-bit (quality.quantile_thresholds)."""
+        d = _read(spark, sf_dir, "documents")
+        scored = quality.with_quality(quality.with_langid(d))
+        return quality.quantile_thresholds(
+            scored, "quality_score", "lang_pred"
+        ).select("lang_pred", "q", "threshold", "n_docs")
+
+    q["q_quality_quantiles"] = q_quality_quantiles
+
+    def q_pii_scrub(spark, sf_dir):
+        """PII scrub demo over the documents table.  The corpus text is
+        digit-free, so the query first INJECTS deterministic doc_id-derived
+        PII (an email, a phone, an IPv4 — the oracle replays the same
+        injection), then counts and redacts it with quality.scrub_pii.
+        Everything is native regexp Columns; the fingerprint column proves
+        the redacted text matches byte-for-byte across engines."""
+        d = _read(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-"),
+                F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                F.pmod(F.col("doc_id"), 256).cast("string"),
+                F.lit(".7"),
+            ).alias("text"),
+        )
+        return quality.scrub_pii(d).select(
+            "doc_id", "n_email", "n_phone", "n_ipv4",
+            F.md5(F.col("scrubbed").cast("binary")).alias("scrub_fp"),
+        )
+
+    q["q_pii_scrub"] = q_pii_scrub
+
     def q_fingerprint(spark, sf_dir):
         d = _read(spark, sf_dir, "documents")
         return quality.with_fingerprint(d).select("doc_id", "fingerprint", "fp_bucket")
@@ -884,6 +924,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_topk_ivf"] = q_embed_topk_ivf
 
+    def q_embed_clusters(spark, sf_dir):
+        """Topic clustering over the embedding corpus: per-vector k-means
+        cluster + cluster population (similarity.kmeans_clusters — the same
+        deterministic bounded-sample quantizer the IVF family trains, so
+        the DuckDB gate verifies every distributed assignment against the
+        sequential k-means in the ivf_cells materialization)."""
+        if _small_scale(sf_dir):
+            oracle_mat.embed_aux(sf_dir)
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.kmeans_clusters(emb, n_clusters=16).select(
+            "vec_id", "cluster", "cluster_size"
+        )
+
+    q["q_embed_clusters"] = q_embed_clusters
+
     def q_embed_topk_pq(spark, sf_dir):
         """Product-quantization top-k (asymmetric distance): vectors encode
         to standard 8-bit-per-subvector codes (n_codes=256) distributed;
@@ -1047,8 +1102,26 @@ def oracle_sql() -> dict[str, str]:
     from relationextractionpipeline_spark.operators.quality import (
         LANG_ORDER,
         LANG_STOPWORDS,
+        PII_PATTERNS,
         TOKEN_REGEX,
     )
+
+    # PII scrub: same injection + same pattern sequence as q_pii_scrub (the
+    # patterns come from the one shared dict, so they cannot drift)
+    pii_text = (
+        "text || ' contact user' || doc_id::VARCHAR || '@example.com or "
+        "555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+        "' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+    )
+    pii_counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    pii_scrubbed = "text"
+    for kind, pat in PII_PATTERNS.items():
+        pii_scrubbed = (
+            f"regexp_replace({pii_scrubbed}, '{pat}', '<{kind.upper()}>', 'g')"
+        )
 
     # the driver's gate runs at sf0.01; REX_ORACLE_SF_DIR lets the local
     # replica (tools/check_parity.py) point the materialization-backed
@@ -1264,6 +1337,39 @@ def oracle_sql() -> dict[str, str]:
                    round({mean_wl}, 6) AS mean_word_len,
                    {quality_score} AS quality_score
             FROM documents
+        """,
+        "q_quality_quantiles": f"""
+            WITH d AS (
+                SELECT doc_id, {langid_case} AS lang_pred,
+                       {quality_score} AS qs
+                FROM documents
+            ),
+            ranked AS (
+                SELECT lang_pred, qs, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang_pred ORDER BY qs ASC, doc_id ASC
+                       ) AS rn
+                FROM d
+            ),
+            targets AS (
+                SELECT lang_pred, n_docs, q::DOUBLE AS q,
+                       CAST(ceil(q * n_docs) AS INTEGER) AS target
+                FROM (
+                    SELECT lang_pred, count(*) AS n_docs
+                    FROM d GROUP BY lang_pred
+                ) c, (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q) _q
+            )
+            SELECT t.lang_pred, t.q, r.qs AS threshold, t.n_docs
+            FROM targets t
+            JOIN ranked r ON r.lang_pred = t.lang_pred AND r.rn = t.target
+        """,
+        "q_pii_scrub": f"""
+            WITH d AS (
+                SELECT doc_id, {pii_text} AS text FROM documents
+            )
+            SELECT doc_id, {pii_counts},
+                   md5({pii_scrubbed}) AS scrub_fp
+            FROM d
         """,
         "q_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint,
@@ -1888,6 +1994,18 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM j
             ) WHERE rank <= 5
+        """,
+        "q_embed_clusters": f"""
+            WITH c AS (
+                SELECT vec_id, cell AS cluster
+                FROM read_parquet('{aux}/ivf_cells_k16.parquet')
+            ),
+            s AS (
+                SELECT cluster, count(*) AS cluster_size
+                FROM c GROUP BY cluster
+            )
+            SELECT c.vec_id, c.cluster, s.cluster_size
+            FROM c JOIN s USING (cluster)
         """,
         "q_embed_topk_ivf": f"""
             WITH j AS (

@@ -8,7 +8,7 @@ so each is independently verified against DuckDB by the driver gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # deterministic per-language stopword anchors for the n-gram/lexical heuristic
 LANG_STOPWORDS = {
@@ -81,6 +81,87 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stop_ratio", F.round(stop_ratio, 6))
         .withColumn("mean_word_len", F.round(mean_word_len, 6))
         .withColumn("quality_score", score)
+    )
+
+
+# PII surface patterns, applied in THIS order (dict order is the contract —
+# the SQL oracle replays the same sequence).  Kept to syntax both Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: literal classes, bounded
+# repetition, \b word boundaries; no lookaround, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrub every shared training corpus
+    runs before anything else sees the text.
+
+    Adds ``n_<kind>`` match counts per pattern and ``scrubbed`` (every match
+    replaced by its ``<KIND>`` placeholder, patterns applied in dict order;
+    placeholders contain no digits, so later patterns can't re-match inside
+    earlier redactions).  Entirely native Columns — regexp_extract_all /
+    regexp_replace run inside whole-stage codegen, nothing crosses to
+    Python, and the scan stays one pass per document."""
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs=(0.25, 0.5, 0.75, 0.9),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group EXACT quantile thresholds — how quality gates get picked
+    in practice ("drop the bottom quartile per language") without
+    hand-chosen constants.
+
+    Deterministic rank-based definition (type-1: the value at rank
+    ``ceil(q·n)`` under (value asc, id asc) ordering) rather than
+    interpolation, so Spark and any SQL engine produce bit-identical
+    thresholds.  One window + one rank equi-join; the quantile fractions
+    fan out via ``explode`` on the n-groups-sized count table — no cross
+    join, nothing driver-side.  At 100 TB scale swap in
+    ``percentile_approx`` for the single-pass sketch; this operator is the
+    exact reference it's validated against."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(group_col, value_col, id_col).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    targets = (
+        df.groupBy(F.col(group_col).alias("_grp"))  # fresh name: ranked and
+        .agg(F.count("*").alias("n_docs"))          # targets share lineage
+        .withColumn("q", F.explode(F.array(*[F.lit(float(x)) for x in qs])))
+        .withColumn(
+            "target", F.ceil(F.col("q") * F.col("n_docs")).cast("int")
+        )
+    )
+    return (
+        ranked.join(
+            targets,
+            (ranked[group_col] == targets["_grp"])
+            & (ranked["rn"] == targets["target"]),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            "q",
+            F.col(value_col).alias("threshold"),
+            "n_docs",
+        )
     )
 
 

@@ -498,6 +498,36 @@ def ivf_topk(
     )
 
 
+def kmeans_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding TOPIC CLUSTERING as a first-class operator: every vector's
+    nearest-centroid cluster plus the cluster's population — the grouping a
+    curation pipeline uses for per-topic sampling quotas and for spotting
+    degenerate corpus regions (one giant cluster = boilerplate).
+
+    Same deterministic bounded-sample k-means as the IVF family
+    (``_ivf_centroids``: train on the first ``max_train`` vectors by id, so
+    the clustering is partition-invariant), assignment distributed via the
+    Arrow-batched UDF.  Cluster sizes come back on a broadcast join — the
+    rollup is n_clusters rows, never corpus-sized."""
+    centroids = _ivf_centroids(corpus, vec_col, n_clusters, dim, id_col=id_col)
+    assign = _ivf_assign_udf(centroids, nprobe=1)
+    assigned = corpus.select(id_col, vec_col).withColumn(
+        "cluster", F.element_at(assign(F.col(vec_col)), 1)
+    ).select(id_col, "cluster")
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assigned.join(F.broadcast(sizes), "cluster").select(
+        id_col, "cluster", "cluster_size"
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     index_dir: str,

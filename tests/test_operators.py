@@ -541,3 +541,65 @@ def test_minhash_exact_verify_matches_brute_force(spark):
         and len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.5
     }
     assert got == want and len(want) > 0
+
+
+# --- quality: PII scrub, quantile thresholds -----------------------------
+
+def test_scrub_pii_counts_and_redacts(spark):
+    rows = [
+        (1, "mail a.b+c@foo-bar.org now"),
+        (2, "call 555-123-4567 or 555 987 6543"),
+        (3, "host 192.168.0.1 up"),
+        (4, "clean text only"),
+    ]
+    out = quality.scrub_pii(
+        spark.createDataFrame(rows, "doc_id int, text string")
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 1 and "<EMAIL>" in out.loc[1, "scrubbed"]
+    assert out.loc[2, "n_phone"] == 2
+    assert out.loc[3, "n_ipv4"] == 1 and "<IPV4>" in out.loc[3, "scrubbed"]
+    assert out.loc[4, ["n_email", "n_phone", "n_ipv4"]].sum() == 0
+    assert out.loc[4, "scrubbed"] == "clean text only"
+    # idempotent: a second scrub over redacted text finds nothing
+    again = quality.scrub_pii(
+        spark.createDataFrame(
+            out.reset_index()[["doc_id", "scrubbed"]].values.tolist(),
+            "doc_id int, text string",
+        )
+    ).toPandas()
+    assert again[["n_email", "n_phone", "n_ipv4"]].to_numpy().sum() == 0
+
+
+def test_quantile_thresholds_rank_definition(spark):
+    # group g: values 1..10 → p25=3 (ceil(2.5)), p50=5, p75=8, p90=9
+    rows = [("g", float(v), v) for v in range(1, 11)]
+    rows += [("h", 7.0, 100), ("h", 3.0, 101)]  # p25/p50 of {3,7} = 3, p90 = 7
+    df = spark.createDataFrame(rows, "lang string, score double, doc_id int")
+    out = {
+        (r.lang, r.q): (r.threshold, r.n_docs)
+        for r in quality.quantile_thresholds(df, "score", "lang").collect()
+    }
+    assert out[("g", 0.25)] == (3.0, 10)
+    assert out[("g", 0.5)] == (5.0, 10)
+    assert out[("g", 0.75)] == (8.0, 10)
+    assert out[("g", 0.9)] == (9.0, 10)
+    assert out[("h", 0.5)] == (3.0, 2)
+    assert out[("h", 0.9)] == (7.0, 2)
+
+
+def test_kmeans_clusters_partitions_separated_blobs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):  # blob A around +10, blob B around -10
+        center = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, (center + 0.1 * rng.randn(4)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_clusters(df, n_clusters=2, dim=4).toPandas()
+    assert len(out) == 40
+    by_parity = out.groupby(out.vec_id % 2)["cluster"].nunique()
+    assert (by_parity == 1).all()  # each blob maps to exactly one cluster
+    assert out[out.vec_id % 2 == 0].cluster.iloc[0] != \
+        out[out.vec_id % 2 == 1].cluster.iloc[0]
+    assert (out.cluster_size == 20).all()
