@@ -106,6 +106,46 @@ class TableIO:
             writer = writer.partitionBy("_bucket")
         writer.parquet(self._path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        key: str,
+        n_buckets: int = 16,
+        sort: bool = True,
+    ) -> None:
+        """CATALOG-recorded bucketing — the co-located-join layout for
+        tables that join on the same key repeatedly (edges ⋈ entity key map
+        on the canonical key, every incremental rewrite).  Both sides
+        bucketed to the same ``n_buckets`` on the join key let Spark plan
+        the equi-join with ZERO Exchange: the files ARE the shuffle output,
+        paid once at write time (``sort=True`` also pre-sorts within
+        buckets, removing the join's Sort at read).
+
+        Unlike ``write(bucket_by=...)`` — a directory-partitioned stand-in
+        whose layout Spark cannot *trust* — this writes through
+        ``bucketBy().saveAsTable()`` so the bucket spec lands in the
+        catalog and the optimizer uses it.  Data lives at the warehouse
+        path (external table); metadata durability is the catalog's (HMS /
+        Iceberg in production — with Iceberg this becomes the
+        ``bucket(n, key)`` partition transform + storage-partitioned
+        joins).  Read back with ``read_table`` (``spark.table``), not the
+        path reader — a bare parquet scan forgets the bucketing."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n_buckets, key)
+        )
+        if sort:
+            writer = writer.sortBy(key)
+        writer.option("path", self._path(name)).saveAsTable(name)
+
+    def read_table(self, name: str) -> DataFrame:
+        """Catalog read — REQUIRED for bucketed tables (the bucket spec
+        lives in the catalog, not the files)."""
+        return self.spark.table(name)
+
     def upsert(
         self, updates: DataFrame, name: str, keys: List[str], version_col: str
     ) -> None:

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from relationextractionpipeline_spark.plans import pipeline
 from relationextractionpipeline_spark.streaming import ingest
 from tests.test_pipeline import _triple_set
@@ -200,3 +202,55 @@ def test_streaming_curation_matches_batch_composition(spark, tmp_path):
     bq = {r["doc_id"]: r["quality_score"] for r in batch.collect()}
     assert gq == bq
     spark.catalog.clearCache()
+
+
+def test_streaming_upsert_maintains_triple_table(spark, tiny_paths, tmp_path):
+    """Incremental KG maintenance: two drains (second sees only NEW files)
+    converge the maintained table to the full batch triple set, and
+    re-merging an already-applied batch (the at-least-once replay case) is
+    idempotent — the MERGE keys dedupe, row count unchanged."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.sources.tableio import TableIO
+    from relationextractionpipeline_spark.streaming import upsert as up
+
+    src = pd.read_parquet(tiny_paths["transcripts"]).sort_values(
+        ["conv_id", "turn_idx"]
+    )
+    in_dir = str(tmp_path / "turns_in")
+    os.makedirs(in_dir)
+    half = len(src) // 2
+    src.iloc[:half].to_parquet(os.path.join(in_dir, "part-0.parquet"), index=False)
+
+    _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kb_bc, kbi_bc, fg_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    io = TableIO(spark, str(tmp_path / "wh"))
+    ck = str(tmp_path / "ck_upsert")
+
+    up.stream_upsert_triples(
+        spark, in_dir, io, "triples", ck, kb_bc, kbi_bc, fg_bc
+    )
+    n_first = io.read("triples").count()
+    assert n_first > 0
+
+    # second wave of files arrives; the checkpoint merges only the delta
+    src.iloc[half:].to_parquet(os.path.join(in_dir, "part-1.parquet"), index=False)
+    up.stream_upsert_triples(
+        spark, in_dir, io, "triples", ck, kb_bc, kbi_bc, fg_bc
+    )
+    maintained = _triple_set(
+        io.read("triples").drop("_version").toPandas()
+    )
+    batch = _triple_set(
+        pipeline.run_pipeline(spark, tiny_paths, mode="fused")["triples"].toPandas()
+    )
+    assert maintained == batch
+
+    # replay: merging the full extraction again (stale version) changes nothing
+    all_again = pipeline.run_fused(
+        spark.read.parquet(in_dir), kb_bc, kbi_bc, fg_bc
+    ).withColumn("_version", F.lit(0).cast("long"))
+    before = io.read("triples").count()
+    io.upsert(all_again, "triples", keys=up.TRIPLE_KEYS, version_col="_version")
+    assert io.read("triples").count() == before
+    assert _triple_set(io.read("triples").drop("_version").toPandas()) == batch

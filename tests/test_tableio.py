@@ -77,3 +77,45 @@ def test_tableio_upsert_snapshot_swap(spark, tmp_path):
         "edges", keys=["edge"], version_col="version",
     )
     assert {r["edge"]: r["w"] for r in io.read("edges").collect()} == got
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark, tmp_path):
+    """write_bucketed lays both join sides out pre-hashed on the join key
+    (catalog-recorded bucket spec), so the repeated edges ⋈ key-map join
+    plans WITHOUT any Exchange — the shuffle is paid once at write time.
+    The same join over bare parquet reads of the same data must show an
+    Exchange, proving the bucketing (not the data size) removed it."""
+    io = tableio.TableIO(spark, str(tmp_path))
+    edges = spark.range(0, 2000).select(
+        (F.col("id") % 97).cast("string").alias("subj_key"),
+        F.col("id").alias("edge_id"),
+    )
+    keymap = spark.range(0, 97).select(
+        F.col("id").cast("string").alias("subj_key"),
+        F.concat(F.lit("canon"), (F.col("id") % 11).cast("string")).alias(
+            "canonical_id"
+        ),
+    )
+    io.write_bucketed(edges, "b_edges", "subj_key", n_buckets=4)
+    io.write_bucketed(keymap, "b_keymap", "subj_key", n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = io.read_table("b_edges").join(
+            io.read_table("b_keymap"), "subj_key"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # control: the identical join over pathwise parquet reads shuffles
+        flat = spark.read.parquet(io._path("b_edges")).join(
+            spark.read.parquet(io._path("b_keymap")), "subj_key"
+        )
+        flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in flat_plan
+        # and the bucketed join is still correct
+        assert joined.count() == 2000
+        assert flat.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_edges")
+        spark.sql("DROP TABLE IF EXISTS b_keymap")
