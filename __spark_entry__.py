@@ -1001,6 +1001,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_neardup"] = q_embed_neardup
 
+    def q_embed_semantic_clusters(spark, sf_dir):
+        """Semantic dedup (SemDeDup): transitive closure over the
+        embedding-cosine near-dup pairs with min-id survivors — the
+        paraphrase-level complement to q_dedup_clusters' lexical
+        clustering.  Same sampled corpus / bucket / threshold config as
+        q_embed_neardup, whose gate already proves the pair set; this
+        query's oracle isolates the distributed CC + assignment joins
+        against a sequential union-find (oracle_mat.semantic_clusters)."""
+        if _small_scale(sf_dir):
+            oracle_mat.semantic_clusters(sf_dir)
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.semantic_dedup_clusters(
+            emb.where(F.col("vec_id") % 5 == 0), threshold=0.25, n_planes=4
+        ).select("vec_id", "cluster_id", "cluster_size", "is_survivor")
+
+    q["q_embed_semantic_clusters"] = q_embed_semantic_clusters
+
     # ---- deterministic sampling (training-data splits) ----------------------
     def q_sample_deterministic(spark, sf_dir):
         from relationextractionpipeline_spark.operators import sampling
@@ -2120,6 +2137,19 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings qe ON qe.vec_id = s.query_id
                 JOIN embeddings ce ON ce.vec_id = s.neighbor_id
             ) WHERE rank <= 5
+        """,
+        "q_embed_semantic_clusters": f"""
+            WITH c AS (
+                SELECT vec_id, cluster_id
+                FROM read_parquet('{aux}/semantic_clusters_t25p4m5.parquet')
+            ),
+            s AS (
+                SELECT cluster_id, count(*) AS cluster_size
+                FROM c GROUP BY cluster_id
+            )
+            SELECT c.vec_id, c.cluster_id, s.cluster_size,
+                   (c.vec_id = c.cluster_id) AS is_survivor
+            FROM c JOIN s USING (cluster_id)
         """,
         "q_embed_neardup": f"""
             WITH bk AS (

@@ -40,7 +40,9 @@ BENCH_QUERIES = [
     "q_langid",
     "q_dedup_exact_groups",
     "q_dedup_minhash",
+    "q_dedup_clusters",
     "q_dedup_simhash",
+    "q_pii_scrub",
     "q_decontaminate",
     "q_repetition",
     "q_embed_topk",

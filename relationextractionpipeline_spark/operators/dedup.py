@@ -87,12 +87,23 @@ def near_dup_clusters(
     only the pair edge set (≪ corpus), and the final size join keys on
     ``cluster_id`` — the one potentially-skewed key is a giant boilerplate
     cluster, which AQE skew-join splitting handles (session default)."""
-    from relationextractionpipeline_spark.operators import canonicalize
-
     pairs = near_dup_pairs_minhash(
         df, id_col, text_col, n_hashes=n_hashes, bands=bands,
         shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
     )
+    return clusters_from_pairs(df, pairs, id_col)
+
+
+def clusters_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared clustering tail for every pair-emitting dedup strategy:
+    connected components over ``(id_a, id_b)`` pair edges, every ``df`` row
+    assigned its component (min-id label; rows absent from any pair stay
+    singletons via the left join + coalesce), component sizes joined back,
+    min-id row flagged survivor."""
+    from relationextractionpipeline_spark.operators import canonicalize
+
     comp = canonicalize.connected_components(pairs, src="id_a", dst="id_b")
     ids = df.select(F.col(id_col))
     assigned = ids.join(comp, ids[id_col] == comp["node"], "left").select(

@@ -1069,6 +1069,32 @@ def ivf_pq_topk(
     )
 
 
+def semantic_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """SEMANTIC deduplication (SemDeDup, Abbas et al. 2023): cluster
+    embedding-cosine near-duplicates transitively and keep one exemplar per
+    cluster — catches paraphrases and template re-writes that share no
+    n-grams, the duplicates lexical dedup is blind to.
+
+    Composition: LSH-bucketed cosine pairs (``embedding_near_dup_pairs`` —
+    never all-pairs) → the same large-star/small-star connected components
+    every other clustering in the engine uses → min-id survivor
+    (``dedup.clusters_from_pairs``).  Output matches ``near_dup_clusters``
+    so lexical and semantic dedup are drop-in interchangeable stages."""
+    from relationextractionpipeline_spark.operators import dedup
+
+    pairs = embedding_near_dup_pairs(
+        df, id_col, vec_col, threshold, n_planes, dim
+    )
+    return dedup.clusters_from_pairs(df, pairs, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -708,3 +708,74 @@ def dedup_clusters(
         }
     )
     return _publish(out, dst)
+
+
+def semantic_clusters(
+    sf_dir: str,
+    threshold: float = 0.25,
+    n_planes: int = 4,
+    id_mod: int = 5,
+) -> str:
+    """Sequential replica of similarity.semantic_dedup_clusters over the
+    sampled embeddings (vec_id % id_mod == 0): near-dup pair edges are
+    enumerated with DuckDB using EXACTLY the SQL the q_embed_neardup gate
+    already proves equal to the Spark pair operator (same lsh{n_planes}
+    bucket materialization, same round-6 cosine), then closed transitively
+    with a single-threaded union-find (min-label components).  The DuckDB
+    comparison of q_embed_semantic_clusters therefore isolates the
+    DISTRIBUTED connected-components + assignment joins."""
+    import duckdb
+
+    adir = aux_dir(sf_dir)
+    dst = os.path.join(
+        adir,
+        f"semantic_clusters_t{int(threshold * 100)}p{n_planes}m{id_mod}.parquet",
+    )
+    if os.path.exists(dst):
+        return dst
+    aux = embed_aux(sf_dir)
+    lsh = aux.get(f"lsh{n_planes}") or os.path.join(
+        adir, f"lsh{n_planes}.parquet"
+    )
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    cos = (
+        "round(list_dot_product(ae.embedding::DOUBLE[], be.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(ae.embedding::DOUBLE[], ae.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(be.embedding::DOUBLE[], be.embedding::DOUBLE[]))), 6)"
+    )
+    pairs = duckdb.sql(
+        f"""
+        WITH bk AS (SELECT vec_id, bucket FROM read_parquet('{lsh}'))
+        SELECT DISTINCT ae.vec_id AS id_a, be.vec_id AS id_b
+        FROM read_parquet('{emb_path}') ae
+        JOIN bk ab ON ab.vec_id = ae.vec_id
+        JOIN bk bb ON bb.bucket = ab.bucket
+        JOIN read_parquet('{emb_path}') be ON be.vec_id = bb.vec_id
+        WHERE ae.vec_id % {id_mod} = 0 AND be.vec_id % {id_mod} = 0
+          AND ae.vec_id < be.vec_id AND {cos} >= {threshold}
+        """
+    ).df()
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(zip(pairs["id_a"], pairs["id_b"])):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    ids = duckdb.sql(
+        f"SELECT vec_id FROM read_parquet('{emb_path}') "
+        f"WHERE vec_id % {id_mod} = 0 ORDER BY vec_id"
+    ).df()["vec_id"]
+    out = pd.DataFrame(
+        {
+            "vec_id": ids.astype("int64"),
+            "cluster_id": [find(int(v)) for v in ids],
+        }
+    )
+    return _publish(out, dst)

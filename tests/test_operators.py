@@ -603,3 +603,26 @@ def test_kmeans_clusters_partitions_separated_blobs(spark):
     assert out[out.vec_id % 2 == 0].cluster.iloc[0] != \
         out[out.vec_id % 2 == 1].cluster.iloc[0]
     assert (out.cluster_size == 20).all()
+
+
+def test_semantic_dedup_clusters_transitive(spark):
+    """Paraphrase chains in embedding space (A·B ≥ t, B·C ≥ t, A·C < t) must
+    collapse into ONE cluster with the min-id exemplar; isolated vectors
+    stay singletons."""
+    import numpy as np
+
+    def unit(theta):
+        v = np.zeros(8)
+        v[0], v[1] = np.cos(theta), np.sin(theta)
+        return v.tolist()
+
+    # chain at 0°, 25°, 50°: cos 25° ≈ 0.906 ≥ 0.9, cos 50° ≈ 0.64 < 0.9
+    rows = [(0, unit(0.0)), (1, unit(np.deg2rad(25))), (2, unit(np.deg2rad(50))),
+            (3, (-np.ones(8) / np.sqrt(8)).tolist())]  # far away: singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup_clusters(
+        df, threshold=0.9, n_planes=1, dim=8
+    ).toPandas().set_index("vec_id")
+    assert set(out.loc[[0, 1, 2], "cluster_id"]) == {0}  # closed chain
+    assert out.loc[0, "is_survivor"] and not out.loc[2, "is_survivor"]
+    assert out.loc[3, "cluster_id"] == 3 and out.loc[3, "cluster_size"] == 1
