@@ -1039,6 +1039,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sample_stratified"] = q_sample_stratified
 
+    def q_sample_weighted(spark, sf_dir):
+        """Quality-weighted importance sampling: each document kept with
+        probability quality_score × 0.8 (clamped) — keeps more of the good
+        band without a hard cutoff.  Per-row integer threshold over the
+        same md5 hash as the uniform sampler, so membership is exact,
+        partition-invariant, and SQL-reproducible."""
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        scored = quality.with_quality(d)
+        return sampling.weighted_sample(
+            scored, "doc_id", "quality_score", scale=0.8
+        ).select("doc_id", "quality_score")
+
+    q["q_sample_weighted"] = q_sample_weighted
+
     def q_curate_corpus(spark, sf_dir):
         """End-to-end training-data curation — the composition the operator
         families exist for: exact dedup (keep min-id survivor per content) →
@@ -1541,6 +1557,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a, embeddings b
                 WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
             ) WHERE rank <= 5
+        """,
+        "q_sample_weighted": f"""
+            WITH d AS (
+                SELECT doc_id, {quality_score} AS quality_score
+                FROM documents
+            )
+            SELECT doc_id, quality_score FROM d
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+                  < CAST(floor(least(greatest(quality_score * 0.8, 0.0), 1.0)
+                               * 4294967296.0) AS BIGINT)
         """,
         "q_sample_deterministic": f"""
             SELECT doc_id, lang, n_chars FROM documents

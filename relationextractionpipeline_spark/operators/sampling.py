@@ -66,6 +66,29 @@ def stratified_sample(
     return df.where(hash_bucket(F.col(key_col), salt) < thr)
 
 
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, scale: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """IMPORTANCE sampling: keep each row with probability
+    ``clamp(scale · weight, 0, 1)`` — how quality-aware curation keeps more
+    of the good documents without a hard cutoff (hard thresholds discard
+    the entire mid-quality band; weighting keeps a calibrated slice of it).
+
+    Same hash primitive as ``deterministic_sample``; the threshold becomes
+    per-row (``floor(p · 2^32)``, still an integer compare, exact on any
+    engine).  Membership stays a pure function of (key, weight), so
+    re-runs, repartitions and resumes keep identical samples, and raising
+    ``scale`` only ever ADDS rows (nested samples, same property as the
+    uniform case)."""
+    p = F.least(
+        F.greatest(F.col(weight_col) * F.lit(float(scale)), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    per_row_thr = F.floor(p * F.lit(float(_HASH_SPACE))).cast("long")
+    return df.where(hash_bucket(F.col(key_col), salt) < per_row_thr)
+
+
 def train_val_split(
     df: DataFrame, key_col: str, val_fraction: float, salt: str = "split"
 ) -> Tuple[DataFrame, DataFrame]:

@@ -64,3 +64,28 @@ def test_stratified_rates(spark):
     for lang, n in got.items():  # default strata land between the extremes
         if lang not in ("en", "de"):
             assert 0 < n < totals[lang] or totals[lang] < 4
+
+
+def test_weighted_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from relationextractionpipeline_spark.operators import sampling
+
+    rows = [(i, 0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.4))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = sampling.weighted_sample(df, "doc_id", "w", scale=1.0).toPandas()
+    # weight 0 → never kept; weight 1 → always kept
+    assert (kept.w > 0).all()
+    assert len(kept[kept.w == 1.0]) == 100
+    # mid weights keep roughly their probability (exact per-hash, so just band-check)
+    mid = len(kept[kept.w == 0.4])
+    assert 20 <= mid <= 60  # 100 rows at p=0.4
+    # nested: raising scale only ADDS rows
+    more = sampling.weighted_sample(df, "doc_id", "w", scale=2.0).toPandas()
+    assert set(kept.doc_id) <= set(more.doc_id)
+    # membership is a pure function of (key, weight): repartition-invariant
+    again = sampling.weighted_sample(
+        df.repartition(7), "doc_id", "w", scale=1.0
+    ).toPandas()
+    assert set(kept.doc_id) == set(again.doc_id)
