@@ -369,6 +369,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_tool_transitions"] = kg_tool_transitions
 
+    def kg_two_hop(spark, sf_dir):
+        """2-hop neighborhoods over the canonical entity graph: entity
+        pairs connected through ≥1 shared neighbor, ranked by bridge
+        count — the link-prediction/path-feature primitive.  The join
+        explodes quadratically in hub degree (the top gate-scale hub
+        already has degree ~2.9k), so bridges are CAPPED at max_degree=500
+        distinct neighbors BEFORE the self-join: a deterministic,
+        observable recall trade (hubs are exactly the kg_degree head),
+        identical on both engines — the standard mitigation at 10^12-turn
+        scale where a hub's two-hop set would be billions of pairs."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        ed = (
+            edges.where(
+                F.col("subj_canonical").isNotNull()
+                & F.col("obj_canonical").isNotNull()
+            )
+            .select(
+                F.col("subj_canonical").alias("s"),
+                F.col("obj_canonical").alias("o"),
+            )
+            .distinct()
+        )
+        und = ed.select(F.col("s").alias("a"), F.col("o").alias("b")).union(
+            ed.select(F.col("o").alias("a"), F.col("s").alias("b"))
+        ).distinct()
+        ok = (
+            und.groupBy("b").agg(F.count("*").alias("d"))
+            .where(F.col("d") <= 500)
+            .select("b")
+        )
+        x = und.join(ok, "b").select(F.col("a"), F.col("b").alias("mid"))
+        y = und.select(F.col("a").alias("mid2"), F.col("b").alias("c"))
+        return (
+            x.join(y, x["mid"] == y["mid2"])
+            .where(F.col("a") != F.col("c"))
+            .groupBy("a", "c")
+            .agg(F.countDistinct("mid").alias("n_bridges"))
+            .orderBy(F.desc("n_bridges"), F.asc("a"), F.asc("c"))
+            .limit(50)
+        )
+
+    q["kg_two_hop"] = kg_two_hop
+
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
         conversation reach, mean turn length)."""
@@ -1635,6 +1683,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE entity IS NOT NULL
             GROUP BY entity
             ORDER BY n_edges DESC, entity ASC
+            LIMIT 50
+        """,
+        "kg_two_hop": f"""
+            WITH e AS (
+                SELECT ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            ed AS (SELECT DISTINCT s, o FROM e),
+            und AS (
+                SELECT s AS a, o AS b FROM ed
+                UNION
+                SELECT o AS a, s AS b FROM ed
+            ),
+            ok AS (
+                SELECT b FROM (
+                    SELECT b, count(*) AS d FROM und GROUP BY b
+                ) WHERE d <= 500
+            ),
+            hop AS (
+                SELECT x.a AS a, y.b AS c, x.b AS mid
+                FROM und x
+                JOIN ok ON ok.b = x.b
+                JOIN und y ON y.a = x.b
+                WHERE x.a <> y.b
+            )
+            SELECT a, c, count(DISTINCT mid) AS n_bridges
+            FROM hop GROUP BY a, c
+            ORDER BY n_bridges DESC, a ASC, c ASC
             LIMIT 50
         """,
         "kg_tool_transitions": f"""
