@@ -16,19 +16,29 @@ contract is therefore **caller-owns-scope**:
 
 Without release, a session running many queries accumulates storage memory
 (the executor-storage leak flagged in round 3).  ``localCheckpoint()`` sites
-(connected components, canonicalize) are NOT tracked: a checkpoint's blocks
-ARE its data (unpersisting one invalidates the DataFrame), so their scope is
-the result's lifetime — Spark's ContextCleaner frees them when the last
-reference is garbage-collected.
+(connected components, canonicalize) are tracked SEPARATELY
+(``track_checkpoint``): a checkpoint's blocks ARE its data — unpersisting
+one truncates lineage, so a later recompute of a dependent DataFrame FAILS
+rather than slows down.  ``release_all()`` therefore frees only plain
+persists by default; ``release_all(checkpoints=True)`` additionally frees
+the checkpoint tails, valid once every dependent result is materialized and
+will not be re-executed (bench.py / check_parity.py call it between
+queries; the iterative CC already unpersists each superseded round itself,
+so the registered tail is O(1) blocks per operator call).
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import Dict, List, Tuple
 
 from pyspark.sql import DataFrame
 
 _TRACKED: List[DataFrame] = []
+# id(checkpointed df) -> (SparkContext, frozenset of persistent RDD ids the
+# checkpoint created).  DataFrame.unpersist() goes through the CacheManager
+# and does NOT touch localCheckpoint blocks (they belong to the underlying
+# RDD), so checkpoints are freed JVM-side by RDD id.
+_CHECKPOINT_IDS: Dict[int, Tuple[object, frozenset]] = {}
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -38,12 +48,58 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_all() -> int:
+def _persistent_rdd_ids(sc) -> set:
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    ids, it = set(), jmap.keysIterator()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _free_rdd_ids(sc, ids) -> None:
+    try:
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        for i in ids:
+            if jmap.contains(i):
+                jmap.apply(i).unpersist(False)
+    except Exception:  # session already stopped — nothing to free
+        pass
+
+
+def checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` (eager) + register the blocks it materialized
+    for ``free_checkpoint`` / ``release_all(checkpoints=True)``.
+
+    The RDD ids are captured by diffing the JVM's persistent-RDD registry
+    around the checkpoint call — sound because the driver is
+    single-threaded through operator construction."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint()
+    _CHECKPOINT_IDS[id(out)] = (sc, frozenset(_persistent_rdd_ids(sc) - before))
+    return out
+
+
+def free_checkpoint(df: DataFrame) -> None:
+    """Free one registered checkpoint's blocks NOW — for iterative
+    operators whose round N+1 checkpoint supersedes round N (the superseded
+    blocks are dead the moment the next round materializes).  A freed
+    checkpoint cannot recompute (lineage is truncated); only call on
+    DataFrames nothing references anymore."""
+    ent = _CHECKPOINT_IDS.pop(id(df), None)
+    if ent is not None:
+        _free_rdd_ids(ent[0], ent[1])
+
+
+def release_all(checkpoints: bool = False) -> int:
     """Unpersist every tracked DataFrame (non-blocking); returns how many.
 
-    Safe to call at any time: already-materialized results stay valid (they
-    recompute from lineage if re-used), only the cached blocks are freed.
-    """
+    Plain persists are always safe to release: already-materialized results
+    stay valid (they recompute from lineage if re-used), only the cached
+    blocks are freed.  ``checkpoints=True`` also frees registered
+    localCheckpoint blocks — call it only once dependent results are
+    materialized and won't re-execute (recompute through a freed checkpoint
+    raises, it does not fall back to lineage)."""
     n = len(_TRACKED)
     for df in _TRACKED:
         try:
@@ -51,4 +107,9 @@ def release_all() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     _TRACKED.clear()
+    if checkpoints:
+        n += len(_CHECKPOINT_IDS)
+        for sc, ids in _CHECKPOINT_IDS.values():
+            _free_rdd_ids(sc, ids)
+        _CHECKPOINT_IDS.clear()
     return n

@@ -57,19 +57,17 @@ def _connected_components_star(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
     spark = edges.sparkSession
-    nodes = (
+    nodes = cache.checkpoint(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     # work on an undirected simple edge set without self loops
-    e = (
+    e = cache.checkpoint(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
 
     def star(e_: DataFrame, large: bool) -> DataFrame:
@@ -106,16 +104,24 @@ def _connected_components_star(
     prev_sig = -1
     for _ in range(max_iter):
         # one checkpoint per round bounds lineage to two star expansions
-        e = star(star(e, large=True), large=False).localCheckpoint()
+        new_e = cache.checkpoint(star(star(e, large=True), large=False))
         # fixpoint when the edge multiset stops changing (count + hash)
-        sig_row = e.select(
+        sig_row = new_e.select(
             F.count("*").alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
+        # the superseded round's blocks are dead the moment new_e is
+        # materialized (cache.checkpoint is eager): free them NOW instead of
+        # holding every round's edge set in executor storage for the whole
+        # fixpoint — at 100 TB the working set stays one round, not O(log n)
+        cache.free_checkpoint(e)
+        e = new_e
         if sig == prev_sig:
             break
         prev_sig = sig
+    # the final round's blocks stay registered: the labels below read them
+    # lazily; release_all(checkpoints=True) frees them once results are out
     # at the fixpoint the graph is a union of stars centered at component minima
     labels = (
         e.groupBy("u").agg(F.min("v").alias("m"))
@@ -139,21 +145,21 @@ def _connected_components_minlabel(
         # sym is re-scanned every iteration: checkpoint it once so the
         # (possibly expensive) upstream candidate generation — LSH banding,
         # Jaccard verification — runs exactly once, not once per iteration
-        .localCheckpoint()
     )
-    labels = (
+    sym = cache.checkpoint(sym)
+    labels_ck = cache.checkpoint(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    labels = labels_ck
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_ck = cache.checkpoint(
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
@@ -162,9 +168,12 @@ def _connected_components_minlabel(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-        ).localCheckpoint()
-        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
-        labels = new_labels.select("node", "label")
+        )
+        changed = new_ck.where(F.col("label") != F.col("old_label")).count()
+        # previous round's label blocks are dead once new_ck materialized
+        cache.free_checkpoint(labels_ck)
+        labels_ck = new_ck
+        labels = new_ck.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
@@ -322,8 +331,8 @@ def canonicalize(
         )
         # refs feeds candidate generation, the entities rollup and the key
         # map — checkpoint so the UDF pipeline upstream runs once
-        .localCheckpoint()
     )
+    refs = cache.checkpoint(refs)
     ents = refs.select("ent_key", "surface", "url").distinct()
     pair_edges = candidate_pairs_for_entities(ents)
     comps = connected_components(pair_edges)

@@ -10,6 +10,11 @@ corpus engine.  Five strategies, cheapest→richest; all deterministic:
                     (explode + self-join on shingle + count ratio; no UDF)
 * embedding cosine— near-dup via vector similarity (see operators/similarity)
 
+Pair-emitting strategies share one clustering tail (``clusters_from_pairs``:
+connected components → min-id survivor) because duplicates CHAIN — see
+``near_dup_clusters`` (lexical) and ``similarity.semantic_dedup_clusters``
+(embedding-space).
+
 Scale design: every strategy is one-or-two shuffles keyed by content-derived
 values (never doc ids), so hot documents can't skew; quadratic pair expansion
 is bounded by bucket caps (sketches.lsh_candidate_pairs) or min-shingle

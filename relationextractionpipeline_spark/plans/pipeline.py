@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from relationextractionpipeline_spark.operators import (
     assemble,
+    cache,
     canonicalize,
     fused,
     link,
@@ -143,7 +144,7 @@ def materialize_graph(run: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
     # the edge rewrite — checkpoint once so the extraction UDF chain doesn't
     # re-run per consumer (in a production run this is the materialized
     # triples stage from plans/manifests.py instead)
-    triples = run["triples"].localCheckpoint()
+    triples = cache.checkpoint(run["triples"])
     entities, edges = canonicalize.canonicalize(triples, run["links"])
     pred_map = canonicalize.canonicalize_predicates(triples)
     edges = edges.join(F.broadcast(pred_map), "pred", "left")

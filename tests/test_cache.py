@@ -28,11 +28,14 @@ def _persistent_ids(spark) -> set:
 
 
 def test_release_all_frees_operator_caches(spark, tiny_paths):
-    """Sweep every tracked-persist operator (minhash/simhash dedup, IVF,
-    IVF-PQ, predicate canonicalization, staged-joinlink), materialize their
-    results, then release: no persisted RDD beyond the pre-sweep set may
-    survive.  (localCheckpoint sites are excluded by design — a checkpoint's
-    blocks ARE its data; see operators/cache.py.)"""
+    """Sweep every tracked-persist operator (minhash/simhash dedup, the CC
+    clustering tails, IVF, IVF-PQ, predicate canonicalization,
+    staged-joinlink), materialize their results, then release: no persisted
+    RDD beyond the pre-sweep set may survive.  localCheckpoint blocks are
+    freed by the opt-in ``checkpoints=True`` (valid here — every result is
+    materialized and not re-executed); the iterative CC frees each
+    superseded round itself, so even before release the checkpoint tail is
+    O(1) blocks per operator call."""
     before = _persistent_ids(spark)
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -41,6 +44,10 @@ def test_release_all_frees_operator_caches(spark, tiny_paths):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dedup.near_dup_pairs_minhash(docs, jaccard_threshold=0.5).count()
+    dedup.near_dup_clusters(docs, jaccard_threshold=0.5).count()
+    similarity.semantic_dedup_clusters(
+        emb.where(F.col("vec_id") % 5 == 0), threshold=0.25, n_planes=4
+    ).count()
     dedup.near_dup_pairs_simhash(docs, max_hamming=8).count()
     similarity.ivf_topk(emb, qs, k=5, n_clusters=8, nprobe=2).count()
     similarity.ivf_pq_topk(emb, qs, k=5, n_clusters=8, nprobe=2).count()
@@ -52,7 +59,7 @@ def test_release_all_frees_operator_caches(spark, tiny_paths):
     mid = _persistent_ids(spark)
     assert len(mid - before) >= 6  # the sweep really did cache intermediates
 
-    released = cache.release_all()
+    released = cache.release_all(checkpoints=True)
     assert released >= 6
     after = _persistent_ids(spark)
     assert after - before == set(), (
