@@ -81,6 +81,18 @@ def main() -> None:
                  F.col("vec_id") % 100 == 0).select(
                  F.col("vec_id").alias("query_id"), "embedding"),
              k=5)),
+        ("Near-dup clustering tail — singleton assignment + size join over "
+         "the CC fixpoint (the iterative rounds ran eagerly at construction; "
+         "the plan reads the final checkpointed edge scan, lineage O(1))",
+         __import__("relationextractionpipeline_spark.operators.dedup",
+                    fromlist=["dedup"]).near_dup_clusters(
+             docs.select("doc_id", "text"), jaccard_threshold=0.5)),
+        ("Quantile thresholds — window rank + explode'd fraction targets, "
+         "rank equi-join (no cross join, nothing driver-side)",
+         __import__("relationextractionpipeline_spark.operators.quality",
+                    fromlist=["quality"]).quantile_thresholds(
+             docs.select("doc_id", "lang", F.col("n_chars").cast("double")
+                         .alias("v")), "v", "lang")),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
