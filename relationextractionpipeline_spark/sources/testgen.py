@@ -37,7 +37,9 @@ SCALES = {"tiny": 20, "small": 2000, "bench": 30000, "scaling": 120000}
 # given generator version only, and the cache key is the directory name
 # v4: +ambiguous aliases (Franklin/Turing/Hamilton), 16-entry MWT inventory,
 #     _xcomp_deep / _neg_xcomp / _neg_under_xcomp adversarial templates
-GEN_VERSION = 4
+# v5: GEN_CONTRACTIONS widened to the full 28-contraction parser inventory
+#     (every MWT the parser handles now occurs in generated corpora)
+GEN_VERSION = 5
 
 
 def scale_dir(scale: str) -> str:
@@ -171,16 +173,23 @@ def _adjacent(rng):  # BIO boundary between two KB entities (W3, nel.py:204)
     return f"{_ent(rng)} {_ent(rng)} {v['past']} {_arg(rng)}."
 
 
-# the GENERATOR's contraction pool — frozen at the v4 inventory so corpus
+# the GENERATOR's contraction pool — an explicit frozen list so corpus
 # bytes are a function of GEN_VERSION alone.  The PARSER's inventory
 # (lexicon.CONTRACTIONS) may grow without touching generated text; sampling
 # lexicon.CONTRACTIONS directly here silently changed v4 corpora when the
 # inventory widened (caught by the oracle-vs-Spark equality tests).  Widen
 # THIS list only together with a GEN_VERSION bump.
+#
+# v5: the full 28-contraction parser inventory (v4 froze the original 16)
+# — every contraction the MWT machinery handles now occurs in generated
+# corpora, so the surface≠syntax split is corpus-gated end-to-end
+# (kg_triples hash + the P/R gate), not just unit-fixtured.
 GEN_CONTRACTIONS = tuple(sorted((
-    "am", "ans", "aufs", "beim", "durchs", "fürs", "hinterm", "im", "ins",
-    "übers", "ums", "unterm", "vom", "vors", "zum", "zur",
-)))  # sorted() reproduces the original draw order bit-for-bit ('ü' > 'z')
+    "am", "ans", "aufm", "aufn", "aufs", "ausm", "beim", "durchn",
+    "durchs", "fürn", "fürs", "gegens", "hinterm", "hinters", "im", "ins",
+    "ums", "unterm", "untern", "unters", "vom", "vorm", "vors", "zum",
+    "zur", "überm", "übern", "übers",
+)))
 
 
 def _mwt(rng):

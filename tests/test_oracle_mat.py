@@ -259,4 +259,4 @@ def test_generator_output_pinned_to_gen_version(tmp_path):
         ["conv_id", "turn_idx"]
     )
     h = hashlib.sha256("\n".join(pdf["text"]).encode()).hexdigest()[:16]
-    assert (oracle_mat.testgen.GEN_VERSION, h) == (4, "2cc0d7ee2635d1cc")
+    assert (oracle_mat.testgen.GEN_VERSION, h) == (5, "b1b3a18f70724c1d")
