@@ -315,6 +315,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_predicates"] = kg_predicates
 
+    def kg_entities_incr(spark, sf_dir):
+        """Incremental canonicalization gate: the corpus splits into two
+        batches by conversation hash; batch 1 builds the canonical entity
+        graph, batch 2 merges in WITHOUT re-clustering history
+        (canonicalize.merge_entity_batch — new LSH/url evidence contracted
+        onto prior component labels, CC on the batch-sized quotient graph).
+        The merge is exact, not approximate, so the oracle is the SAME
+        sequential union-find table kg_entities is gated on: hash-equality
+        here proves incremental ≡ one-shot batch at driver scale."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        links = run["links"]
+        b0 = links.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+        b1 = links.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+        state = canonicalize.merge_entity_batch(
+            canonicalize.entity_graph_state(b0), b1
+        )
+        return canonicalize.entities_from_assign(links, state.assign).select(
+            "canonical_id",
+            F.size("keys").alias("n_keys"),
+            F.size("surfaces").alias("n_surfaces"),
+            "n_mentions",
+        )
+
+    q["kg_entities_incr"] = kg_entities_incr
+
     def kg_degree(spark, sf_dir):
         """Graph analytics over the materialized KG: per-canonical-entity
         degree (edge count, distinct neighbors, distinct predicates), top 50
@@ -1644,6 +1673,11 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "kg_entities": f"""
+            SELECT canonical_id, n_keys, n_surfaces, n_mentions
+            FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
+        """,
+        # incremental ≡ batch: same oracle table as kg_entities by design
+        "kg_entities_incr": f"""
             SELECT canonical_id, n_keys, n_surfaces, n_mentions
             FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
         """,

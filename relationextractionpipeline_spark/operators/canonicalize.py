@@ -19,7 +19,7 @@ candidate-pair graph with ``localCheckpoint()`` per iteration to cut lineage
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -179,6 +179,25 @@ def _connected_components_minlabel(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def _jaccard_udf(shingle_k: int):
+    """Arrow-batched exact char-shingle Jaccard — the LSH verification step
+    shared by the batch and incremental pair generators."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sketches.jaccard(
+                    sketches.char_shingles(x or "", shingle_k),
+                    sketches.char_shingles(y or "", shingle_k),
+                )
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return jac
+
+
 def candidate_pairs_for_entities(
     ents: DataFrame,
     surface_col: str = "surface",
@@ -244,6 +263,21 @@ def candidate_pairs_for_entities(
     return url_star.union(near).distinct()
 
 
+def entity_refs(links: DataFrame) -> DataFrame:
+    """Per-mention entity reference rows with the P11 cluster key.
+
+    ``ent_key`` is the canonical entity string (nel.py:286-315 semantics):
+    the last URL path segment for linked entities, the space→underscore
+    surface for the notInWiki long tail."""
+    ent_key = F.when(
+        F.col("url").contains("notInWiki"),
+        F.regexp_replace(F.col("surface"), " ", "_"),
+    ).otherwise(F.element_at(F.split(F.col("url"), "/"), -1))
+    return links.select(
+        ent_key.alias("ent_key"), "surface", "url", "figer", "kind"
+    )
+
+
 def canonicalize_predicates(
     triples: DataFrame,
     n_hashes: int = 32,
@@ -303,6 +337,199 @@ def canonicalize_predicates(
     )
 
 
+class EntityGraphState(NamedTuple):
+    """Persistable canonical-entity-graph state for incremental maintenance.
+
+    ``refs``   — every distinct (ent_key, surface, url) reference row ever
+                 seen: the pair-evidence universe (new batches anti-join it).
+    ``assign`` — (ent_key, canonical_id): the connected-component label
+                 (min ent_key of the component) for every known key.
+
+    Both tables round-trip through :class:`sources.tableio.TableIO`, so the
+    state lives next to the triple table the streaming upserter maintains.
+    """
+
+    refs: DataFrame
+    assign: DataFrame
+
+
+def _assignment_from_pairs(ents: DataFrame, pair_edges: DataFrame) -> DataFrame:
+    """(ent_key, canonical_id) from pair evidence; singletons map to self."""
+    comps = connected_components(pair_edges)
+    return (
+        ents.select("ent_key")
+        .distinct()
+        .join(comps, F.col("ent_key") == F.col("node"), "left")
+        .select(
+            "ent_key",
+            F.coalesce(F.col("component"), F.col("ent_key")).alias("canonical_id"),
+        )
+    )
+
+
+def entity_graph_state(links: DataFrame, **lsh_kwargs) -> EntityGraphState:
+    """Initial state from a first batch — the batch clustering of
+    :func:`canonicalize`, packaged for incremental growth."""
+    ents = cache.checkpoint(
+        entity_refs(links).select("ent_key", "surface", "url").distinct()
+    )
+    pair_edges = candidate_pairs_for_entities(ents, **lsh_kwargs)
+    assign = cache.checkpoint(_assignment_from_pairs(ents, pair_edges))
+    return EntityGraphState(refs=ents, assign=assign)
+
+
+def merge_entity_batch(
+    state: EntityGraphState,
+    new_links: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> EntityGraphState:
+    """Merge a new batch of linked mentions into an existing canonical
+    entity graph WITHOUT re-clustering history — the canonicalization
+    analog of the streaming triple upserter (streaming/upsert.py).
+
+    Exactness (not an approximation): connected components factor through
+    the quotient by any prior partial clustering, and the canonical label
+    (min ent_key) is an associative reduction — so new pair evidence is
+    contracted onto prior component labels, CC runs on that batch-sized
+    quotient graph, and the composed assignment EQUALS a one-shot batch run
+    over the union (tests/test_canonicalize_incremental.py asserts exact
+    equality, and ``kg_entities_incr`` gates it against the sequential
+    union-find oracle).  Pair evidence is incremental too: new rows probe
+    the union's LSH buckets (sketches.lsh_candidate_pairs_incremental) and
+    the affected URL groups only, so per-batch work scales with the batch —
+    at 10^12 turns the graph history is never re-shuffled.  Caveat shared
+    with the batch path: if an LSH ``max_bucket`` cap triggers, results are
+    population-order-dependent (cap-free regime is exact).
+
+    The parameters must match the ones the state was built with; they are
+    the batch defaults of :func:`candidate_pairs_for_entities`.
+    """
+    new_rows = cache.checkpoint(
+        entity_refs(new_links)
+        .select("ent_key", "surface", "url")
+        .distinct()
+        .join(state.refs, ["ent_key", "surface", "url"], "left_anti")
+    )
+
+    # evidence 1: same-URL stars over AFFECTED url groups (old members of a
+    # url a new row shares + the new rows).  Root choice differs from a
+    # one-shot batch but connectivity — all CC sees — is identical.
+    affected = new_rows.select("url").distinct()
+    group = (
+        state.refs.join(affected, "url", "left_semi")
+        .select("url", "ent_key")
+        .union(new_rows.select("url", "ent_key"))
+        .distinct()
+    )
+    url_star = (
+        group.groupBy("url")
+        .agg(F.min("ent_key").alias("src"), F.collect_set("ent_key").alias("ks"))
+        .select("src", F.explode("ks").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+    # evidence 2: LSH near-dup surfaces touching a new (ent_key, surface)
+    # row, Jaccard-verified against the union surface table
+    old_su = state.refs.select("ent_key", "surface").distinct()
+    new_su = new_rows.select("ent_key", "surface").distinct()
+    union_su = old_su.union(new_su).distinct()
+    sigs_new = sketches.with_minhash(
+        new_su, "surface", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+    )
+    sigs_all = sketches.with_minhash(
+        union_su, "surface", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+    )
+    cand = sketches.lsh_candidate_pairs_incremental(
+        sigs_new, sigs_all, "ent_key", "minhash", bands=bands
+    )
+    pairs = cand.join(
+        union_su.select(F.col("ent_key").alias("id_a"), F.col("surface").alias("surf_a")),
+        "id_a",
+    ).join(
+        union_su.select(F.col("ent_key").alias("id_b"), F.col("surface").alias("surf_b")),
+        "id_b",
+    )
+    near = (
+        pairs.withColumn("j", _jaccard_udf(shingle_k)("surf_a", "surf_b"))
+        .where(F.col("j") >= F.lit(jaccard_threshold))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+    # contract new evidence onto prior component labels (quotient graph):
+    # endpoints already known map to their canonical id, new keys to
+    # themselves.  Old–old edges regenerated by the url groups collapse to
+    # self-loops here and drop out.
+    amap = state.assign
+    q_edges = (
+        url_star.union(near)
+        .distinct()
+        .join(
+            amap.select(F.col("ent_key").alias("src"), F.col("canonical_id").alias("src_c")),
+            "src",
+            "left",
+        )
+        .join(
+            amap.select(F.col("ent_key").alias("dst"), F.col("canonical_id").alias("dst_c")),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("src_c", F.col("src")).alias("src"),
+            F.coalesce("dst_c", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+    if q_edges.isEmpty():  # no linking evidence: pure appends
+        comps = None
+    else:
+        comps = connected_components(q_edges)
+
+    def relabel(df: DataFrame, key: str) -> DataFrame:
+        if comps is None:
+            return df.select("ent_key", F.col(key).alias("canonical_id"))
+        return df.join(comps, df[key] == comps["node"], "left").select(
+            "ent_key",
+            F.coalesce(F.col("component"), F.col(key)).alias("canonical_id"),
+        )
+
+    # prior keys follow their (possibly merged) component label; genuinely
+    # new keys get their quotient label or stay singletons.  Component
+    # labels are min-ent_key, and each prior canonical_id is the min of its
+    # members, so min over quotient labels == min over the merged component.
+    updated = relabel(state.assign, "canonical_id")
+    new_keys = (
+        new_rows.select("ent_key").distinct().join(amap, "ent_key", "left_anti")
+    )
+    added = relabel(new_keys, "ent_key")
+    return EntityGraphState(
+        refs=cache.checkpoint(state.refs.union(new_rows)),
+        assign=cache.checkpoint(updated.union(added)),
+    )
+
+
+def entities_from_assign(links: DataFrame, assign: DataFrame) -> DataFrame:
+    """The :func:`canonicalize` entities rollup, from an externally
+    maintained assignment (e.g. an :class:`EntityGraphState` grown
+    incrementally)."""
+    refs = entity_refs(links)
+    return (
+        refs.join(assign, "ent_key")
+        .groupBy("canonical_id")
+        .agg(
+            F.collect_set("ent_key").alias("keys"),
+            F.collect_set("surface").alias("surfaces"),
+            F.collect_set("url").alias("urls"),
+            F.collect_set("figer").alias("types"),
+            F.count("*").alias("n_mentions"),
+        )
+        .withColumn("entity_id", F.xxhash64("canonical_id"))
+    )
+
+
 def canonicalize(
     triples: DataFrame,
     links: DataFrame,
@@ -316,23 +543,9 @@ def canonicalize(
       entities(entity_id, canonical_id, ent_key, surfaces, urls, types, n_mentions)
       edges = triples + (subj_id, obj_id) canonical ids.
     """
-    # distinct entity references with their P11 string as the cluster key
-    ent_key = F.when(
-        F.col("url").contains("notInWiki"),
-        F.regexp_replace(F.col("surface"), " ", "_"),
-    ).otherwise(F.element_at(F.split(F.col("url"), "/"), -1))
-    refs = (
-        links.select(
-            ent_key.alias("ent_key"),
-            "surface",
-            "url",
-            "figer",
-            "kind",
-        )
-        # refs feeds candidate generation, the entities rollup and the key
-        # map — checkpoint so the UDF pipeline upstream runs once
-    )
-    refs = cache.checkpoint(refs)
+    # refs feeds candidate generation, the entities rollup and the key
+    # map — checkpoint so the UDF pipeline upstream runs once
+    refs = cache.checkpoint(entity_refs(links))
     ents = refs.select("ent_key", "surface", "url").distinct()
     pair_edges = candidate_pairs_for_entities(ents)
     comps = connected_components(pair_edges)

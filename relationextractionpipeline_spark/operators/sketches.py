@@ -209,6 +209,62 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_incremental(
+    new_df: DataFrame,
+    all_df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) where at least one side is a NEW row.
+
+    The incremental complement of :func:`lsh_candidate_pairs`: ``all_df``
+    must be the full row set INCLUDING ``new_df``'s rows; the join probes
+    only the buckets that contain a new row, so the work is proportional to
+    the batch, not the corpus.  Bucket populations (the ``max_bucket`` cap)
+    are counted over the UNION — identical to what a one-shot batch run over
+    ``all_df`` would see — so in the cap-free regime
+    ``lsh_candidate_pairs(all) ==
+    lsh_candidate_pairs(old) ∪ lsh_candidate_pairs_incremental(new, all)``
+    exactly.  (When a cap DOES trigger, a one-shot batch and an incremental
+    history that crossed the cap threshold mid-stream can differ — same
+    caveat as any population-dependent pruning.)
+    """
+    from relationextractionpipeline_spark.operators import cache
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(_band_hashes_col(sig_col, bands)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+
+    banded_all = cache.track(banded(all_df))
+    sized_all = cache.track(
+        banded_all.join(
+            banded_all.groupBy("band_idx", "band_hash").count(),
+            ["band_idx", "band_hash"],
+        ).where(F.col("count") <= max_bucket)
+    )
+    banded_new = banded(new_df).select(
+        "band_idx", "band_hash", F.col("_id").alias("id_n")
+    ).distinct()
+    return (
+        banded_new.join(
+            sized_all.select("band_idx", "band_hash", F.col("_id").alias("id_u")),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("id_n") != F.col("id_u"))
+        .select(
+            F.least("id_n", "id_u").alias("id_a"),
+            F.greatest("id_n", "id_u").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def _band_hashes_col(sig_col: str, bands: int):
     """array<long> of per-band hashes from the signature column (native
     expression — no Python): xxhash64 over the band's slice."""
