@@ -156,16 +156,26 @@ class TableIO:
         swaps it in — never overwriting the directory a lazy plan is still
         reading from (Spark parquet overwrite deletes the input first)."""
         merged = upsert_by_key(self.read(name), updates, keys, version_col)
+        self.replace(merged, name)
+
+    def replace(self, df: DataFrame, name: str) -> None:
+        """Snapshot-replace — the parquet analog of Iceberg's
+        ``createOrReplace``: the new contents land in a staging directory
+        first (so a plan that lazily reads the CURRENT table keeps working
+        while the replacement computes), then swap in via two renames.  A
+        kill mid-write leaves the current table intact; only the tiny
+        rename window is non-atomic (Iceberg's snapshot commit closes it)."""
         if self.use_iceberg:
-            merged.writeTo(f"{self.catalog}.{name}").createOrReplace()
+            df.writeTo(f"{self.catalog}.{name}").createOrReplace()
             return
         import os
         import shutil
 
         staging = self._path(f"{name}__staging")
-        merged.write.mode("overwrite").parquet(staging)
+        df.write.mode("overwrite").parquet(staging)
         final, old = self._path(name), self._path(f"{name}__old")
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(final, old)
+        if os.path.exists(final):
+            os.rename(final, old)
         os.rename(staging, final)
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)

@@ -16,10 +16,12 @@ the merge IDEMPOTENT instead of relying on sink transactionality:
   against a snapshot; the parquet fallback stages + swaps (never
   overwriting a directory a lazy plan still reads).
 
-This is the streaming counterpart of the batch graph tail: extraction is
-incremental per micro-batch, while canonicalization (a global fixpoint)
-stays a periodic batch job over the maintained triple table — the standard
-lambda split for clustering-shaped operators.
+This is the streaming counterpart of the batch graph tail.  Extraction is
+incremental per micro-batch; since round 4 the canonical entity graph is
+TOO (``stream_upsert_kg``): each micro-batch's links merge into the
+maintained (refs, assign) state via quotient-graph CC
+(operators/canonicalize.merge_entity_batch — exact, work scales with the
+batch), so no periodic batch re-clustering job is needed.
 """
 
 from __future__ import annotations
@@ -69,6 +71,105 @@ def stream_upsert_triples(
 
     q = (
         triples.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_upsert_kg(
+    spark: SparkSession,
+    input_dir: str,
+    io: TableIO,
+    checkpoint_dir: str,
+    kb_bc,
+    kb_index_bc,
+    figer_bc,
+    triple_table: str = "triples",
+    refs_table: str = "entity_refs",
+    assign_table: str = "entity_assign",
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Maintain the FULL KG incrementally: per micro-batch, triples MERGE on
+    their natural key AND the canonical entity graph grows by quotient-graph
+    CC (canonicalize.merge_entity_batch) — no periodic batch re-clustering.
+
+    Replay safety under foreachBatch's at-least-once contract, per table:
+
+    * triples — the natural-key MERGE dedupes (stream_upsert_triples);
+    * entity graph — ``merge_entity_batch`` is idempotent by construction
+      (replayed reference rows anti-join ``refs`` away, so a replay is the
+      empty merge).  ``assign`` is written BEFORE ``refs``: if a kill lands
+      between the two writes, the replay re-derives the batch's pair
+      evidence (rows are absent from ``refs``), finds every quotient edge
+      already contracted to a self-loop by the updated ``assign``, and
+      converges — the reverse order would lose the batch's keys forever.
+      Both writes are staged-swap snapshots (TableIO.replace), so a kill
+      mid-write never corrupts the current table.
+
+    The link scorer runs in default max-prior mode, which is row-local:
+    micro-batch boundaries (which can split a conversation across batches)
+    cannot change link decisions.  Context-mode scoring would need
+    conversation-complete batches — sessionize upstream before asking for it.
+    """
+    from relationextractionpipeline_spark.operators import (
+        cache,
+        canonicalize,
+        link,
+    )
+
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n_turns = batch_df.count()
+            if n_turns == 0:
+                return
+            triples = fused.extract_triples_fused(
+                batch_df, kb_bc, kb_index_bc, figer_bc
+            ).withColumn("_version", F.lit(int(batch_id)).cast("long"))
+            try:
+                io.read(triple_table)  # existence probe
+                io.upsert(
+                    triples, triple_table, keys=TRIPLE_KEYS, version_col="_version"
+                )
+            except Exception:  # noqa: BLE001 — first batch creates the table
+                io.write(triples, triple_table, mode="overwrite")
+
+            mentions = fused.mention_rows_fused(batch_df, kb_index_bc)
+            links = link.score_links_grouped(
+                mentions,
+                kb_bc,
+                figer_bc,
+                n_groups=link.groups_for(
+                    n_turns * 5, spark.sparkContext.defaultParallelism
+                ),
+            )
+            try:
+                state = canonicalize.EntityGraphState(
+                    refs=io.read(refs_table), assign=io.read(assign_table)
+                )
+                state = canonicalize.merge_entity_batch(state, links)
+            except Exception:  # noqa: BLE001 — first batch builds the state
+                state = canonicalize.entity_graph_state(links)
+            # merge outputs are EAGERLY localCheckpoint-ed, so nothing below
+            # still reads the directories being replaced
+            io.replace(state.assign, assign_table)  # assign FIRST (see above)
+            io.replace(state.refs, refs_table)
+            # free the merge's checkpoint blocks now that both snapshots are
+            # on disk — state working set stays O(one batch) across the drain
+            cache.release_all(checkpoints=True)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

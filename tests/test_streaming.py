@@ -254,3 +254,75 @@ def test_streaming_upsert_maintains_triple_table(spark, tiny_paths, tmp_path):
     io.upsert(all_again, "triples", keys=up.TRIPLE_KEYS, version_col="_version")
     assert io.read("triples").count() == before
     assert _triple_set(io.read("triples").drop("_version").toPandas()) == batch
+
+
+def test_streaming_kg_maintains_entity_graph(spark, tiny_paths, tmp_path):
+    """Full-KG streaming maintenance: two drains over arriving files converge
+    BOTH the triple table and the canonical entity graph to the batch result,
+    and replaying already-applied links into the loaded state is the empty
+    merge (at-least-once safety)."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.operators import (
+        canonicalize,
+        fused,
+        link as link_op,
+    )
+    from relationextractionpipeline_spark.sources.tableio import TableIO
+    from relationextractionpipeline_spark.streaming import upsert as up
+
+    src = pd.read_parquet(tiny_paths["transcripts"]).sort_values(
+        ["conv_id", "turn_idx"]
+    )
+    in_dir = str(tmp_path / "turns_kg_in")
+    os.makedirs(in_dir)
+    half = len(src) // 2
+    src.iloc[:half].to_parquet(os.path.join(in_dir, "part-0.parquet"), index=False)
+
+    _, entity_kb, figer_map = pipeline.load_inputs(spark, tiny_paths)
+    kb_bc, kbi_bc, fg_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    io = TableIO(spark, str(tmp_path / "wh_kg"))
+    ck = str(tmp_path / "ck_kg")
+
+    up.stream_upsert_kg(spark, in_dir, io, ck, kb_bc, kbi_bc, fg_bc)
+    assert io.read("entity_assign").count() > 0
+
+    src.iloc[half:].to_parquet(os.path.join(in_dir, "part-1.parquet"), index=False)
+    up.stream_upsert_kg(spark, in_dir, io, ck, kb_bc, kbi_bc, fg_bc)
+
+    # batch reference over ALL turns: same fused mention path + scorer
+    transcripts = spark.read.parquet(in_dir)
+    mentions = fused.mention_rows_fused(transcripts, kbi_bc)
+    links = link_op.score_links_grouped(
+        mentions, kb_bc, fg_bc,
+        n_groups=link_op.groups_for(
+            transcripts.count() * 5, spark.sparkContext.defaultParallelism
+        ),
+    )
+    links.persist().count()
+    want = {
+        r.ent_key: r.canonical_id
+        for r in canonicalize.entity_graph_state(links).assign.collect()
+    }
+    got = {
+        r.ent_key: r.canonical_id for r in io.read("entity_assign").collect()
+    }
+    assert got == want
+
+    # triple table converged to the batch extraction too
+    maintained = _triple_set(io.read("triples").drop("_version").toPandas())
+    batch = _triple_set(
+        pipeline.run_pipeline(spark, tiny_paths, mode="fused")["triples"].toPandas()
+    )
+    assert maintained == batch
+
+    # replay: merging the full link set into the LOADED state changes nothing
+    state = canonicalize.EntityGraphState(
+        refs=io.read("entity_refs"), assign=io.read("entity_assign")
+    )
+    replayed = canonicalize.merge_entity_batch(state, links)
+    assert {
+        r.ent_key: r.canonical_id for r in replayed.assign.collect()
+    } == want
+    links.unpersist()
+    spark.catalog.clearCache()
