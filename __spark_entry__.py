@@ -260,6 +260,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_links_ctx_df"] = kg_links_ctx_df
 
+    def kg_links_ctx_tdf(spark, sf_dir):
+        """Context linking with the LEARNED per-type boost weight
+        (link.type_conv_df): the flat TYPE_BOOST constant becomes
+        ``TYPE_BOOST · 1/(1+ln(df(t)))`` where df(t) counts the distinct
+        conversations whose max-prior links carry FIGER type t — an IDF on
+        types, measured from the corpus itself.  A type that shows up in
+        most conversations ("/person" here) carries no coherence signal and
+        stops flipping links; rare types keep nearly the full boost.  The
+        df table is one broadcast-join + distinct-agg, bounded by the type
+        inventory, never by corpus size."""
+        from relationextractionpipeline_spark.operators import link as link_op
+
+        entity_kb, kb_bc, figer_bc, mention_rows, est = _link_inputs(spark, sf_dir)
+        cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+        _t, _kb, figer_map = pipeline.load_inputs(spark, _synthetic_paths(sf_dir))
+        tdf_bc = spark.sparkContext.broadcast(
+            link_op.type_conv_df(mention_rows, entity_kb, figer_map)
+        )
+        scored = link_op.score_links_grouped(
+            mention_rows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+            type_boost=link_op.TYPE_BOOST, tdf_bc=tdf_bc,
+            n_groups=link_op.groups_for(est, spark.sparkContext.defaultParallelism),
+        )
+        return scored.select(*_LINK_COLS, F.round("score", 6).alias("score"))
+
+    q["kg_links_ctx_tdf"] = kg_links_ctx_tdf
+
     def kg_entities(spark, sf_dir):
         from relationextractionpipeline_spark.operators import canonicalize
 
@@ -2002,6 +2029,95 @@ def oracle_sql() -> dict[str, str]:
                                     AND t.figer_type = kf.figer_type
                               )
                          THEN {link_mod.TYPE_BOOST} ELSE 0.0 END AS score
+                FROM read_parquet('{mrows}') mr JOIN cand k USING (surface)
+                LEFT JOIN read_parquet('{small}/figer_map.parquet') kf
+                  ON kf.url = k.url
+            ),
+            picked AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx, sent_idx, mention_id
+                        ORDER BY score DESC, url ASC
+                    ) AS rn FROM scored
+                ) WHERE rn = 1
+            ),
+            linked AS (
+                SELECT conv_id, turn_idx, sent_idx, mention_id, surface,
+                       kind, url, score
+                FROM picked
+                UNION ALL
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind,
+                       '{not_in_wiki}' || replace(mr.surface, ' ', '_') AS url,
+                       0.0 AS score
+                FROM read_parquet('{mrows}') mr
+                WHERE mr.surface NOT IN (SELECT surface FROM cand)
+            )
+            SELECT l.conv_id, l.turn_idx, l.sent_idx, l.mention_id,
+                   l.surface, l.kind, l.url,
+                   coalesce(nullif(f.figer_type, ''), 'none') AS figer,
+                   round(l.score, 6) AS score
+            FROM linked l
+            LEFT JOIN read_parquet('{small}/figer_map.parquet') f
+              ON f.url = l.url
+        """,
+        # LEARNED per-type boost: same scorer as kg_links_ctx_typed with the
+        # flat TYPE_BOOST scaled by 1/(1+ln(per-type distinct-conv df))
+        "kg_links_ctx_tdf": f"""
+            WITH cand AS (
+                SELECT surface, url, prior
+                FROM read_parquet('{small}/entity_kb.parquet')
+            ),
+            best AS (
+                SELECT surface, url AS kb_url FROM (
+                    SELECT surface, url,
+                           row_number() OVER (
+                               PARTITION BY surface
+                               ORDER BY prior DESC, url ASC
+                           ) AS rn
+                    FROM cand
+                ) WHERE rn = 1
+            ),
+            surfs AS (
+                SELECT DISTINCT conv_id, surface FROM read_parquet('{mrows}')
+            ),
+            ctx AS (
+                SELECT s.conv_id, s.surface, b.kb_url
+                FROM surfs s JOIN best b USING (surface)
+            ),
+            ctxt AS (
+                SELECT DISTINCT c.conv_id, c.surface, f.figer_type
+                FROM ctx c
+                JOIN read_parquet('{small}/figer_map.parquet') f
+                  ON f.url = c.kb_url
+                WHERE f.figer_type <> '' AND f.figer_type <> 'none'
+            ),
+            tdf AS (
+                SELECT figer_type, count(DISTINCT conv_id) AS df
+                FROM ctxt GROUP BY figer_type
+            ),
+            scored AS (
+                SELECT mr.conv_id, mr.turn_idx, mr.sent_idx, mr.mention_id,
+                       mr.surface, mr.kind, k.url,
+                       k.prior + CASE WHEN EXISTS (
+                           SELECT 1 FROM ctx c
+                           WHERE c.conv_id = mr.conv_id
+                             AND c.surface <> mr.surface
+                             AND c.kb_url = k.url
+                       ) THEN {link_mod.CTX_BOOST} ELSE 0.0 END
+                       + CASE WHEN kf.figer_type IS NOT NULL
+                              AND kf.figer_type <> '' AND kf.figer_type <> 'none'
+                              AND EXISTS (
+                                  SELECT 1 FROM ctxt t
+                                  WHERE t.conv_id = mr.conv_id
+                                    AND t.surface <> mr.surface
+                                    AND t.figer_type = kf.figer_type
+                              )
+                         THEN {link_mod.TYPE_BOOST} * (1.0 / (1.0 + ln((
+                                  SELECT d.df FROM tdf d
+                                  WHERE d.figer_type = kf.figer_type
+                              ))))
+                         ELSE 0.0 END AS score
                 FROM read_parquet('{mrows}') mr JOIN cand k USING (surface)
                 LEFT JOIN read_parquet('{small}/figer_map.parquet') kf
                   ON kf.url = k.url

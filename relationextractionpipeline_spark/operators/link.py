@@ -29,7 +29,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.broadcast import Broadcast
 
 from relationextractionpipeline_spark.functions import rules
@@ -124,6 +124,47 @@ def surface_conv_df(mention_rows: DataFrame, entity_kb: DataFrame) -> dict:
     return {r["surface"]: int(r["df"]) for r in rows}
 
 
+def type_conv_df(
+    mention_rows: DataFrame, entity_kb: DataFrame, figer_map: DataFrame
+) -> dict:
+    """Per-FIGER-type document frequency = number of DISTINCT conversations
+    containing a surface whose max-prior link carries that type — the
+    LEARNED counterpart of the flat ``TYPE_BOOST`` constant.
+
+    Feeds the type-df-WEIGHTED context scorer: type-coherence evidence from
+    a type that appears in most conversations ("/organization" in a business
+    corpus) says almost nothing about which candidate is right, while a rare
+    type ("/astronaut") is strong evidence — weight ``1/(1+ln(df))``, same
+    IDF-shaped decay as :func:`surface_conv_df`.
+
+    Scale: one broadcast join chain + a distinct-aggregate keyed on type;
+    the returned dict is bounded by the TYPE inventory (a fixed dimension,
+    ~100s), never by corpus size."""
+    w = Window.partitionBy("surface").orderBy(
+        F.col("prior").desc(), F.col("url").asc()
+    )
+    best = (
+        entity_kb.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("surface", "url")
+    )
+    typed = (
+        mention_rows.select("conv_id", "surface")
+        .distinct()
+        .join(F.broadcast(best), "surface")
+        .join(F.broadcast(figer_map), "url")
+        .where(
+            (F.col("figer_type") != "") & (F.col("figer_type") != "none")
+        )
+    )
+    rows = (
+        typed.groupBy("figer_type")
+        .agg(F.countDistinct("conv_id").alias("df"))
+        .collect()
+    )
+    return {r["figer_type"]: int(r["df"]) for r in rows}
+
+
 def score_links_grouped(
     mention_rows: DataFrame,
     kb_bc: Broadcast,
@@ -133,6 +174,7 @@ def score_links_grouped(
     boost: float = CTX_BOOST,
     type_boost: float = 0.0,
     df_bc: Broadcast = None,
+    tdf_bc: Broadcast = None,
     n_groups: int = None,
 ) -> DataFrame:
     """applyInPandas link scoring grouped **by conversation** — the
@@ -166,6 +208,12 @@ def score_links_grouped(
       surfaces stop flipping links they know nothing about.  ``None``
       weights every evidence surface 1.0 (bit-identical to the unweighted
       scorer; the boost multiplies by exactly 1.0).
+      ``tdf_bc`` (FIGER type → distinct-conversation document frequency,
+      ``type_conv_df``) is the LEARNED per-type boost weight: the type
+      boost becomes ``type_boost · 1/(1+ln(df(t)))`` for the candidate's
+      own type t — a type present in most conversations carries no
+      coherence signal and stops flipping links.  ``None`` keeps the flat
+      constant (bit-identical — the boost multiplies by exactly 1.0).
 
     Scale contract, two group granularities:
 
@@ -222,6 +270,12 @@ def score_links_grouped(
         cands = cands_bc.value  # surface -> [(url, prior)] (prior desc, url asc)
         figer = figer_bc.value
         dfm = df_bc.value if df_bc is not None else None
+        tdfm = tdf_bc.value if tdf_bc is not None else None
+        tw_of = (
+            (lambda t: 1.0)
+            if tdfm is None
+            else (lambda t: 1.0 / (1.0 + math.log(tdfm.get(t, 1))))
+        )
         uniq = pd.unique(pdf["surface"].astype(str))
         # max-prior URL per distinct surface in THIS conversation (row-order
         # independent: derived from the pre-sorted candidate lists)
@@ -264,8 +318,8 @@ def score_links_grouped(
             chosen_url, chosen_score = None, None
             for url, prior in cl:
                 sc = prior + (boost * ctx_w[url] if url in ctx_w else 0.0)
-                if type_boost and _ftype(url) in ctx_types:
-                    sc += type_boost
+                if type_boost and (t := _ftype(url)) in ctx_types:
+                    sc += type_boost * tw_of(t)
                 if (
                     chosen_score is None
                     or sc > chosen_score

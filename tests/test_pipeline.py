@@ -521,3 +521,71 @@ def test_df_weighted_context_scorer_discounts_common_evidence(spark):
     assert plain == weighted
     # and the suppressed score is exactly prior (candidate A never boosted)
     assert math.isclose(score_w, 0.8)
+
+
+def test_type_df_weighted_boost_discounts_common_types(spark):
+    """Learned per-type boost: type-coherence evidence from a type present
+    in MANY conversations is discounted 1/(1+ln(df)) — a common type stops
+    flipping links, a df=1 type reproduces the flat-constant scores
+    exactly, and tdf_bc=None is bit-identical to the flat scorer."""
+    import math
+
+    kb_rows = [
+        ("X", "http://synthetic.kb/resource/A", 0.8),
+        ("X", "http://synthetic.kb/resource/B", 0.6),
+        ("S", "http://synthetic.kb/resource/C", 0.9),
+    ] + [
+        (f"S{i}", f"http://synthetic.kb/resource/D{i}", 0.9) for i in range(1, 12)
+    ]
+    entity_kb = spark.createDataFrame(
+        kb_rows, "surface string, url string, prior double"
+    )
+    figer_rows = [
+        ("http://synthetic.kb/resource/A", "/person"),
+        ("http://synthetic.kb/resource/B", "/org"),
+        ("http://synthetic.kb/resource/C", "/org"),
+    ] + [(f"http://synthetic.kb/resource/D{i}", "/org") for i in range(1, 12)]
+    figer_map = spark.createDataFrame(figer_rows, "url string, figer_type string")
+    kb_bc, _kbi, figer_bc = pipeline.build_broadcasts(spark, entity_kb, figer_map)
+    cands_bc = pipeline.build_candidates_broadcast(spark, entity_kb)
+    mschema = (
+        "conv_id string, turn_idx int, sent_idx int, mention_id int, "
+        "start_tok int, end_tok int, surface string, tag string, kind string"
+    )
+    # /org is the max-prior type of some surface in 12 conversations
+    rows = [("c0", 0, 0, 0, 1, 1, "X", "ner1", "ner"),
+            ("c0", 1, 0, 0, 1, 1, "S", "ner1", "ner")]
+    rows += [(f"c{i}", 0, 0, 0, 1, 1, f"S{i}", "ner1", "ner")
+             for i in range(1, 12)]
+    mention_rows = spark.createDataFrame(rows, mschema)
+
+    def x_link(mrows, **kw):
+        out = link.score_links_grouped(
+            mrows, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+            type_boost=link.TYPE_BOOST, **kw
+        ).collect()
+        return next((r.url, r.score) for r in out if r.surface == "X")
+
+    tdf = link.type_conv_df(mention_rows, entity_kb, figer_map)
+    assert tdf == {"/org": 12, "/person": 1}
+    # flat constant: B gets the full 0.25 (0.6+0.25 > 0.8) -> flips
+    url_f, score_f = x_link(mention_rows)
+    assert url_f.endswith("/B") and math.isclose(score_f, 0.85)
+    # learned weight: 0.25/(1+ln(12)) ~ 0.072 -> 0.672 < 0.8 -> no flip
+    tdf_bc = spark.sparkContext.broadcast(tdf)
+    url_w, score_w = x_link(mention_rows, tdf_bc=tdf_bc)
+    assert url_w.endswith("/A") and math.isclose(score_w, 0.8)
+    # df=1 types keep the FULL boost: scores identical to the flat scorer
+    one_conv = spark.createDataFrame(rows[:2], mschema)
+    tdf1_bc = spark.sparkContext.broadcast(
+        link.type_conv_df(one_conv, entity_kb, figer_map)
+    )
+    flat = {(r.surface, r.url, r.score) for r in link.score_links_grouped(
+        one_conv, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+        type_boost=link.TYPE_BOOST,
+    ).collect()}
+    weighted = {(r.surface, r.url, r.score) for r in link.score_links_grouped(
+        one_conv, kb_bc, figer_bc, mode="context", cands_bc=cands_bc,
+        type_boost=link.TYPE_BOOST, tdf_bc=tdf1_bc,
+    ).collect()}
+    assert flat == weighted
