@@ -511,6 +511,113 @@ def merge_entity_batch(
     )
 
 
+class PredicateGraphState(NamedTuple):
+    """Incremental counterpart of :func:`canonicalize_predicates`:
+    ``preds`` — every distinct predicate string seen; ``assign`` —
+    (pred, pred_canonical)."""
+
+    preds: DataFrame
+    assign: DataFrame
+
+
+def predicate_graph_state(
+    triples: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> PredicateGraphState:
+    """Initial predicate-cluster state from a first batch — the clustering
+    of :func:`canonicalize_predicates`, packaged for incremental growth."""
+    mapped = canonicalize_predicates(
+        triples,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    assign = cache.checkpoint(mapped.select("pred", "pred_canonical"))
+    return PredicateGraphState(preds=assign.select("pred"), assign=assign)
+
+
+def merge_predicate_batch(
+    state: PredicateGraphState,
+    new_triples: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> PredicateGraphState:
+    """Merge a new batch's predicate strings into an existing predicate
+    cluster state — same quotient-graph CC exactness argument as
+    :func:`merge_entity_batch` (predicates have a single evidence source:
+    LSH near-dup strings), same idempotency under replay (known predicates
+    anti-join away).  Work scales with the batch's NOVEL predicate strings,
+    which at corpus scale go rare fast."""
+    new_preds = cache.checkpoint(
+        new_triples.select("pred")
+        .distinct()
+        .join(state.preds, "pred", "left_anti")
+        .withColumnRenamed("pred", "ent_key")
+    )
+    old = state.preds.withColumnRenamed("pred", "ent_key")
+    union = old.union(new_preds)
+    sigs_new = sketches.with_minhash(
+        new_preds, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+    )
+    sigs_all = sketches.with_minhash(
+        union, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+    )
+    cand = sketches.lsh_candidate_pairs_incremental(
+        sigs_new, sigs_all, "ent_key", "minhash", bands=bands
+    )
+    near = (
+        cand.withColumn("j", _jaccard_udf(shingle_k)("id_a", "id_b"))
+        .where(F.col("j") >= F.lit(jaccard_threshold))
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    amap = state.assign
+    q_edges = (
+        near.join(
+            amap.select(
+                F.col("pred").alias("src"), F.col("pred_canonical").alias("src_c")
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            amap.select(
+                F.col("pred").alias("dst"), F.col("pred_canonical").alias("dst_c")
+            ),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("src_c", F.col("src")).alias("src"),
+            F.coalesce("dst_c", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    comps = None if q_edges.isEmpty() else connected_components(q_edges)
+
+    def relabel(df: DataFrame, key: str) -> DataFrame:
+        if comps is None:
+            return df.select(
+                F.col("pred"), F.col(key).alias("pred_canonical")
+            )
+        return df.join(comps, df[key] == comps["node"], "left").select(
+            "pred",
+            F.coalesce(F.col("component"), F.col(key)).alias("pred_canonical"),
+        )
+
+    updated = relabel(state.assign, "pred_canonical")
+    added = relabel(
+        new_preds.select(F.col("ent_key").alias("pred")), "pred"
+    )
+    assign = cache.checkpoint(updated.union(added))
+    return PredicateGraphState(preds=assign.select("pred"), assign=assign)
+
+
 def entities_from_assign(links: DataFrame, assign: DataFrame) -> DataFrame:
     """The :func:`canonicalize` entities rollup, from an externally
     maintained assignment (e.g. an :class:`EntityGraphState` grown

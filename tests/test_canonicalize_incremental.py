@@ -153,3 +153,54 @@ def test_entities_from_assign_matches_canonicalize(spark, tiny_paths):
         )
 
     assert norm(ents_incr) == norm(ents_batch), cols
+
+
+def _pred_triples(spark, preds):
+    return spark.createDataFrame([(p,) for p in preds], ["pred"])
+
+
+def _pred_map(state):
+    return {r.pred: r.pred_canonical for r in state.assign.collect()}
+
+
+def test_predicate_merge_relabels_grown_cluster(spark):
+    # batch 1: {B, C} cluster (canonical B), D singleton; batch 2 adds A,
+    # near both and lexicographically smaller -> whole cluster relabels to A
+    b = "escalate_ticket.abc"
+    c = "escalate_ticket.abz"
+    d = "open_incident_report"
+    a = "escalate_ticket.ab"
+    s0 = canonicalize.predicate_graph_state(_pred_triples(spark, [b, c, d]))
+    m0 = _pred_map(s0)
+    assert m0[b] == m0[c] == b and m0[d] == d
+    s1 = canonicalize.merge_predicate_batch(s0, _pred_triples(spark, [a]))
+    m1 = _pred_map(s1)
+    assert m1[a] == m1[b] == m1[c] == a
+    assert m1[d] == d
+
+
+def test_predicate_merge_replay_is_identity(spark):
+    batch = _pred_triples(
+        spark, ["escalate_ticket.abc", "escalate_ticket.abz", "other_pred"]
+    )
+    s0 = canonicalize.predicate_graph_state(batch)
+    s1 = canonicalize.merge_predicate_batch(s0, batch)
+    assert _pred_map(s1) == _pred_map(s0)
+
+
+def test_predicate_two_batch_merge_equals_batch_on_corpus(spark, tiny_paths):
+    run = pipeline.run_pipeline(spark, tiny_paths, mode="staged")
+    triples = run["triples"].select("conv_id", "pred")
+    triples.persist().count()
+    full = {
+        r.pred: r.pred_canonical
+        for r in canonicalize.canonicalize_predicates(triples).collect()
+    }
+    b0 = triples.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    b1 = triples.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    incr = canonicalize.merge_predicate_batch(
+        canonicalize.predicate_graph_state(b0), b1
+    )
+    assert _pred_map(incr) == full
+    triples.unpersist()
+    spark.catalog.clearCache()
