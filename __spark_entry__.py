@@ -1028,6 +1028,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_embed_topk_ivf"] = q_embed_topk_ivf
 
+    def q_embed_topk_ivf_index(spark, sf_dir):
+        """IVF search against the MATERIALIZED index (build_ivf_index →
+        ivf_topk_from_index): at production scale the index is written once
+        per corpus version (and maintained by append_ivf_index), and every
+        query reads it instead of re-training.  Training is deterministic,
+        so this returns exactly q_embed_topk_ivf's answer — same oracle —
+        and the gate proves the index round-trip, the cell-partition prune,
+        and the read-back centroid assignment all preserve it."""
+        if _small_scale(sf_dir):
+            oracle_mat.embed_aux(sf_dir)
+        idx = os.path.join(oracle_mat.aux_dir(sf_dir), "ivf_index_k16")
+        emb = _read(spark, sf_dir, "embeddings")
+        if not os.path.isdir(os.path.join(idx, "cells")):
+            similarity.build_ivf_index(emb, idx, n_clusters=16)
+        qs = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk_from_index(
+            emb, qs, idx, k=5, nprobe=8
+        ).select("query_id", "neighbor_id", "cos", "rank")
+
+    q["q_embed_topk_ivf_index"] = q_embed_topk_ivf_index
+
     def q_embed_clusters(spark, sf_dir):
         """Topic clustering over the embedding corpus: per-vector k-means
         cluster + cluster population (similarity.kmeans_clusters — the same
@@ -2283,6 +2306,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN s USING (cluster)
         """,
         "q_embed_topk_ivf": f"""
+            WITH j AS (
+                SELECT qc.query_id, ce.vec_id AS neighbor_id,
+                       {_cos("qe.embedding", "ce.embedding")} AS cos
+                FROM read_parquet('{aux}/ivf_qcells_k16p8.parquet') qc
+                JOIN read_parquet('{aux}/ivf_cells_k16.parquet') cc
+                  ON cc.cell = qc.cell
+                JOIN embeddings ce ON ce.vec_id = cc.vec_id
+                JOIN embeddings qe ON qe.vec_id = qc.query_id
+                WHERE ce.vec_id <> qc.query_id
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC
+                       ) AS rank
+                FROM j
+            ) WHERE rank <= 5
+        """,
+        # materialized-index IVF returns exactly the self-training answer
+        # (deterministic centroids) — same oracle as q_embed_topk_ivf
+        "q_embed_topk_ivf_index": f"""
             WITH j AS (
                 SELECT qc.query_id, ce.vec_id AS neighbor_id,
                        {_cos("qe.embedding", "ce.embedding")} AS cos

@@ -158,6 +158,27 @@ class TableIO:
         merged = upsert_by_key(self.read(name), updates, keys, version_col)
         self.replace(merged, name)
 
+    def compact(self, name: str, target_files: int = 32) -> int:
+        """Rewrite ``name`` into ``target_files`` files (content unchanged)
+        — the maintenance job for tables grown by per-micro-batch
+        appends/merges, where thousands of small files degrade scan
+        planning long before data volume does (Iceberg's
+        ``rewrite_data_files``; the parquet fallback is a coalesced
+        snapshot-replace).  Returns the file count before compaction."""
+        import glob
+        import os
+
+        if self.use_iceberg:
+            # Iceberg runtime: CALL catalog.system.rewrite_data_files(name)
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files"
+                f"(table => '{name}')"
+            )
+            return -1
+        before = len(glob.glob(os.path.join(self._path(name), "*.parquet")))
+        self.replace(self.read(name).coalesce(target_files), name)
+        return before
+
     def replace(self, df: DataFrame, name: str) -> None:
         """Snapshot-replace — the parquet analog of Iceberg's
         ``createOrReplace``: the new contents land in a staging directory

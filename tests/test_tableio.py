@@ -119,3 +119,26 @@ def test_bucketed_tables_join_with_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_edges")
         spark.sql("DROP TABLE IF EXISTS b_keymap")
+
+
+def test_compact_reduces_files_preserving_content(spark, tmp_path):
+    """Small-file maintenance: compact() rewrites a many-file table into few
+    files with identical content — the cleanup job for tables grown by
+    per-micro-batch appends."""
+    import glob
+    import os
+
+    io = tableio.TableIO(spark, str(tmp_path / "wh_compact"))
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    io.write(df.repartition(16), "grown", mode="overwrite")
+    n_before = len(glob.glob(os.path.join(io._path("grown"), "*.parquet")))
+    assert n_before >= 16
+    want = {(r.id, r.v) for r in io.read("grown").collect()}
+
+    reported = io.compact("grown", target_files=2)
+    assert reported == n_before
+    n_after = len(glob.glob(os.path.join(io._path("grown"), "*.parquet")))
+    assert n_after <= 2
+    assert {(r.id, r.v) for r in io.read("grown").collect()} == want
