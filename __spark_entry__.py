@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (43/43) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (68/68) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -27,9 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from relationextractionpipeline_spark.operators import (  # noqa: E402
+    asof,
     assemble,
     dedup,
     multimodal,
+    packing,
     quality,
     similarity,
 )
@@ -472,6 +474,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_two_hop"] = kg_two_hop
+
+    def kg_triangles(spark, sf_dir):
+        """Per-entity triangle counts over the canonical entity graph —
+        the clustering-coefficient numerator (community-density signal).
+        Uses degree-ordered edge orientation (each undirected edge kept
+        once, pointing low→high (degree, id)): the out-degree of any
+        vertex is then O(sqrt(m)), so the wedge self-join is O(m^1.5)
+        TOTAL regardless of hub skew — the standard scalable formulation
+        (no cap, no recall trade, unlike kg_two_hop's bounded variant).
+        Three hash joins + one aggregate; every shuffle is on entity
+        ids."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        ed = (
+            edges.where(
+                F.col("subj_canonical").isNotNull()
+                & F.col("obj_canonical").isNotNull()
+                & (F.col("subj_canonical") != F.col("obj_canonical"))
+            )
+            .select(
+                F.least("subj_canonical", "obj_canonical").alias("a"),
+                F.greatest("subj_canonical", "obj_canonical").alias("b"),
+            )
+            .distinct()
+        )
+        und = ed.union(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = und.groupBy(F.col("a").alias("n")).agg(F.count("*").alias("d"))
+        oriented = (
+            und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+            .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+            .where(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+            )
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+        wedges = (
+            oriented.alias("x")
+            .join(oriented.alias("y"), F.col("x.u") == F.col("y.u"))
+            .where(F.col("x.v") < F.col("y.v"))
+            .select(
+                F.col("x.u").alias("u"),
+                F.col("x.v").alias("v"),
+                F.col("y.v").alias("w"),
+            )
+        )
+        tri = wedges.join(
+            oriented.select(F.col("u").alias("v2"), F.col("v").alias("w2"))
+            .union(
+                oriented.select(F.col("v").alias("v2"), F.col("u").alias("w2"))
+            ),
+            (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2")),
+            "left_semi",
+        )
+        return (
+            tri.select(
+                F.explode(F.array("u", "v", "w")).alias("canonical_id")
+            )
+            .groupBy("canonical_id")
+            .agg(F.count("*").alias("n_triangles"))
+            .orderBy(F.desc("n_triangles"), F.asc("canonical_id"))
+        )
+
+    q["kg_triangles"] = kg_triangles
+
+    def kg_pagerank(spark, sf_dir):
+        """PageRank over the canonical entity graph — fixed 15-round power
+        iteration as iterative join→agg rounds with O(1)-working-set
+        checkpointing (operators/graphalgs.py).  Gated against a
+        sequential numpy replica of the identical recurrence
+        (oracle_mat.pagerank_table) — the comparison verifies the
+        distributed per-round machinery, not the math."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.pagerank_table(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return graphalgs.pagerank(
+            edges.select(
+                F.col("subj_canonical").alias("src"),
+                F.col("obj_canonical").alias("dst"),
+            ),
+            damping=0.85,
+            n_iter=15,
+        ).select(F.col("node").alias("canonical_id"), "rank")
+
+    q["kg_pagerank"] = kg_pagerank
 
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
@@ -944,6 +1043,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_repetition"] = q_repetition
+
+    def q_events_asof(spark, sf_dir):
+        """As-of (point-in-time) join: each purchase matched to the same
+        user's latest view at-or-before it, within a 24h window — the
+        union-and-carry-forward pattern (operators/asof.py): ONE hash
+        shuffle on user_id, no range-join candidate explosion."""
+        e = _read(spark, sf_dir, "events")
+        out = asof.asof_join(
+            e.where(F.col("event_type") == "purchase").select(
+                "event_id", "ts", "user_id", "value"
+            ),
+            e.where(F.col("event_type") == "view"),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["event_id", "value"],
+            right_order="event_id",
+            tolerance_sec=86400,
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_epoch"),
+            F.col("matched_event_id").alias("view_event_id"),
+            F.unix_timestamp("matched_ts").alias("view_epoch"),
+            F.round("matched_value", 4).alias("view_value"),
+        )
+
+    q["q_events_asof"] = q_events_asof
+
+    def q_pack_sequences(spark, sf_dir):
+        """Training-sequence packing: id-ordered streaming concatenation
+        into 512-token packs via a two-phase distributed cumsum
+        (operators/packing.py) — one range shuffle of (id, size) pairs,
+        the text never moves."""
+        d = _read(spark, sf_dir, "documents")
+        return packing.pack_documents(d, ctx_len=512).select(
+            "doc_id", "n_tokens", "pack_id", "offset_in_pack"
+        )
+
+    q["q_pack_sequences"] = q_pack_sequences
+
+    def q_chunk_documents(spark, sf_dir):
+        """Overlapping token-window chunking (ctx 64, overlap 16): explode
+        over per-row stride-aligned windows — row-local, zero shuffle."""
+        d = _read(spark, sf_dir, "documents")
+        return packing.chunk_documents(d, ctx_len=64, overlap=16).select(
+            "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"
+        )
+
+    q["q_chunk_documents"] = q_chunk_documents
 
     # ---- similarity search -------------------------------------------------
     def q_embed_topk(spark, sf_dir):
@@ -1664,6 +1814,64 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END > 0.2) AS repetitive
             FROM stats s LEFT JOIN top t USING (doc_id)
         """,
+        # the lateral replays the operator contract independently: latest
+        # ts wins, greatest event_id breaks ties, 24h staleness window
+        "q_events_asof": """
+            SELECT p.event_id, p.user_id,
+                   floor(epoch(p.ts))::BIGINT AS purchase_epoch,
+                   m.event_id AS view_event_id,
+                   m.view_epoch,
+                   round(m.value, 4) AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN LATERAL (
+                SELECT v.event_id,
+                       floor(epoch(v.ts))::BIGINT AS view_epoch,
+                       v.value
+                FROM events v
+                WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                  AND v.ts <= p.ts
+                  AND epoch(p.ts) - epoch(v.ts) <= 86400
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) m ON true
+        """,
+        "q_pack_sequences": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       (sum(n_tokens) OVER (
+                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                        ) - n_tokens)::BIGINT AS cum_before
+                FROM d
+            )
+            SELECT doc_id, n_tokens,
+                   (cum_before // 512)::BIGINT AS pack_id,
+                   (cum_before % 512)::BIGINT AS offset_in_pack
+            FROM c
+        """,
+        "q_chunk_documents": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '{TOKEN_REGEX}') AS toks,
+                       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks, n, g.ci
+                FROM d, UNNEST(range(0,
+                    1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT))) AS g(ci)
+            )
+            SELECT doc_id, ci::INT AS chunk_idx,
+                   len(toks[ci*48+1 : least(ci*48+64, n)])::INT
+                       AS n_chunk_tokens,
+                   array_to_string(toks[ci*48+1 : least(ci*48+64, n)], ' ')
+                       AS chunk_text
+            FROM c
+        """,
         "q_curate_corpus": f"""
             SELECT doc_id, lang, n_chars, {quality_score} AS quality_score
             FROM documents
@@ -1802,6 +2010,54 @@ def oracle_sql() -> dict[str, str]:
             FROM hop GROUP BY a, c
             ORDER BY n_bridges DESC, a ASC, c ASC
             LIMIT 50
+        """,
+        "kg_triangles": f"""
+            WITH e AS (
+                SELECT ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+                  AND ks.canonical_id <> ko.canonical_id
+            ),
+            ed AS (
+                SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM e
+            ),
+            und AS (
+                SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed
+            ),
+            deg AS (SELECT a AS n, count(*) AS d FROM und GROUP BY a),
+            oriented AS (
+                SELECT u.a AS u, u.b AS v
+                FROM und u
+                JOIN deg da ON da.n = u.a
+                JOIN deg db ON db.n = u.b
+                WHERE da.d < db.d OR (da.d = db.d AND u.a < u.b)
+            ),
+            wedges AS (
+                SELECT x.u AS u, x.v AS v, y.v AS w
+                FROM oriented x JOIN oriented y
+                  ON x.u = y.u AND x.v < y.v
+            ),
+            tri AS (
+                SELECT w.u, w.v, w.w
+                FROM wedges w JOIN und e2 ON e2.a = w.v AND e2.b = w.w
+            )
+            SELECT canonical_id, count(*) AS n_triangles FROM (
+                SELECT u AS canonical_id FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            ) GROUP BY canonical_id
+            ORDER BY n_triangles DESC, canonical_id ASC
+        """,
+        # sequential-materialization oracle (oracle_mat pattern): the numpy
+        # power iteration runs the identical recurrence single-threaded
+        "kg_pagerank": f"""
+            SELECT canonical_id, rank
+            FROM read_parquet('{os.path.join(small, f"pagerank_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
         """,
         "kg_tool_transitions": f"""
             WITH tools AS (

@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "q_pii_scrub",
     "q_decontaminate",
     "q_repetition",
+    "q_events_asof",
+    "q_pack_sequences",
+    "q_chunk_documents",
     "q_embed_topk",
     "q_embed_topk_ivf",
     "q_embed_topk_ivfpq",

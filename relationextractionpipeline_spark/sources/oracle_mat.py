@@ -330,6 +330,63 @@ def entity_clusters(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> str
     return _publish(pdf, dst)
 
 
+def pagerank_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> str:
+    """Sequential numpy replica of operators/graphalgs.pagerank over the
+    canonical entity graph (distinct directed subj→obj canonical edges,
+    self-loops dropped): identical recurrence — uniform init, uniform
+    dangling-mass redistribution, fixed ``n_iter`` power iterations —
+    so the DuckDB comparison gates the distributed per-round join/agg
+    machinery and the checkpoint discipline, not the math.
+
+    Parameter-suffixed filename (aux-cache convention): changing damping
+    or iteration count can never serve stale ranks."""
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"pagerank_v{ORACLE_MAT_VERSION}_d{int(damping * 100)}i{n_iter}.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)  # ensures the keymap exists
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    edges = sorted(
+        {
+            (canon[s], canon[o])
+            for s, o in zip(triples["subj"], triples["obj"])
+            if s in canon and o in canon and canon[s] != canon[o]
+        }
+    )
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return _publish(pd.DataFrame({"canonical_id": [], "rank": []}), dst)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n_nodes = len(nodes)
+    src_i = np.array([idx[s] for s, _ in edges], dtype=np.int64)
+    dst_i = np.array([idx[d] for _, d in edges], dtype=np.int64)
+    out_deg = np.bincount(src_i, minlength=n_nodes).astype(np.float64)
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(n_iter):
+        dangling = float(r[out_deg == 0].sum())
+        contrib = np.zeros(n_nodes)
+        np.add.at(contrib, dst_i, r[src_i] / out_deg[src_i])
+        r = (1.0 - damping) / n_nodes + damping * dangling / n_nodes \
+            + damping * contrib
+    return _publish(
+        pd.DataFrame({"canonical_id": nodes, "rank": np.round(r, 6)}), dst
+    )
+
+
 PREDICATE_CLUSTERS_FILE = f"predicate_clusters_v{ORACLE_MAT_VERSION}.parquet"
 
 

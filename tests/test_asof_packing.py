@@ -1,0 +1,158 @@
+"""as-of join + sequence packing/chunking: semantics, determinism,
+partition invariance."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from relationextractionpipeline_spark.operators.asof import asof_join
+from relationextractionpipeline_spark.operators.packing import (
+    chunk_documents,
+    pack_documents,
+    pack_sequences,
+)
+
+
+def _events(spark):
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, "2024-01-01 10:00:00", "u1", "view", 1.0),
+        (2, "2024-01-01 10:05:00", "u1", "view", 2.0),
+        (3, "2024-01-01 10:05:00", "u1", "purchase", 9.0),  # ties view #2
+        (4, "2024-01-01 11:00:00", "u1", "purchase", 9.5),
+        (5, "2024-01-01 09:00:00", "u2", "purchase", 3.0),  # no prior view
+        (6, "2024-01-01 09:30:00", "u2", "view", 4.0),
+        (7, "2024-01-01 09:45:00", "u2", "purchase", 5.0),
+        (8, "2024-01-01 10:05:00", "u3", "view", 6.0),
+        (9, "2024-01-01 10:05:00", "u3", "view", 7.0),      # same-ts pair
+        (10, "2024-01-01 10:06:00", "u3", "purchase", 8.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _asof_pdf(spark, tolerance=None):
+    e = _events(spark)
+    out = asof_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "view"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+        tolerance_sec=tolerance,
+    )
+    pdf = out.toPandas().set_index("event_id").sort_index()
+    return pdf
+
+
+def test_asof_matches_latest_at_or_before(spark):
+    pdf = _asof_pdf(spark)
+    # purchase 3 at 10:05 matches view 2 at the SAME ts (inclusive)
+    assert pdf.loc[3, "matched_event_id"] == 2
+    assert pdf.loc[4, "matched_event_id"] == 2
+    # purchase 5 predates every view for u2 -> null match
+    assert pdf.loc[5, ["matched_event_id"]].isna().all()
+    assert pdf.loc[7, "matched_event_id"] == 6
+    # same-ts right rows: greatest right_order wins
+    assert pdf.loc[10, "matched_event_id"] == 9
+    assert pdf.loc[10, "matched_value"] == 7.0
+    # left columns survive untouched
+    assert set(pdf.columns) >= {"user_id", "event_type", "value",
+                                "matched_ts", "matched_event_id",
+                                "matched_value"}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    pdf = _asof_pdf(spark, tolerance=600)
+    # purchase 4 is 55 min after view 2 -> outside a 10-min window
+    assert pdf.loc[4, ["matched_event_id", "matched_value"]].isna().all()
+    # purchase 3 (0 sec gap) and 10 (60 sec) stay matched
+    assert pdf.loc[3, "matched_event_id"] == 2
+    assert pdf.loc[10, "matched_event_id"] == 9
+
+
+def test_asof_partition_invariance(spark):
+    e = _events(spark)
+    kw = dict(on=["user_id"], left_ts="ts", right_ts="ts",
+              right_cols=["event_id"], right_order="event_id")
+    a = asof_join(e.where("event_type = 'purchase'"),
+                  e.where("event_type = 'view'"), **kw)
+    b = asof_join(e.where("event_type = 'purchase'").repartition(7),
+                  e.where("event_type = 'view'").coalesce(1), **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_streaming_concat_semantics(spark):
+    df = spark.createDataFrame(
+        [("d1", 3), ("d2", 4), ("d3", 2), ("d4", 8), ("d5", 1)],
+        "doc_id string, n long",
+    )
+    got = {
+        r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+        for r in pack_sequences(df, "n", ctx_len=5).collect()
+    }
+    # cum_before: d1=0 d2=3 d3=7 d4=9 d5=17
+    assert got == {
+        "d1": (0, 0), "d2": (0, 3), "d3": (1, 2), "d4": (1, 4), "d5": (3, 2),
+    }
+
+
+def test_pack_sequences_partition_invariant(spark, tiny_paths):
+    docs = spark.createDataFrame(
+        [(f"d{i:04d}", (i * 37) % 90 + 1) for i in range(500)],
+        "doc_id string, n long",
+    )
+    multi = pack_sequences(docs.repartition(11), "n", 7)
+    single = pack_sequences(docs.coalesce(1), "n", 7)
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_pack_documents_counts_match_token_stats(spark):
+    docs = spark.createDataFrame(
+        [("a", "Hallo Welt ! 123"), ("b", ""), ("c", "ein zwei drei")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_documents(docs, 8).collect()}
+    assert rows["a"]["n_tokens"] == 4  # Hallo, Welt, !, 123
+    assert rows["b"]["n_tokens"] == 0
+    # id order a,b,c: a -> (0,0); b is empty but still lands at the
+    # current boundary (cum_before 4); c follows at the same spot
+    assert (rows["a"]["pack_id"], rows["a"]["offset_in_pack"]) == (0, 0)
+    assert (rows["b"]["pack_id"], rows["b"]["offset_in_pack"]) == (0, 4)
+    assert (rows["c"]["pack_id"], rows["c"]["offset_in_pack"]) == (0, 4)
+
+
+@pytest.mark.parametrize("ctx,overlap", [(4, 0), (4, 2), (6, 1)])
+def test_chunk_documents_reconstructs_token_stream(spark, ctx, overlap):
+    texts = [
+        ("a", "eins zwei drei vier fuenf sechs sieben acht neun"),
+        ("b", "kurz"),
+        ("c", ""),
+        ("d", "genau vier kleine tokens"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id string, text string")
+    out = chunk_documents(docs, ctx, overlap).collect()
+    stride = ctx - overlap
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in texts:
+        toks = text.split()
+        chunks = by_doc[doc_id]
+        # every chunk at most ctx tokens; stride-aligned starts
+        rebuilt = []
+        for i, r in enumerate(chunks):
+            ctoks = r["chunk_text"].split() if r["chunk_text"] else []
+            assert r["n_chunk_tokens"] == len(ctoks) <= ctx
+            assert ctoks == toks[i * stride: i * stride + ctx]
+            rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
+        assert rebuilt == toks
+        # no trailing all-overlap chunk
+        if len(chunks) > 1:
+            assert chunks[-1]["n_chunk_tokens"] > overlap

@@ -1,0 +1,62 @@
+"""PageRank: known-graph values vs an inline numpy replica, dangling
+mass, determinism across partitionings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from relationextractionpipeline_spark.operators import cache, graphalgs
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+    # d has no out-edges (dangling); self-loop + dup must be ignored
+    ("a", "a"), ("a", "b"),
+]
+
+
+def _numpy_pr(edges, damping=0.85, n_iter=15):
+    ed = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in ed} | {d for _, d in ed})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array([idx[s] for s, _ in ed])
+    dst = np.array([idx[d] for _, d in ed])
+    out = np.bincount(src, minlength=n).astype(float)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = float(r[out == 0].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / out[src])
+        r = (1 - damping) / n + damping * dang / n + damping * contrib
+    return dict(zip(nodes, np.round(r, 6)))
+
+
+def test_pagerank_matches_numpy_replica(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in graphalgs.pagerank(df).collect()}
+    cache.release_all(checkpoints=True)
+    want = _numpy_pr(EDGES)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+    # ranks form a distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    # c receives from a and b -> highest-ranked
+    assert max(got, key=got.get) == "c"
+
+
+def test_pagerank_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = {r["node"]: r["rank"]
+         for r in graphalgs.pagerank(df.repartition(7), n_iter=5).collect()}
+    b = {r["node"]: r["rank"]
+         for r in graphalgs.pagerank(df.coalesce(1), n_iter=5).collect()}
+    cache.release_all(checkpoints=True)
+    assert a == b
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert graphalgs.pagerank(df).count() == 0
+    cache.release_all(checkpoints=True)
