@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (68/68) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (69/69) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -571,6 +571,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.col("node").alias("canonical_id"), "rank")
 
     q["kg_pagerank"] = kg_pagerank
+
+    def kg_bfs(spark, sf_dir):
+        """Multi-hop reachability: BFS shortest-path levels from the
+        lexicographically-first entity over the undirected canonical
+        graph — iterative frontier expansion with O(1)-working-set
+        checkpoints (operators/graphalgs.bfs_distances).  Oracle is an
+        INDEPENDENT DuckDB recursive CTE (not a sequential replica)."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        ed = edges.where(
+            F.col("subj_canonical").isNotNull()
+            & F.col("obj_canonical").isNotNull()
+        ).select(
+            F.col("subj_canonical").alias("src"),
+            F.col("obj_canonical").alias("dst"),
+        )
+        # seed = min endpoint of the SAME undirected self-loop-free edge
+        # set BFS walks (mirrors the oracle's min(a) over und exactly)
+        nsl = ed.where(F.col("src") != F.col("dst"))
+        seeds = (
+            nsl.select(F.col("src").alias("n"))
+            .union(nsl.select(F.col("dst").alias("n")))
+            .agg(F.min("n").alias("node"))
+        )
+        return graphalgs.bfs_distances(ed, seeds).select(
+            F.col("node").alias("canonical_id"), "dist"
+        )
+
+    q["kg_bfs"] = kg_bfs
 
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
@@ -2058,6 +2094,35 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": f"""
             SELECT canonical_id, rank
             FROM read_parquet('{os.path.join(small, f"pagerank_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
+        """,
+        # independent recursive-CTE oracle — no sequential replica involved
+        "kg_bfs": f"""
+            WITH RECURSIVE e AS (
+                SELECT ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+                  AND ks.canonical_id <> ko.canonical_id
+            ),
+            und AS (
+                SELECT DISTINCT s AS a, o AS b FROM e
+                UNION
+                SELECT DISTINCT o AS a, s AS b FROM e
+            ),
+            seed AS (SELECT min(a) AS node FROM und),
+            bfs(node, dist) AS (
+                SELECT node, 0 FROM seed
+                UNION
+                SELECT u.b, bfs.dist + 1
+                FROM bfs JOIN und u ON u.a = bfs.node
+                WHERE bfs.dist < 20
+            )
+            SELECT node AS canonical_id, min(dist)::INT AS dist
+            FROM bfs GROUP BY node
         """,
         "kg_tool_transitions": f"""
             WITH tools AS (

@@ -96,3 +96,56 @@ def pagerank(
         ranks = cache.checkpoint(new_ranks)
         cache.free_checkpoint(prev)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Unweighted shortest-path distances (BFS levels) from ``seeds``
+    (one column ``node``) over the UNDIRECTED view of the edges: returns
+    (node, dist) for every reachable node, dist 0 at the seeds.
+
+    Frontier expansion: each round joins the frontier to the edge table,
+    anti-joins already-visited nodes, and dedups — per-round cost is
+    O(frontier boundary), total O(E) across rounds, every shuffle keyed
+    on node ids.  Rounds are checkpointed with the superseded state
+    freed eagerly (O(1) working set, same discipline as pagerank/CC).
+    The number of rounds is the graph diameter — small for the
+    clustered KGs this serves; ``max_depth`` bounds pathological
+    chains.  Distances are unique minima, so the result is
+    partitioning-independent with no float concerns."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = cache.track(und)
+    dist = cache.checkpoint(
+        seeds.select("node").distinct().withColumn("dist", F.lit(0))
+    )
+    frontier = dist
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .join(dist.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        nxt = cache.checkpoint(nxt)
+        if nxt.count() == 0:
+            cache.free_checkpoint(nxt)
+            break
+        prev_dist, prev_frontier = dist, frontier
+        dist = cache.checkpoint(dist.unionByName(nxt))
+        cache.free_checkpoint(prev_dist)
+        if prev_frontier is not prev_dist:
+            cache.free_checkpoint(prev_frontier)
+        frontier = nxt
+    return dist

@@ -60,3 +60,38 @@ def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert graphalgs.pagerank(df).count() == 0
     cache.release_all(checkpoints=True)
+
+
+BFS_EDGES = [
+    # chain a-b-c-d, shortcut a-c, disconnected island x-y, self-loop b-b
+    ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y"), ("b", "b"),
+]
+
+
+def test_bfs_distances_levels(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in graphalgs.bfs_distances(df, seeds).collect()}
+    cache.release_all(checkpoints=True)
+    # shortcut a-c beats the 2-hop chain; island x/y unreachable
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_multi_seed_and_direction_blind(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("d",), ("y",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in graphalgs.bfs_distances(df, seeds).collect()}
+    cache.release_all(checkpoints=True)
+    # edges are walked undirected: d reaches back up the chain
+    assert got == {"d": 0, "y": 0, "c": 1, "x": 1, "a": 2, "b": 2}
+
+
+def test_bfs_partition_invariant(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    a = sorted(map(tuple, graphalgs.bfs_distances(df.repartition(5), seeds).collect()))
+    b = sorted(map(tuple, graphalgs.bfs_distances(df.coalesce(1), seeds).collect()))
+    cache.release_all(checkpoints=True)
+    assert a == b
