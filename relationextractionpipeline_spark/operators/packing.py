@@ -15,13 +15,19 @@ scale-killer — so the operator uses the classic two-phase cumsum:
 
 1. ``repartitionByRange`` on the id (global order across partitions,
    sampled boundaries — the boundaries affect placement, never the
-   result) + per-partition window cumsum;
+   result) + per-bucket window cumsum;
 2. per-partition totals (one tiny row per partition) → driver-free
    prefix-sum via a single-partition window over n_partitions rows →
    broadcast-joined back as offsets.
 
-Cost at 100 TB: one range shuffle of (id, size) pairs — the text itself
-never moves — plus a broadcast of n_partitions offset rows.
+Cost at 100 TB: the (id, size) PROJECTION shuffles twice — the range
+partition, then the window's hash clustering on the bucket id (Catalyst
+cannot know rangepartitioning(id) already clusters by bucket) — plus a
+broadcast of n_partitions offset rows; the text itself never moves.  The
+bucketed frame is ``cache.checkpoint``-ed so BOTH branches read one
+materialization of the sampled range boundaries — a per-branch recompute
+could resample boundaries and silently mis-join the offsets (caller frees
+via ``cache.release_all(checkpoints=True)``; plan-audited in PLANS.md).
 
 ``chunk_documents`` slices each document's token array into overlapping
 ``ctx_len`` windows (stride ``ctx_len - overlap``) — explode-based, purely
@@ -35,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from . import cache
 from .quality import TOKEN_REGEX
 
 
@@ -51,7 +58,13 @@ def pack_sequences(
     partitioning (equality-tested against a single-partition run)."""
     nparts = df.sparkSession.sparkContext.defaultParallelism
     sized = df.select(F.col(id_col), F.col(size_col).cast("long").alias("_sz"))
-    parted = (
+    # checkpoint, not a plain persist: BOTH branches (cumsum + offsets) must
+    # see ONE materialization of the sampled range boundaries — a partial
+    # recompute could resample them and silently mis-join the offsets.  The
+    # checkpoint truncates lineage, so divergence is impossible by
+    # construction (cache.release_all(checkpoints=True) frees the blocks
+    # once results are materialized).
+    parted = cache.checkpoint(
         sized.repartitionByRange(max(nparts, 2), F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
     )

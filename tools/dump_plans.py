@@ -93,6 +93,17 @@ def main() -> None:
                     fromlist=["quality"]).quantile_thresholds(
              docs.select("doc_id", "lang", F.col("n_chars").cast("double")
                          .alias("v")), "v", "lang")),
+        ("As-of join — union-and-carry-forward: pushed filters on both "
+         "scans, ONE hash Exchange on the key, window carry, no range join",
+         entrymod.queries()["q_events_asof"](spark, SF)),
+        ("Sequence packing — both branches read ONE checkpointed "
+         "materialization of the range-bucketed (id, size) pairs; the "
+         "offsets side is an n_partitions-row single-partition window "
+         "broadcast back (the one place a global window is O(parallelism), "
+         "not O(rows))",
+         entrymod.queries()["q_pack_sequences"](spark, SF)),
+        ("Token-window chunking — scan → project → generate, ZERO Exchange",
+         entrymod.queries()["q_chunk_documents"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
