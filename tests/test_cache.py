@@ -55,6 +55,18 @@ def test_release_all_frees_operator_caches(spark, tiny_paths):
     kbi_bc = pipeline.build_gazetteer_broadcast(spark, entity_kb)
     run = pipeline.run_staged_joinlink(transcripts, kbi_bc, entity_kb, figer_map)
     run["triples"].count()
+    # the round-4 additions: packing's checkpointed range buckets, the
+    # pagerank/BFS edge caches + per-round checkpoint tails
+    from relationextractionpipeline_spark.operators import graphalgs, packing
+
+    packing.pack_documents(docs, 64).count()
+    tiny_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    graphalgs.pagerank(tiny_edges, n_iter=3).count()
+    seeds = spark.createDataFrame([("a",)], "node string")
+    graphalgs.bfs_distances(tiny_edges, seeds).count()
 
     mid = _persistent_ids(spark)
     assert len(mid - before) >= 6  # the sweep really did cache intermediates
