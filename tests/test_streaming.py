@@ -326,3 +326,78 @@ def test_streaming_kg_maintains_entity_graph(spark, tiny_paths, tmp_path):
     } == want
     links.unpersist()
     spark.catalog.clearCache()
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming as-of join (applyInPandasWithState keyed by user_id):
+    after a watermark-advancing sentinel finalizes every purchase, the
+    emitted matches equal the batch asof_join on the same events.  The
+    second drain also proves pending state survives the checkpoint."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.operators.asof import asof_join
+    from relationextractionpipeline_spark.streaming import asof as sasof
+
+    src = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    src = src[src["event_type"].isin(["purchase", "view"])].reset_index(drop=True)
+    in_dir = str(tmp_path / "events_in")
+    os.makedirs(in_dir)
+    # shard in a processing order decoupled from event time so micro-batches
+    # interleave lefts and rights out of order (the case the state handles)
+    for s in range(4):
+        src.iloc[s::4].to_parquet(
+            os.path.join(in_dir, f"part-{s}.parquet"), index=False
+        )
+    max_ts = src["ts"].max()
+
+    def sentinel(name, days):
+        pd.DataFrame(
+            {
+                "event_id": pd.array([10**12 + days], dtype="int64"),
+                "ts": pd.Series(
+                    [max_ts + pd.Timedelta(days=days)], dtype="datetime64[us]"
+                ),
+                "user_id": pd.array([-days], dtype="int64"),
+                "event_type": ["view"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        ).to_parquet(os.path.join(in_dir, name), index=False)
+
+    out = str(tmp_path / "asof_stream")
+    ck = str(tmp_path / "ck_asof")
+    sentinel("sentinel-1.parquet", 1)
+    sasof.stream_asof_join(spark, in_dir, out, ck)
+    sentinel("sentinel-2.parquet", 2)
+    sasof.stream_asof_join(spark, in_dir, out, ck)
+
+    got = spark.read.parquet(out).toPandas()
+    got = got[got.user_id >= 0]
+
+    e = spark.createDataFrame(src)
+    want = asof_join(
+        e.where(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id"
+        ),
+        e.where(F.col("event_type") == "view"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "matched_event_id",
+        F.unix_millis("matched_ts").alias("matched_ts_ms"),
+        F.round("matched_value", 6).alias("matched_value"),
+    ).toPandas()
+
+    cols = ["user_id", "event_id", "ts_ms", "matched_event_id",
+            "matched_ts_ms", "matched_value"]
+    key = ["user_id", "event_id"]
+    a = got[cols].sort_values(key).reset_index(drop=True)
+    b = want[cols].sort_values(key).reset_index(drop=True)
+    a["matched_value"] = a["matched_value"].round(6)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
