@@ -1072,8 +1072,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_repetition(spark, sf_dir):
         """Gopher-style within-document repetition filter: duplicate-word
         fraction (pure array ops) + most-frequent-bigram fraction (explode
-        + per-doc max, one shuffle keyed by doc)."""
-        d = _read(spark, sf_dir, "documents")
+        + per-doc max, one shuffle keyed by doc).  documents is one small
+        file → one input split; the bigram transform+explode fans out
+        ~200× per row, so spread rows across cores first (same treatment
+        as q_top_words — at real scale the scan itself has many splits)."""
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         return quality.with_repetition(d).select(
             "doc_id", "dup_word_frac", "top_bigram_frac", "repetitive"
         )

@@ -178,7 +178,10 @@ def with_repetition(
 
     * ``dup_word_frac``   — 1 − distinct/total words (pure array ops);
     * ``top_bigram_frac`` — occurrences of the most frequent word bigram /
-      total bigrams (explode + per-doc max — one shuffle keyed by doc);
+      total bigrams, computed ROW-LOCALLY: sort the bigram array and take
+      the longest equal run via ``F.aggregate`` (O(n log n) per doc,
+      bounded by the doc's own length — the same bound the explode
+      alternative has — but with ZERO shuffle and no join back);
     * ``repetitive``      — either signal over its threshold.
 
     Emits one row per input doc (degenerate ≤1-word docs score 0), so the
@@ -187,7 +190,38 @@ def with_repetition(
     w = F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(
         words(F.lower(t))
     )
-    base = df.select(
+    # O(n) shifted-zip, NOT transform(sequence, i -> slice(w, i+1, 2)):
+    # per-index slice copies make that quadratic in document length
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest equal run in the sorted bigram array = max bigram count
+    top_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bigrams = F.when(F.size(w) >= 2, F.size(w) - 1).otherwise(F.lit(0))
+    return df.select(
         F.col(id_col),
         F.when(
             F.size(w) > 0,
@@ -195,42 +229,13 @@ def with_repetition(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_word_frac"),
-        F.when(F.size(w) >= 2, F.size(w) - 1).otherwise(F.lit(0)).alias("n_bigrams"),
-        F.when(
-            F.size(w) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - 2),
-                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_bigrams"),
-    )
-    top = (
-        base.select(F.col(id_col), F.explode("_bigrams").alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("_top_bg"))
-    )
-    return (
-        base.drop("_bigrams")
-        .join(top, id_col, "left")
-        .select(
-            id_col,
-            "dup_word_frac",
-            F.when(
-                F.col("n_bigrams") > 0,
-                F.round(F.coalesce("_top_bg", F.lit(0)) / F.col("n_bigrams"), 6),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("top_bigram_frac"),
-        )
-        .withColumn(
-            "repetitive",
-            (F.col("dup_word_frac") > dup_word_max)
-            | (F.col("top_bigram_frac") > top_bigram_max),
-        )
+        F.when(n_bigrams > 0, F.round(top_bg / n_bigrams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    ).withColumn(
+        "repetitive",
+        (F.col("dup_word_frac") > dup_word_max)
+        | (F.col("top_bigram_frac") > top_bigram_max),
     )
 
 
