@@ -1060,7 +1060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         slice.  The eval gram set broadcasts (eval suites are fixed-size;
         the corpus is the 100 TB side), so the training table is scanned
         once and never self-joined."""
-        d = _read(spark, sf_dir, "documents")
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         eval_df = d.where(F.col("doc_id") % 20 == 0)
         train = d.where(F.col("doc_id") % 20 != 0)
         return dedup.ngram_contamination(train, eval_df, n=5).select(
