@@ -401,3 +401,60 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     b = want[cols].sort_values(key).reset_index(drop=True)
     a["matched_value"] = a["matched_value"].round(6)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_hourly_agg_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: once a sentinel advances
+    the watermark past all real data, the appended windows equal the
+    batch q_events_hourly rollup exactly (engine-managed state, append
+    mode = one final row per closed window)."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.streaming import windowagg
+
+    src = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "events_wa_in")
+    os.makedirs(in_dir)
+    for s in range(4):
+        src.iloc[s::4].to_parquet(
+            os.path.join(in_dir, f"part-{s}.parquet"), index=False
+        )
+    max_ts = src["ts"].max()
+    pd.DataFrame(
+        {
+            "event_id": pd.array([10**12], dtype="int64"),
+            "ts": pd.Series(
+                [max_ts + pd.Timedelta(days=2)], dtype="datetime64[us]"
+            ),
+            "user_id": pd.array([-1], dtype="int64"),
+            "event_type": ["__sentinel__"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(os.path.join(in_dir, "sentinel.parquet"), index=False)
+
+    out = str(tmp_path / "hourly_stream")
+    ck = str(tmp_path / "ck_hourly")
+    windowagg.stream_hourly_event_stats(spark, in_dir, out, ck)
+
+    got = spark.read.parquet(out).toPandas()
+    got = got[got.event_type != "__sentinel__"]
+    e = spark.createDataFrame(src)
+    want = (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    key = ["hour_epoch", "event_type"]
+    cols = key + ["n_events", "sum_value"]
+    a = got[cols].sort_values(key).reset_index(drop=True)
+    b = want[cols].sort_values(key).reset_index(drop=True)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b, check_dtype=False)
