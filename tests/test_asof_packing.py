@@ -156,3 +156,72 @@ def test_chunk_documents_reconstructs_token_stream(spark, ctx, overlap):
         # no trailing all-overlap chunk
         if len(chunks) > 1:
             assert chunks[-1]["n_chunk_tokens"] > overlap
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_asof_matches_pandas_merge_asof(spark, seed):
+    """Independent-oracle check: pandas.merge_asof (direction='backward',
+    allow_exact_matches=True) implements the same contract with a
+    completely different algorithm.  Random interleaved events, duplicate
+    timestamps included; right side pre-sorted by (ts, event_id) so
+    merge_asof's last-wins tie rule equals our greatest-right_order rule."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            # coarse grid forces duplicate timestamps across and within keys
+            "ts": pd.to_datetime(
+                rng.integers(0, 50, n) * 60, unit="s", origin="2024-01-01"
+            ),
+            "user_id": rng.integers(0, 8, n).astype("int64"),
+            "event_type": rng.choice(["purchase", "view"], n),
+            "value": np.round(rng.random(n), 3),
+        }
+    )
+    e = spark.createDataFrame(pdf)
+    got = (
+        asof_join(
+            e.where("event_type = 'purchase'").select("event_id", "ts", "user_id"),
+            e.where("event_type = 'view'"),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["event_id", "value"],
+            right_order="event_id",
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    left = (
+        pdf[pdf.event_type == "purchase"][["event_id", "ts", "user_id"]]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    right = (
+        pdf[pdf.event_type == "view"][["ts", "user_id", "event_id", "value"]]
+        .rename(columns={"event_id": "m_id", "value": "m_val"})
+        .sort_values(["ts", "m_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left, right, on="ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert (
+        got["matched_event_id"].fillna(-1).astype("int64").tolist()
+        == want["m_id"].fillna(-1).astype("int64").tolist()
+    )
+    assert (
+        got["matched_value"].fillna(-1.0).tolist()
+        == want["m_val"].fillna(-1.0).tolist()
+    )
