@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (69/69) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (70/70) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -305,6 +305,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_entities"] = kg_entities
+
+    def kg_components(spark, sf_dir):
+        """Cluster-size histogram of the canonical entity graph — the
+        first thing an operator looks at after a canonicalization run
+        (one giant component = over-merging; all singletons =
+        under-merging).  One aggregate over the entities rollup."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        entities, _edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return (
+            entities.select(F.size("keys").alias("component_size"))
+            .groupBy("component_size")
+            .agg(F.count("*").alias("n_components"))
+        )
+
+    q["kg_components"] = kg_components
 
     def kg_edges(spark, sf_dir):
         """Graph materialize (north_star's final stage): triples rewritten
@@ -1976,6 +1995,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": f"""
             SELECT canonical_id, n_keys, n_surfaces, n_mentions
             FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
+        """,
+        "kg_components": f"""
+            SELECT n_keys AS component_size, count(*) AS n_components
+            FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
+            GROUP BY n_keys
         """,
         # incremental ≡ batch: same oracle table as kg_entities by design
         "kg_entities_incr": f"""
