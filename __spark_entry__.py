@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (70/70) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (71/71) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -626,6 +626,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_bfs"] = kg_bfs
+
+    def kg_communities(spark, sf_dir):
+        """Deterministic synchronous label-propagation communities over
+        the canonical entity graph (graphalgs.label_propagation: most
+        frequent neighbor label, min-label ties, 5 rounds).  Oracle =
+        sequential replica of the identical recurrence
+        (oracle_mat.lpa_table)."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.lpa_table(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return graphalgs.label_propagation(
+            edges.select(
+                F.col("subj_canonical").alias("src"),
+                F.col("obj_canonical").alias("dst"),
+            ),
+            n_iter=5,
+        ).select(F.col("node").alias("canonical_id"), "community")
+
+    q["kg_communities"] = kg_communities
 
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
@@ -2125,6 +2150,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": f"""
             SELECT canonical_id, rank
             FROM read_parquet('{os.path.join(small, f"pagerank_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
+        """,
+        "kg_communities": f"""
+            SELECT canonical_id, community
+            FROM read_parquet('{os.path.join(small, f"lpa_v{oracle_mat.ORACLE_MAT_VERSION}_i5.parquet")}')
         """,
         # independent recursive-CTE oracle — no sequential replica involved
         "kg_bfs": f"""

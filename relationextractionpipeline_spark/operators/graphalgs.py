@@ -27,7 +27,7 @@ de_pipeline/pipeline.py:69-77); beyond-reference KG-analytics surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from . import cache
 
@@ -96,6 +96,61 @@ def pagerank(
         ranks = cache.checkpoint(new_ranks)
         cache.free_checkpoint(prev)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation communities over the undirected view
+    of the edges: every node starts labeled with itself; each round every
+    node adopts the most frequent label among its neighbors, ties broken
+    by the MINIMUM label — fully deterministic, unlike classic async LPA
+    whose result depends on visit order.  Fixed ``n_iter`` rounds (LPA
+    oscillates on bipartite structures; a fixed horizon is the standard
+    determinism trade).  Returns (node, community).
+
+    Each round is one join (neighbor labels) + one count aggregate + one
+    per-node argmax window — all keyed on node ids, state is a single
+    O(V) label table checkpointed with the superseded round freed eagerly
+    (same O(1)-working-set discipline as pagerank/BFS/CC here)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = cache.track(und)
+    nodes = cache.track(
+        und.select(F.col("a").alias("node")).distinct()
+    )
+    labels = cache.checkpoint(
+        nodes.select("node", F.col("node").alias("community"))
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("c").desc(), F.col("community").asc()
+    )
+    for _ in range(n_iter):
+        best = (
+            und.join(labels, und["b"] == labels["node"])
+            .groupBy("a", "community")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), F.col("community").alias("_new"))
+        )
+        prev = labels
+        labels = cache.checkpoint(
+            labels.join(best, "node", "left").select(
+                "node",
+                F.coalesce("_new", "community").alias("community"),
+            )
+        )
+        cache.free_checkpoint(prev)
+    return labels
 
 
 def bfs_distances(

@@ -387,6 +387,54 @@ def pagerank_table(
     )
 
 
+def lpa_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    n_iter: int = 5,
+) -> str:
+    """Sequential replica of operators/graphalgs.label_propagation over
+    the canonical entity graph: synchronous rounds, most-frequent
+    neighbor label with min-label tie-break — identical recurrence, so
+    the DuckDB comparison gates the distributed join/count/argmax rounds.
+    Parameter-suffixed filename (aux-cache convention)."""
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"lpa_v{ORACLE_MAT_VERSION}_i{n_iter}.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    neigh: Dict[str, set] = {}
+    for s, o in zip(triples["subj"], triples["obj"]):
+        if s in canon and o in canon and canon[s] != canon[o]:
+            a, b = canon[s], canon[o]
+            neigh.setdefault(a, set()).add(b)
+            neigh.setdefault(b, set()).add(a)
+    labels = {n: n for n in neigh}
+    for _ in range(n_iter):
+        new = {}
+        for n, nbs in neigh.items():
+            cnt: Dict[str, int] = {}
+            for nb in nbs:
+                lb = labels[nb]
+                cnt[lb] = cnt.get(lb, 0) + 1
+            m = max(cnt.values())
+            new[n] = min(lb for lb, c in cnt.items() if c == m)
+        labels = new
+    rows = sorted(labels.items())
+    return _publish(
+        pd.DataFrame(rows, columns=["canonical_id", "community"]), dst
+    )
+
+
 PREDICATE_CLUSTERS_FILE = f"predicate_clusters_v{ORACLE_MAT_VERSION}.parquet"
 
 

@@ -95,3 +95,55 @@ def test_bfs_partition_invariant(spark):
     b = sorted(map(tuple, graphalgs.bfs_distances(df.coalesce(1), seeds).collect()))
     cache.release_all(checkpoints=True)
     assert a == b
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by one edge: LPA settles into two communities
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a3", "b1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in graphalgs.label_propagation(df, n_iter=5).collect()}
+    cache.release_all(checkpoints=True)
+    assert set(got) == {"a1", "a2", "a3", "b1", "b2", "b3"}
+    # each clique is internally uniform
+    assert got["a1"] == got["a2"] == got["a3"]
+    assert got["b1"] == got["b2"] == got["b3"]
+
+
+def test_label_propagation_matches_sequential_replica(spark):
+    import itertools
+
+    edges = [("n%d" % i, "n%d" % j)
+             for i, j in itertools.combinations(range(6), 2) if (i + j) % 3]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in graphalgs.label_propagation(df, n_iter=4).collect()}
+    cache.release_all(checkpoints=True)
+    # inline sequential replica (same recurrence as oracle_mat.lpa_table)
+    neigh = {}
+    for s, d in edges:
+        neigh.setdefault(s, set()).add(d)
+        neigh.setdefault(d, set()).add(s)
+    labels = {n: n for n in neigh}
+    for _ in range(4):
+        new = {}
+        for n, nbs in neigh.items():
+            cnt = {}
+            for nb in nbs:
+                cnt[labels[nb]] = cnt.get(labels[nb], 0) + 1
+            m = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == m)
+        labels = new
+    assert got == labels
+
+
+def test_label_propagation_partition_invariant(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    a = sorted(map(tuple, graphalgs.label_propagation(df.repartition(5), n_iter=3).collect()))
+    b = sorted(map(tuple, graphalgs.label_propagation(df.coalesce(1), n_iter=3).collect()))
+    cache.release_all(checkpoints=True)
+    assert a == b
