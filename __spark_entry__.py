@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (71/71) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (72/72) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -651,6 +651,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.col("node").alias("canonical_id"), "community")
 
     q["kg_communities"] = kg_communities
+
+    def kg_negatives(spark, sf_dir):
+        """Filtered negative sampling over the canonical KG (TransE-style
+        corrupted objects, K=3): deterministic md5-derived candidates,
+        dense entity index via the distributed cumsum, one anti-join
+        against the true-triple set (operators/negatives.py)."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            negatives,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return negatives.negative_samples(
+            edges.select(
+                F.col("subj_canonical").alias("subj"),
+                "pred",
+                F.col("obj_canonical").alias("obj"),
+            ),
+            entities.select("canonical_id"),
+            k=3,
+        )
+
+    q["kg_negatives"] = kg_negatives
 
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
@@ -2150,6 +2176,42 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": f"""
             SELECT canonical_id, rank
             FROM read_parquet('{os.path.join(small, f"pagerank_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
+        """,
+        # shared md5 primitive (sampling.hash_bucket): first 8 hex of
+        # md5(key || ':negs') as an integer, mod the entity count
+        "kg_negatives": f"""
+            WITH e AS (
+                SELECT DISTINCT ks.canonical_id AS subj, t.pred,
+                                ko.canonical_id AS obj
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            idx AS (
+                SELECT canonical_id,
+                       row_number() OVER (ORDER BY canonical_id) - 1 AS ent_idx
+                FROM read_parquet('{os.path.join(small, oracle_mat.ENTITY_CLUSTERS_FILE)}')
+            ),
+            cands AS (
+                SELECT e.subj, e.pred, e.obj, g.neg_k,
+                       ('0x' || substr(md5(e.subj || '|' || e.pred || '|' ||
+                            e.obj || '|' || g.neg_k::VARCHAR || ':negs'), 1, 8)
+                       )::BIGINT % (SELECT count(*) FROM idx) AS neg_idx
+                FROM e, UNNEST([0, 1, 2]) AS g(neg_k)
+            )
+            SELECT c.subj, c.pred, c.obj, c.neg_k,
+                   i.canonical_id AS neg_obj
+            FROM cands c JOIN idx i ON i.ent_idx = c.neg_idx
+            WHERE i.canonical_id <> c.obj
+              AND NOT EXISTS (
+                  SELECT 1 FROM e t
+                  WHERE t.subj = c.subj AND t.pred = c.pred
+                    AND t.obj = i.canonical_id
+              )
         """,
         "kg_communities": f"""
             SELECT canonical_id, community

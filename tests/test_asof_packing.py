@@ -225,3 +225,41 @@ def test_asof_matches_pandas_merge_asof(spark, seed):
         got["matched_value"].fillna(-1.0).tolist()
         == want["m_val"].fillna(-1.0).tolist()
     )
+
+
+def test_negative_samples_contract(spark):
+    from relationextractionpipeline_spark.operators.negatives import (
+        entity_index,
+        negative_samples,
+    )
+
+    ents = spark.createDataFrame(
+        [(f"e{i}",) for i in range(10)], "canonical_id string"
+    )
+    triples = spark.createDataFrame(
+        [("e0", "knows", "e1"), ("e0", "knows", "e2"), ("e3", "likes", "e4"),
+         ("e0", "knows", "e1")],  # duplicate collapses
+        "subj string, pred string, obj string",
+    )
+    out = negative_samples(triples, ents, k=4).toPandas()
+    # dense index is the 0-based id-order rank
+    idx = {r["canonical_id"]: r["ent_idx"]
+           for r in entity_index(ents).collect()}
+    assert idx == {f"e{i}": i for i in range(10)}
+    # per-triple budget respected; no negative equals the true object or
+    # reconstructs a true triple
+    true_set = {("e0", "knows", "e1"), ("e0", "knows", "e2"),
+                ("e3", "likes", "e4")}
+    assert 0 < len(out) <= 3 * 4
+    for r in out.itertuples(index=False):
+        assert (r.subj, r.pred, r.obj) in true_set
+        assert r.neg_obj != r.obj
+        assert (r.subj, r.pred, r.neg_obj) not in true_set
+    # deterministic + partition-invariant
+    again = negative_samples(triples.repartition(5), ents.coalesce(1), k=4).toPandas()
+    key = ["subj", "pred", "obj", "neg_k"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b)
