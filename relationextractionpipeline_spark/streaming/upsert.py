@@ -21,7 +21,10 @@ incremental per micro-batch; since round 4 the canonical entity graph is
 TOO (``stream_upsert_kg``): each micro-batch's links merge into the
 maintained (refs, assign) state via quotient-graph CC
 (operators/canonicalize.merge_entity_batch — exact, work scales with the
-batch), so no periodic batch re-clustering job is needed.
+batch), so no periodic batch re-clustering job is needed.  Context-mode
+linking under streaming lives in ``streaming/ctxlink.py``: a stateful
+conversation closer re-batches the stream into complete conversations,
+then the batch context scorer runs unchanged per micro-batch.
 """
 
 from __future__ import annotations

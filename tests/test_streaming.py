@@ -458,3 +458,73 @@ def test_streaming_hourly_agg_matches_batch(spark, tmp_path):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_context_links_match_batch(spark, tiny_paths, tmp_path):
+    """Conversation-complete micro-batching (stateful closer) + the batch
+    context scorer inside foreachBatch: the maintained links table equals
+    the batch context-mode links exactly — the composition that makes
+    context linking valid under streaming (split conversations would
+    change coreference boosts).  Second drain proves checkpoint resume."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.operators import fused, link
+    from relationextractionpipeline_spark.plans import pipeline as pl
+    from relationextractionpipeline_spark.sources.tableio import TableIO
+    from relationextractionpipeline_spark.streaming import ctxlink
+
+    src = pd.read_parquet(tiny_paths["transcripts"])
+    in_dir = str(tmp_path / "ctx_turns_in")
+    os.makedirs(in_dir)
+    for s in range(4):
+        src.iloc[s::4].to_parquet(
+            os.path.join(in_dir, f"part-{s}.parquet"), index=False
+        )
+    max_ts = src["ts"].max()
+
+    def sentinel(name, days):
+        pd.DataFrame(
+            {
+                "conv_id": [f"__sentinel_{days}__"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": ["x"],
+                "tool": [""],
+                "ts": pd.Series(
+                    [max_ts + pd.Timedelta(days=days)], dtype="datetime64[us]"
+                ),
+            }
+        ).to_parquet(os.path.join(in_dir, name), index=False)
+
+    _, entity_kb, figer_map = pl.load_inputs(spark, tiny_paths)
+    kb_bc, kbi_bc, fg_bc = pl.build_broadcasts(spark, entity_kb, figer_map)
+    cands_bc = pl.build_candidates_broadcast(spark, entity_kb)
+
+    io = TableIO(spark, str(tmp_path / "warehouse"))
+    ck = str(tmp_path / "ck_ctxlink")
+    sentinel("sentinel-1.parquet", 1)
+    ctxlink.stream_context_links(
+        spark, in_dir, io, "ctx_links", ck, kb_bc, kbi_bc, fg_bc, cands_bc
+    )
+    sentinel("sentinel-2.parquet", 2)
+    ctxlink.stream_context_links(
+        spark, in_dir, io, "ctx_links", ck, kb_bc, kbi_bc, fg_bc, cands_bc
+    )
+
+    got = io.read("ctx_links").toPandas()
+    got = got[~got.conv_id.str.startswith("__sentinel")]
+
+    batch = link.score_links_grouped(
+        fused.mention_rows_fused(
+            spark.read.parquet(tiny_paths["transcripts"]), kbi_bc
+        ),
+        kb_bc, fg_bc, mode="context", cands_bc=cands_bc,
+    ).toPandas()
+
+    keys = ["conv_id", "turn_idx", "sent_idx", "mention_id"]
+    cols = keys + ["surface", "kind", "url", "figer", "score"]
+    a = got[cols].sort_values(keys).reset_index(drop=True)
+    b = batch[cols].sort_values(keys).reset_index(drop=True)
+    a["score"] = a["score"].round(6)
+    b["score"] = b["score"].round(6)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
