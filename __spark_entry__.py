@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (72/72) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (73/73) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -677,6 +677,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_negatives"] = kg_negatives
+
+    def kg_kcore(spark, sf_dir):
+        """2-core of the canonical entity graph (iterative peel to the
+        unique fixpoint, graphalgs.k_core) — the periphery filter run
+        before community/centrality analysis.  Oracle = sequential peel
+        replica (oracle_mat.kcore_table)."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.kcore_table(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return graphalgs.k_core(
+            edges.select(
+                F.col("subj_canonical").alias("src"),
+                F.col("obj_canonical").alias("dst"),
+            ),
+            k=2,
+        ).select(F.col("node").alias("canonical_id"), "core_degree")
+
+    q["kg_kcore"] = kg_kcore
 
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
@@ -2216,6 +2240,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": f"""
             SELECT canonical_id, community
             FROM read_parquet('{os.path.join(small, f"lpa_v{oracle_mat.ORACLE_MAT_VERSION}_i5.parquet")}')
+        """,
+        "kg_kcore": f"""
+            SELECT canonical_id, core_degree
+            FROM read_parquet('{os.path.join(small, f"kcore_v{oracle_mat.ORACLE_MAT_VERSION}_k2.parquet")}')
         """,
         # independent recursive-CTE oracle — no sequential replica involved
         "kg_bfs": f"""

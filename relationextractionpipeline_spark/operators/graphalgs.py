@@ -98,6 +98,59 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree ≥ k — the standard noise/periphery filter
+    before community or centrality analysis (degree-1 tendrils dominate
+    raw KGs and drown both).  Returns (node, core_degree) for surviving
+    nodes, degree measured INSIDE the core.
+
+    Iterative peel: drop nodes under degree k, recompute, repeat to
+    fixpoint — each round is one count aggregate + two semi-joins on the
+    shrinking edge set, checkpointed with the superseded round freed
+    eagerly.  Round count is bounded by the peel depth (longest chain of
+    cascading removals), typically small; ``max_iter`` is a backstop.
+    The result is a unique fixpoint, so it is partitioning-independent
+    with no tie-break subtleties."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    alive = cache.checkpoint(und)
+    n_edges = alive.count()
+    for _ in range(max_iter):
+        keep = (
+            alive.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("a").alias("node"))
+        )
+        keep_b = keep.select(F.col("node").alias("node_b"))
+        nxt = cache.checkpoint(
+            alive.join(keep, alive["a"] == keep["node"], "left_semi").join(
+                keep_b, F.col("b") == F.col("node_b"), "left_semi"
+            )
+        )
+        n_next = nxt.count()
+        cache.free_checkpoint(alive)
+        alive = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return alive.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("core_degree")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

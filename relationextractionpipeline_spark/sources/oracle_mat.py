@@ -387,6 +387,47 @@ def pagerank_table(
     )
 
 
+def kcore_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    k: int = 2,
+) -> str:
+    """Sequential replica of operators/graphalgs.k_core: peel nodes with
+    degree < k to the unique fixpoint; emit surviving nodes with their
+    in-core degree.  Parameter-suffixed filename."""
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"kcore_v{ORACLE_MAT_VERSION}_k{k}.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    adj: Dict[str, set] = {}
+    for s, o in zip(triples["subj"], triples["obj"]):
+        if s in canon and o in canon and canon[s] != canon[o]:
+            a, b = canon[s], canon[o]
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    rows = sorted((n, len(adj[n] & alive)) for n in alive)
+    return _publish(
+        pd.DataFrame(rows, columns=["canonical_id", "core_degree"]), dst
+    )
+
+
 def lpa_table(
     scale: str,
     data_dir: str = testgen.DEFAULT_DATA_DIR,

@@ -147,3 +147,43 @@ def test_label_propagation_partition_invariant(spark):
     b = sorted(map(tuple, graphalgs.label_propagation(df.coalesce(1), n_iter=3).collect()))
     cache.release_all(checkpoints=True)
     assert a == b
+
+
+def test_k_core_peels_cascading_tendrils(spark):
+    # square core a-b-c-d-a, chain tail d-e-f-g (cascades away), isolated
+    # pair x-y; k=2 keeps exactly the square with in-core degree 2
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+        ("d", "e"), ("e", "f"), ("f", "g"),
+        ("x", "y"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["core_degree"]
+           for r in graphalgs.k_core(df, k=2).collect()}
+    cache.release_all(checkpoints=True)
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+
+def test_k_core_matches_sequential_peel(spark):
+    import itertools
+
+    edges = [("n%d" % i, "n%d" % j)
+             for i, j in itertools.combinations(range(8), 2)
+             if (i * 7 + j * 3) % 4 == 0]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["core_degree"]
+           for r in graphalgs.k_core(df, k=3).collect()}
+    cache.release_all(checkpoints=True)
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    want = {n: len(adj[n] & alive) for n in alive}
+    assert got == want
