@@ -68,9 +68,14 @@ def parse_args(argv):
     p.add_argument("--master", default=None)
     p.add_argument("--graph", action="store_true",
                    help="also canonicalize + write entities/edges tables")
+    p.add_argument("--analytics", action="store_true",
+                   help="with --graph (implied): also write pagerank / "
+                        "communities / kcore_2 analytics tables")
     p.add_argument("--reference-formats", action="store_true",
                    help="also write S12 JSONL / S13 human / S14 types files")
     args = p.parse_args(argv)
+    if args.analytics:
+        args.graph = True
     if args.config:
         ini = configparser.ConfigParser()
         ini.read(args.config)
@@ -234,6 +239,34 @@ def main(argv=None) -> int:
         # transform; parquet partition dirs in the shim)
         io.write(g["edges"], "edges", bucket_by="subj_id", n_buckets=16)
         io.write(g["predicates"], "predicates")
+
+        if args.analytics:
+            from pyspark.sql import functions as F
+
+            from relationextractionpipeline_spark.operators import graphalgs
+
+            ed = g["edges"].select(
+                F.col("subj_canonical").alias("src"),
+                F.col("obj_canonical").alias("dst"),
+            )
+            io.write(
+                graphalgs.pagerank(ed).select(
+                    F.col("node").alias("canonical_id"), "rank"
+                ),
+                "pagerank",
+            )
+            io.write(
+                graphalgs.label_propagation(ed).select(
+                    F.col("node").alias("canonical_id"), "community"
+                ),
+                "communities",
+            )
+            io.write(
+                graphalgs.k_core(ed, k=2).select(
+                    F.col("node").alias("canonical_id"), "core_degree"
+                ),
+                "kcore_2",
+            )
 
     if args.reference_formats:
         if parsed is None:
