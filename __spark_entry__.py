@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (73/73) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (74/74) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -701,6 +701,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.col("node").alias("canonical_id"), "core_degree")
 
     q["kg_kcore"] = kg_kcore
+
+    def kg_ppr(spark, sf_dir):
+        """Personalized PageRank from the lexicographically-first entity
+        (teleport + dangling mass to the seed) — relatedness-to-this-
+        entity ranking; same checkpointed power-iteration machinery,
+        separate arithmetic path (graphalgs.pagerank(seeds=...)).
+        Oracle = numpy replica with the identical association."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.pagerank_table(
+                _scale_for(sf_dir), personalized_min_seed=True
+            )
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        ed = edges.where(
+            F.col("subj_canonical").isNotNull()
+            & F.col("obj_canonical").isNotNull()
+        ).select(
+            F.col("subj_canonical").alias("src"),
+            F.col("obj_canonical").alias("dst"),
+        )
+        nsl = ed.where(F.col("src") != F.col("dst"))
+        seeds = (
+            nsl.select(F.col("src").alias("n"))
+            .union(nsl.select(F.col("dst").alias("n")))
+            .agg(F.min("n").alias("node"))
+        )
+        return graphalgs.pagerank(ed, seeds=seeds, n_iter=15).select(
+            F.col("node").alias("canonical_id"), "rank"
+        )
+
+    q["kg_ppr"] = kg_ppr
 
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
@@ -2244,6 +2280,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": f"""
             SELECT canonical_id, core_degree
             FROM read_parquet('{os.path.join(small, f"kcore_v{oracle_mat.ORACLE_MAT_VERSION}_k2.parquet")}')
+        """,
+        "kg_ppr": f"""
+            SELECT canonical_id, rank
+            FROM read_parquet('{os.path.join(small, f"ppr_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
         """,
         # independent recursive-CTE oracle — no sequential replica involved
         "kg_bfs": f"""

@@ -39,10 +39,18 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 15,
     round_to: int = 6,
+    seeds: DataFrame = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the DISTINCT directed (src, dst)
     edges (self-loops dropped): returns (node, rank) with ranks summing
     to 1, rounded to ``round_to`` decimals.
+
+    With ``seeds`` (one column ``node``), this is PERSONALIZED PageRank:
+    teleport mass (the (1-d) reset and the dangling redistribution) goes
+    uniformly to the seed set instead of all nodes — the standard
+    relatedness-to-these-entities measure; init is also uniform over the
+    seeds.  ``seeds=None`` keeps the classic uniform recurrence
+    bit-identically.
 
     Deterministic up to float summation order; the sequential oracle
     (sources/oracle_mat.pagerank_table) runs the identical recurrence in
@@ -70,6 +78,54 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    if seeds is not None:
+        # personalized: reset vector = uniform over the seed set.  A
+        # separate arithmetic path on purpose — the uniform branch below
+        # keeps its original float association, which the pinned oracle
+        # hash (round-6) was validated against.
+        seed_set = cache.track(
+            seeds.select("node").distinct().join(nodes, "node", "left_semi")
+        )
+        n_seeds = seed_set.count()
+        if n_seeds == 0:
+            return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+        nodes = cache.track(
+            nodes.join(
+                seed_set.withColumn("_is_seed", F.lit(True)), "node", "left"
+            ).select(
+                "node",
+                F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("reset"),
+            )
+        )
+        ranks = cache.checkpoint(
+            nodes.select("node", F.col("reset").alias("rank"))
+        )
+        for _ in range(n_iter):
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            contribs = (
+                ed.join(ranks, ed["_s"] == ranks["node"])
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+            )
+            new_ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("reset")
+                    + F.lit(damping * dangling) * F.col("reset")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            prev = ranks
+            ranks = cache.checkpoint(new_ranks)
+            cache.free_checkpoint(prev)
+        return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
     ranks = cache.checkpoint(
         nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))

@@ -335,6 +335,7 @@ def pagerank_table(
     data_dir: str = testgen.DEFAULT_DATA_DIR,
     damping: float = 0.85,
     n_iter: int = 15,
+    personalized_min_seed: bool = False,
 ) -> str:
     """Sequential numpy replica of operators/graphalgs.pagerank over the
     canonical entity graph (distinct directed subj→obj canonical edges,
@@ -343,13 +344,19 @@ def pagerank_table(
     so the DuckDB comparison gates the distributed per-round join/agg
     machinery and the checkpoint discipline, not the math.
 
+    ``personalized_min_seed`` runs the personalized variant instead:
+    teleport + dangling mass go to the lexicographically-first node (the
+    same seed rule as kg_bfs), matching graphalgs.pagerank(seeds=...)'s
+    arithmetic association exactly.
+
     Parameter-suffixed filename (aux-cache convention): changing damping
     or iteration count can never serve stale ranks."""
+    stem = "ppr" if personalized_min_seed else "pagerank"
     dst = os.path.abspath(
         os.path.join(
             data_dir,
             testgen.scale_dir(scale),
-            f"pagerank_v{ORACLE_MAT_VERSION}_d{int(damping * 100)}i{n_iter}.parquet",
+            f"{stem}_v{ORACLE_MAT_VERSION}_d{int(damping * 100)}i{n_iter}.parquet",
         )
     )
     if os.path.exists(dst):
@@ -375,13 +382,24 @@ def pagerank_table(
     src_i = np.array([idx[s] for s, _ in edges], dtype=np.int64)
     dst_i = np.array([idx[d] for _, d in edges], dtype=np.int64)
     out_deg = np.bincount(src_i, minlength=n_nodes).astype(np.float64)
-    r = np.full(n_nodes, 1.0 / n_nodes)
-    for _ in range(n_iter):
-        dangling = float(r[out_deg == 0].sum())
-        contrib = np.zeros(n_nodes)
-        np.add.at(contrib, dst_i, r[src_i] / out_deg[src_i])
-        r = (1.0 - damping) / n_nodes + damping * dangling / n_nodes \
-            + damping * contrib
+    if personalized_min_seed:
+        v = np.zeros(n_nodes)
+        v[0] = 1.0  # nodes is sorted: index 0 is the min node
+        r = v.copy()
+        for _ in range(n_iter):
+            dangling = float(r[out_deg == 0].sum())
+            contrib = np.zeros(n_nodes)
+            np.add.at(contrib, dst_i, r[src_i] / out_deg[src_i])
+            r = (1.0 - damping) * v + (damping * dangling) * v \
+                + damping * contrib
+    else:
+        r = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(n_iter):
+            dangling = float(r[out_deg == 0].sum())
+            contrib = np.zeros(n_nodes)
+            np.add.at(contrib, dst_i, r[src_i] / out_deg[src_i])
+            r = (1.0 - damping) / n_nodes + damping * dangling / n_nodes \
+                + damping * contrib
     return _publish(
         pd.DataFrame({"canonical_id": nodes, "rank": np.round(r, 6)}), dst
     )

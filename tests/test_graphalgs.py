@@ -187,3 +187,17 @@ def test_k_core_matches_sequential_peel(spark):
         alive -= drop
     want = {n: len(adj[n] & alive) for n in alive}
     assert got == want
+
+
+def test_personalized_pagerank_concentrates_on_seed(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in graphalgs.pagerank(df, seeds=seeds, n_iter=10).collect()}
+    cache.release_all(checkpoints=True)
+    # distribution over the same node set; the seed holds the most mass
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    assert max(got, key=got.get) == "a"
+    # unreachable-from-seed nodes exist only via teleport -> rank ~ 0
+    # (d receives only flow: c->d; still > 0 through the chain)
+    assert got["d"] > 0
