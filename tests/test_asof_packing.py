@@ -263,3 +263,30 @@ def test_negative_samples_contract(spark):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(a, b)
+
+
+def test_asof_composite_key(spark):
+    rows = [
+        # (event_id, ts, user_id, region, event_type)
+        (1, "2024-01-01 10:00:00", "u1", "eu", "view"),
+        (2, "2024-01-01 10:01:00", "u1", "us", "view"),
+        (3, "2024-01-01 10:02:00", "u1", "eu", "purchase"),
+        (4, "2024-01-01 10:02:00", "u1", "us", "purchase"),
+        (5, "2024-01-01 10:03:00", "u2", "eu", "purchase"),  # no u2/eu view
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id string, region string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pdf = asof_join(
+        e.where("event_type = 'purchase'"),
+        e.where("event_type = 'view'"),
+        on=["user_id", "region"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        right_order="event_id",
+    ).toPandas().set_index("event_id").sort_index()
+    # matches respect BOTH key columns
+    assert pdf.loc[3, "matched_event_id"] == 1
+    assert pdf.loc[4, "matched_event_id"] == 2
+    assert pdf.loc[5, ["matched_event_id"]].isna().all()
