@@ -34,6 +34,7 @@ from relationextractionpipeline_spark.operators import (  # noqa: E402
     packing,
     quality,
     similarity,
+    textindex,
 )
 from relationextractionpipeline_spark.plans import pipeline  # noqa: E402
 from relationextractionpipeline_spark.sources import oracle_mat, testgen  # noqa: E402
@@ -1201,6 +1202,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_decontaminate"] = q_decontaminate
 
+    def q_dedup_substring(spark, sf_dir):
+        """Substring-level (span) dedup profile: k=5-token windows built
+        row-locally (k shifted zips), duplicated when the exact gram
+        recurs in ≥2 distinct docs — the Lee-et-al-style span signal that
+        whole-doc near-dup misses.  Linear in total windows, keyed on
+        grams (hot docs can't skew); same fan-out spread as q_top_words."""
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return dedup.substring_dup_stats(d, k=5).select(
+            "doc_id", "n_windows", "n_dup_windows", "dup_frac", "is_dup"
+        )
+
+    q["q_dedup_substring"] = q_dedup_substring
+
+    def q_lm_perplexity(spark, sf_dir):
+        """CCNet-style LM quality signal: an add-0.5-smoothed bigram LM is
+        trained ON the corpus (gram counting = groupBy with map-side
+        combine) and every document scored by mean −ln p over its bigram
+        occurrences (operators/textindex.ngram_lm_scores).  Training and
+        scoring are one distributed job; the only driver transfer is the
+        vocabulary-size scalar."""
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return textindex.ngram_lm_scores(d).select(
+            "doc_id", "n_bigrams", "cross_entropy", "perplexity"
+        )
+
+    q["q_lm_perplexity"] = q_lm_perplexity
+
+    def q_bm25_search(spark, sf_dir):
+        """Okapi BM25 top-10 keyword retrieval for a bounded term list
+        (one high-idf + two mid-idf corpus terms).  tf is row-local array
+        arithmetic — the term list IS the pruned inverted index — corpus
+        stats are ONE aggregate row, and the top-k runs as
+        TakeOrderedAndProject (per-partition heaps, no global sort)."""
+        d = _read(spark, sf_dir, "documents")
+        return textindex.bm25_scores(
+            d, terms=["dup", "hash", "merge"], top_k=10
+        ).select(
+            "doc_id", "tf_dup", "tf_hash", "tf_merge", "score", "rank"
+        )
+
+    q["q_bm25_search"] = q_bm25_search
+
     def q_repetition(spark, sf_dir):
         """Gopher-style within-document repetition filter: duplicate-word
         fraction (pure array ops) + most-frequent-bigram fraction (explode
@@ -1946,6 +1993,127 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sh.n_shared_grams, 0) AS n_shared_grams,
                    coalesce(sh.n_shared_grams, 0) > 0 AS contaminated
             FROM sizes s LEFT JOIN shared sh USING (doc_id)
+        """,
+        "q_dedup_substring": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS words
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, gram, count(*) AS m FROM (
+                    SELECT doc_id, unnest(
+                        [array_to_string(words[i:i+4], ' ')
+                         for i in range(1, len(words) - 3)]) AS gram
+                    FROM toks WHERE len(words) >= 5
+                ) GROUP BY doc_id, gram
+            ),
+            dup AS (
+                SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
+            ),
+            pd AS (
+                SELECT doc_id, sum(m)::BIGINT AS n_dup
+                FROM occ JOIN dup USING (gram) GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   greatest(len(t.words) - 4, 0)::BIGINT AS n_windows,
+                   coalesce(pd.n_dup, 0)::BIGINT AS n_dup_windows,
+                   round(CASE WHEN len(t.words) - 4 > 0
+                              THEN coalesce(pd.n_dup, 0) * 1.0
+                                   / (len(t.words) - 4)
+                              ELSE 0.0 END, 6) AS dup_frac,
+                   (round(CASE WHEN len(t.words) - 4 > 0
+                               THEN coalesce(pd.n_dup, 0) * 1.0
+                                    / (len(t.words) - 4)
+                               ELSE 0.0 END, 6) >= 0.2) AS is_dup
+            FROM toks t LEFT JOIN pd USING (doc_id)
+        """,
+        "q_lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS words
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, w1, w2, count(*) AS m FROM (
+                    SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+                    FROM toks, UNNEST(range(1, len(words))) AS g(i)
+                    WHERE len(words) >= 2
+                ) GROUP BY doc_id, w1, w2
+            ),
+            uni AS (
+                SELECT w1, count(*) AS c1 FROM (
+                    SELECT unnest(words) AS w1 FROM toks
+                ) GROUP BY w1
+            ),
+            v AS (SELECT count(*) AS vocab FROM uni),
+            stats AS (
+                SELECT b.w1, b.w2,
+                       -ln((b.c12 + 0.5) / (u.c1 + 0.5 * v.vocab)) AS nlp
+                FROM (SELECT w1, w2, sum(m) AS c12
+                      FROM occ GROUP BY w1, w2) b
+                JOIN uni u USING (w1) CROSS JOIN v
+            ),
+            sc AS (
+                SELECT o.doc_id, sum(o.m * s.nlp) AS tot,
+                       sum(o.m)::BIGINT AS nb
+                FROM occ o JOIN stats s ON o.w1 = s.w1 AND o.w2 = s.w2
+                GROUP BY o.doc_id
+            )
+            SELECT t.doc_id, coalesce(sc.nb, 0)::BIGINT AS n_bigrams,
+                   round(coalesce(sc.tot / sc.nb, 0.0), 6) AS cross_entropy,
+                   round(coalesce(exp(sc.tot / sc.nb), 1.0), 6) AS perplexity
+            FROM toks t LEFT JOIN sc USING (doc_id)
+        """,
+        "q_bm25_search": """
+            WITH d AS (
+                SELECT doc_id, len(words) AS dl,
+                       len(list_filter(words, x -> x = 'dup')) AS tf_dup,
+                       len(list_filter(words, x -> x = 'hash')) AS tf_hash,
+                       len(list_filter(words, x -> x = 'merge')) AS tf_merge
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                ELSE regexp_split_to_array(
+                                    lower(trim(text)), '\\s+')
+                           END AS words
+                    FROM documents
+                )
+            ),
+            s AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl,
+                       count(*) FILTER (tf_dup > 0) AS df_dup,
+                       count(*) FILTER (tf_hash > 0) AS df_hash,
+                       count(*) FILTER (tf_merge > 0) AS df_merge
+                FROM d
+            ),
+            scored AS (
+                SELECT d.doc_id, d.tf_dup, d.tf_hash, d.tf_merge,
+                       round(
+                           ln((s.n - s.df_dup + 0.5) / (s.df_dup + 0.5) + 1.0)
+                             * d.tf_dup * 2.2
+                             / (d.tf_dup
+                                + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                         + ln((s.n - s.df_hash + 0.5) / (s.df_hash + 0.5) + 1.0)
+                             * d.tf_hash * 2.2
+                             / (d.tf_hash
+                                + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                         + ln((s.n - s.df_merge + 0.5)
+                              / (s.df_merge + 0.5) + 1.0)
+                             * d.tf_merge * 2.2
+                             / (d.tf_merge
+                                + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+                       6) AS score
+                FROM d CROSS JOIN s
+                WHERE d.tf_dup + d.tf_hash + d.tf_merge > 0
+            )
+            SELECT doc_id, tf_dup, tf_hash, tf_merge, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "q_repetition": """
             WITH base AS (

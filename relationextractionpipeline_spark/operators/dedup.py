@@ -407,3 +407,83 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    dup_frac_flag: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level (span) duplication profile — the sixth dedup
+    strategy: instead of whole-document similarity, find k-token WINDOWS
+    that recur across documents (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": memorization tracks repeated
+    SPANS, which whole-doc near-dup misses when boilerplate is embedded
+    in otherwise-unique pages).
+
+    A window is duplicated when its exact k-gram appears in ≥ ``min_docs``
+    distinct documents.  Returns one row per document:
+    (id, n_windows, n_dup_windows, dup_frac, is_dup) where ``dup_frac``
+    counts duplicated window OCCURRENCES over total windows (rounded to
+    6) and ``is_dup`` flags docs at ≥ ``dup_frac_flag``.
+
+    Scale shape (no suffix array needed for the windowed formulation):
+    windows build ROW-LOCALLY via k shifted zips (textindex.kgram_join,
+    O(n·k) per doc — never transform+slice); per-(doc, gram) counts
+    aggregate with map-side combine, so a page repeating one gram 10^6
+    times shuffles one row; the duplicated-gram set is a groupBy over
+    distinct (doc, gram) rows — count(*) there IS the distinct-doc count;
+    the join back is a left-semi on the gram key.  Everything keys on
+    content-derived grams — hot DOCUMENTS cannot skew, and a hot GRAM
+    (corpus-wide boilerplate) is one aggregation key whose partial
+    combine bounds it.  No pair expansion anywhere: cost is linear in
+    total windows, unlike the pairwise strategies above."""
+    from relationextractionpipeline_spark.operators.textindex import (
+        kgram_join,
+        tokens_lower,
+    )
+
+    w = tokens_lower(F.col(text_col))
+    toks = cache.track(
+        df.select(F.col(id_col).alias("_id"), w.alias("_w"))
+    )
+    occ = cache.track(
+        toks.select("_id", F.explode(kgram_join(F.col("_w"), k)).alias("gram"))
+        .groupBy("_id", "gram")
+        .agg(F.count("*").alias("m"))
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("nd"))  # occ is distinct per (doc, gram)
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    per_doc = (
+        occ.join(dup, "gram", "left_semi")
+        .groupBy("_id")
+        .agg(F.sum("m").alias("n_dup"))
+    )
+    n_windows = F.greatest(F.size(F.col("_w")) - F.lit(k - 1), F.lit(0))
+    return (
+        toks.select("_id", n_windows.alias("n_windows"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.coalesce(F.col("n_dup"), F.lit(0))
+                    / F.col("n_windows"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .withColumn("is_dup", F.col("dup_frac") >= F.lit(dup_frac_flag))
+    )
