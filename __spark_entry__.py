@@ -739,6 +739,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ppr"] = kg_ppr
 
+    def kg_pagerank_weighted(spark, sf_dir):
+        """Evidence-weighted PageRank: every supporting triple is one unit
+        of edge weight, so an edge asserted 50 times pulls 50× the rank
+        mass of a one-off extraction — the centrality an evidence-bearing
+        KG actually wants (graphalgs.pagerank_weighted; the unweighted
+        path stays pinned).  Oracle = numpy replica of the identical
+        weighted recurrence (oracle_mat.pagerank_weighted_table)."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.pagerank_weighted_table(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return graphalgs.pagerank_weighted(
+            edges.select(
+                F.col("subj_canonical").alias("src"),
+                F.col("obj_canonical").alias("dst"),
+                F.lit(1.0).alias("weight"),  # one evidence unit per triple
+            ),
+            n_iter=15,
+        ).select(F.col("node").alias("canonical_id"), "rank")
+
+    q["kg_pagerank_weighted"] = kg_pagerank_weighted
+
+    def kg_hits(spark, sf_dir):
+        """HITS hubs/authorities over the canonical entity graph: on
+        (subject → object) edges strong subjects score as hubs and strong
+        objects as authorities — the complementary centrality to
+        PageRank's single score (graphalgs.hits, L1-normalized per round).
+        Oracle = numpy replica of the identical mutual recursion
+        (oracle_mat.hits_table)."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.hits_table(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return graphalgs.hits(
+            edges.select(
+                F.col("subj_canonical").alias("src"),
+                F.col("obj_canonical").alias("dst"),
+            ),
+            n_iter=15,
+        ).select(
+            F.col("node").alias("canonical_id"), "hub", "authority"
+        )
+
+    q["kg_hits"] = kg_hits
+
+    def kg_edge_confidence(spark, sf_dir):
+        """Evidence-aggregated edge table: each canonical
+        (subj, pred, obj) edge rolls up its supporting triples into
+        evidence count, distinct-conversation count, first/last event-time
+        (through the (conv_id, turn_idx) lineage keys), and a noisy-OR
+        style confidence 1 − 0.5^n_convs — independent conversations
+        asserting the same edge compound; repeats within one conversation
+        don't.  The aggregation an incremental KG MERGEs per batch.
+        Full SQL oracle (sequential triples × union-find keymap ×
+        transcripts)."""
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        ts = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"]).select(
+            "conv_id", "turn_idx", "ts"
+        )
+        return (
+            edges.where(
+                F.col("subj_canonical").isNotNull()
+                & F.col("obj_canonical").isNotNull()
+            )
+            .join(ts, ["conv_id", "turn_idx"])
+            .groupBy(
+                F.col("subj_canonical").alias("subj"),
+                "pred",
+                F.col("obj_canonical").alias("obj"),
+            )
+            .agg(
+                F.count("*").alias("n_evidence"),
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.min(F.unix_timestamp("ts")).alias("first_epoch"),
+                F.max(F.unix_timestamp("ts")).alias("last_epoch"),
+            )
+            .withColumn(
+                "confidence",
+                F.round(1 - F.pow(F.lit(0.5), F.col("n_convs")), 6),
+            )
+        )
+
+    q["kg_edge_confidence"] = kg_edge_confidence
+
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
         conversation reach, mean turn length)."""
@@ -2452,6 +2551,32 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": f"""
             SELECT canonical_id, rank
             FROM read_parquet('{os.path.join(small, f"ppr_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
+        """,
+        "kg_pagerank_weighted": f"""
+            SELECT canonical_id, rank
+            FROM read_parquet('{os.path.join(small, f"pagerankw_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
+        """,
+        "kg_hits": f"""
+            SELECT canonical_id, hub, authority
+            FROM read_parquet('{os.path.join(small, f"hits_v{oracle_mat.ORACLE_MAT_VERSION}_i15.parquet")}')
+        """,
+        "kg_edge_confidence": f"""
+            SELECT ks.canonical_id AS subj, t.pred,
+                   ko.canonical_id AS obj,
+                   count(*) AS n_evidence,
+                   count(DISTINCT t.conv_id) AS n_convs,
+                   min(floor(epoch(tr.ts))::BIGINT) AS first_epoch,
+                   max(floor(epoch(tr.ts))::BIGINT) AS last_epoch,
+                   round(1 - power(0.5, count(DISTINCT t.conv_id)), 6)
+                       AS confidence
+            FROM read_parquet('{otriples}') t
+            JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+              ON ks.ent_key = t.subj
+            JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+              ON ko.ent_key = t.obj
+            JOIN read_parquet('{small}/transcripts.parquet/*.parquet') tr
+              ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+            GROUP BY 1, 2, 3
         """,
         # independent recursive-CTE oracle — no sequential replica involved
         "kg_bfs": f"""

@@ -313,3 +313,171 @@ def bfs_distances(
             cache.free_checkpoint(prev_frontier)
         frontier = nxt
     return dist
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+    n_iter: int = 15,
+    round_to: int = 6,
+) -> DataFrame:
+    """Evidence-weighted PageRank: identical recurrence to ``pagerank``
+    but each edge carries a weight (duplicate (src, dst) rows SUM — pass
+    per-triple evidence rows directly) and a node distributes its rank
+    proportionally to outgoing weight:
+
+        contrib(v) = Σ_{u→v} rank(u) · w(u,v) / out_w(u)
+
+    A separate function on purpose: the unweighted path's float
+    association is pinned by the kg_pagerank oracle hash and stays
+    byte-for-byte untouched.  Dangling mass (nodes with zero outgoing
+    weight) redistributes uniformly, same as the unweighted form.  Same
+    O(1)-working-set checkpoint discipline; the weighted edge table is
+    one extra groupBy over the raw evidence rows (map-side combined, so
+    a hot edge shuffles one row per partition, not per occurrence)."""
+    e = (
+        edges.select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_d"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+        .where(F.col("_s") != F.col("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .groupBy("_s", "_d")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    nodes = cache.track(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy(F.col("_s").alias("node")).agg(
+        F.sum("_w").alias("out_w")
+    )
+    ed = cache.track(
+        e.join(outw, e["_s"] == outw["node"]).select("_s", "_d", "_w", "out_w")
+    )
+    dangling_nodes = cache.track(nodes.join(outw, "node", "left_anti"))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    ranks = cache.checkpoint(
+        nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    )
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            ed.join(ranks, ed["_s"] == ranks["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("_w") / F.col("out_w")
+                ).alias("contrib")
+            )
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        new_ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+        prev = ranks
+        ranks = cache.checkpoint(new_ranks)
+        cache.free_checkpoint(prev)
+    return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 15,
+    round_to: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the DISTINCT
+    directed self-loop-free edges: authorities are entities many hubs
+    point at, hubs are entities pointing at many authorities — on a KG
+    the (subject → object) direction makes strong subjects hubs and
+    strong objects authorities, a complementary centrality to PageRank's
+    single score.  Returns (node, hub, authority), each vector
+    L1-normalized per round (sum = 1; L1 instead of L2 keeps the
+    normalizer a plain SUM — one scalar aggregate per half-round, no
+    sqrt of a sum whose association matters more), rounded to
+    ``round_to``.
+
+    Per round: authority(v) = Σ_{u→v} hub(u), normalize; then hub(u) =
+    Σ_{u→v} authority_NEW(v), normalize (the standard mutual recursion —
+    hubs update against the already-updated authorities).  Each
+    half-round is one equi-join + one keyed agg (map-side combined, hot
+    nodes bounded) + one O(1) scalar transfer; state is one O(V) table
+    checkpointed with the superseded round freed eagerly, the same
+    discipline as ``pagerank``.  The sequential oracle
+    (oracle_mat.hits_table) replays the identical recurrence in numpy."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s") != F.col("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    ed = cache.track(e)
+    nodes = cache.track(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    state = cache.checkpoint(
+        nodes.select(
+            "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        )
+    )
+    for _ in range(n_iter):
+        a_raw = (
+            ed.join(state.select("node", "hub"), ed["_s"] == F.col("node"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        sa = a_raw.agg(F.coalesce(F.sum("a_raw"), F.lit(0.0))).collect()[0][0]
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node",
+            (
+                F.coalesce("a_raw", F.lit(0.0))
+                / F.lit(sa if sa > 0 else 1.0)
+            ).alias("authority"),
+        )
+        h_raw = (
+            ed.join(auth, ed["_d"] == auth["node"])
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        sh = h_raw.agg(F.coalesce(F.sum("h_raw"), F.lit(0.0))).collect()[0][0]
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node",
+            (
+                F.coalesce("h_raw", F.lit(0.0))
+                / F.lit(sh if sh > 0 else 1.0)
+            ).alias("hub"),
+        )
+        prev = state
+        state = cache.checkpoint(
+            hub.join(auth, "node").select("node", "hub", "authority")
+        )
+        cache.free_checkpoint(prev)
+    return state.select(
+        "node",
+        F.round("hub", round_to).alias("hub"),
+        F.round("authority", round_to).alias("authority"),
+    )

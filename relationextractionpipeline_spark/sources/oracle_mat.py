@@ -405,6 +405,129 @@ def pagerank_table(
     )
 
 
+def pagerank_weighted_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> str:
+    """Sequential numpy replica of operators/graphalgs.pagerank_weighted:
+    edge weight = triple-evidence count per canonical (src, dst) pair
+    (self-loops and unlinked endpoints dropped), rank distributed
+    proportionally to outgoing weight — per-edge association
+    (r·w)/out_w matches the distributed Column expression exactly.
+    Parameter-suffixed filename."""
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"pagerankw_v{ORACLE_MAT_VERSION}"
+            f"_d{int(damping * 100)}i{n_iter}.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    cnt: Dict[tuple, int] = {}
+    for s, o in zip(triples["subj"], triples["obj"]):
+        if s in canon and o in canon and canon[s] != canon[o]:
+            key = (canon[s], canon[o])
+            cnt[key] = cnt.get(key, 0) + 1
+    edges = sorted(cnt)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return _publish(pd.DataFrame({"canonical_id": [], "rank": []}), dst)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n_nodes = len(nodes)
+    src_i = np.array([idx[s] for s, _ in edges], dtype=np.int64)
+    dst_i = np.array([idx[d] for _, d in edges], dtype=np.int64)
+    w = np.array([float(cnt[e]) for e in edges])
+    out_w = np.zeros(n_nodes)
+    np.add.at(out_w, src_i, w)
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(n_iter):
+        dangling = float(r[out_w == 0.0].sum())
+        contrib = np.zeros(n_nodes)
+        np.add.at(contrib, dst_i, r[src_i] * w / out_w[src_i])
+        r = (1.0 - damping) / n_nodes + damping * dangling / n_nodes \
+            + damping * contrib
+    return _publish(
+        pd.DataFrame({"canonical_id": nodes, "rank": np.round(r, 6)}), dst
+    )
+
+
+def hits_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    n_iter: int = 15,
+) -> str:
+    """Sequential numpy replica of operators/graphalgs.hits over the
+    canonical entity graph (distinct directed self-loop-free edges):
+    per round the authority vector sums incoming hub scores and
+    L1-normalizes, then the hub vector sums outgoing NEW authorities and
+    L1-normalizes — the identical recurrence, so the DuckDB comparison
+    gates the distributed join/agg rounds.  Parameter-suffixed
+    filename."""
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"hits_v{ORACLE_MAT_VERSION}_i{n_iter}.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    edges = sorted(
+        {
+            (canon[s], canon[o])
+            for s, o in zip(triples["subj"], triples["obj"])
+            if s in canon and o in canon and canon[s] != canon[o]
+        }
+    )
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return _publish(
+            pd.DataFrame({"canonical_id": [], "hub": [], "authority": []}),
+            dst,
+        )
+    idx = {n: i for i, n in enumerate(nodes)}
+    n_nodes = len(nodes)
+    src_i = np.array([idx[s] for s, _ in edges], dtype=np.int64)
+    dst_i = np.array([idx[d] for _, d in edges], dtype=np.int64)
+    h = np.ones(n_nodes)
+    a = np.ones(n_nodes)
+    for _ in range(n_iter):
+        a_raw = np.zeros(n_nodes)
+        np.add.at(a_raw, dst_i, h[src_i])
+        sa = float(a_raw.sum())
+        a = a_raw / (sa if sa > 0 else 1.0)
+        h_raw = np.zeros(n_nodes)
+        np.add.at(h_raw, src_i, a[dst_i])
+        sh = float(h_raw.sum())
+        h = h_raw / (sh if sh > 0 else 1.0)
+    return _publish(
+        pd.DataFrame(
+            {
+                "canonical_id": nodes,
+                "hub": np.round(h, 6),
+                "authority": np.round(a, 6),
+            }
+        ),
+        dst,
+    )
+
+
 def kcore_table(
     scale: str,
     data_dir: str = testgen.DEFAULT_DATA_DIR,

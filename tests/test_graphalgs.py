@@ -201,3 +201,166 @@ def test_personalized_pagerank_concentrates_on_seed(spark):
     # unreachable-from-seed nodes exist only via teleport -> rank ~ 0
     # (d receives only flow: c->d; still > 0 through the chain)
     assert got["d"] > 0
+
+
+# ------------------------------------------------- weighted PageRank
+
+
+WEDGES = [
+    # (src, dst, weight); duplicate (a,b) rows must sum (1+2=3)
+    ("a", "b", 1.0), ("a", "b", 2.0), ("a", "c", 1.0),
+    ("b", "c", 4.0), ("c", "a", 1.0), ("c", "d", 1.0),
+    ("a", "a", 9.0),  # self-loop ignored regardless of weight
+]
+
+
+def _numpy_pr_weighted(rows, damping=0.85, n_iter=15):
+    cnt = {}
+    for s, d, w in rows:
+        if s != d:
+            cnt[(s, d)] = cnt.get((s, d), 0.0) + w
+    ed = sorted(cnt)
+    nodes = sorted({s for s, _ in ed} | {d for _, d in ed})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array([idx[s] for s, _ in ed])
+    dst = np.array([idx[d] for _, d in ed])
+    w = np.array([cnt[e] for e in ed])
+    outw = np.zeros(n)
+    np.add.at(outw, src, w)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = float(r[outw == 0].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] * w / outw[src])
+        r = (1 - damping) / n + damping * dang / n + damping * contrib
+    return dict(zip(nodes, np.round(r, 6)))
+
+
+def test_pagerank_weighted_matches_numpy_replica(spark):
+    df = spark.createDataFrame(
+        WEDGES, "src string, dst string, weight double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in graphalgs.pagerank_weighted(df).collect()
+    }
+    cache.release_all(checkpoints=True)
+    want = _numpy_pr_weighted(WEDGES)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    # weight 1.0 on the DISTINCT edge set must reproduce classic pagerank
+    distinct = sorted({(s, d) for s, d in EDGES if s != d})
+    wdf = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in distinct],
+        "src string, dst string, weight double",
+    )
+    udf_ = spark.createDataFrame(EDGES, "src string, dst string")
+    got_w = {
+        r["node"]: r["rank"]
+        for r in graphalgs.pagerank_weighted(wdf).collect()
+    }
+    got_u = {
+        r["node"]: r["rank"] for r in graphalgs.pagerank(udf_).collect()
+    }
+    cache.release_all(checkpoints=True)
+    assert set(got_w) == set(got_u)
+    for n in got_u:
+        assert abs(got_w[n] - got_u[n]) < 2e-6, (n, got_w[n], got_u[n])
+
+
+def test_pagerank_weighted_weight_pulls_rank(spark):
+    # b -> c carries 9x the weight of b -> d: c must outrank d
+    rows = [("a", "b", 1.0), ("b", "c", 9.0), ("b", "d", 1.0)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    got = {
+        r["node"]: r["rank"]
+        for r in graphalgs.pagerank_weighted(df).collect()
+    }
+    cache.release_all(checkpoints=True)
+    assert got["c"] > got["d"]
+
+
+def test_pagerank_weighted_partition_invariant(spark):
+    df = spark.createDataFrame(
+        WEDGES, "src string, dst string, weight double"
+    )
+    a = sorted(map(tuple, graphalgs.pagerank_weighted(df.repartition(1)).collect()))
+    cache.release_all(checkpoints=True)
+    b = sorted(map(tuple, graphalgs.pagerank_weighted(df.repartition(5)).collect()))
+    cache.release_all(checkpoints=True)
+    assert a == b
+
+
+# --------------------------------------------------------------- HITS
+
+
+def _numpy_hits(edges, n_iter=15):
+    ed = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in ed} | {d for _, d in ed})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array([idx[s] for s, _ in ed])
+    dst = np.array([idx[d] for _, d in ed])
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(n_iter):
+        a_raw = np.zeros(n)
+        np.add.at(a_raw, dst, h[src])
+        sa = float(a_raw.sum())
+        a = a_raw / (sa if sa > 0 else 1.0)
+        h_raw = np.zeros(n)
+        np.add.at(h_raw, src, a[dst])
+        sh = float(h_raw.sum())
+        h = h_raw / (sh if sh > 0 else 1.0)
+    return {
+        nd: (round(float(h[i]), 6), round(float(a[i]), 6))
+        for nd, i in idx.items()
+    }
+
+
+def test_hits_matches_numpy_replica(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in graphalgs.hits(df).collect()
+    }
+    cache.release_all(checkpoints=True)
+    want = _numpy_hits(EDGES)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n][0] - want[n][0]) < 1e-9, (n, got[n], want[n])
+        assert abs(got[n][1] - want[n][1]) < 1e-9, (n, got[n], want[n])
+
+
+def test_hits_star_graph_roles(spark):
+    # hub h points at three authorities; pure sinks have hub 0, the pure
+    # source has authority 0
+    rows = [("h", "x"), ("h", "y"), ("h", "z")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in graphalgs.hits(df).collect()
+    }
+    cache.release_all(checkpoints=True)
+    assert got["h"][0] == 1.0 and got["h"][1] == 0.0
+    for n in ("x", "y", "z"):
+        assert got[n][0] == 0.0
+        assert abs(got[n][1] - round(1 / 3, 6)) < 2e-6
+    # L1 normalization: each score vector sums to 1
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-5
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-5
+
+
+def test_hits_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(map(tuple, graphalgs.hits(df.repartition(1)).collect()))
+    cache.release_all(checkpoints=True)
+    b = sorted(map(tuple, graphalgs.hits(df.repartition(5)).collect()))
+    cache.release_all(checkpoints=True)
+    assert a == b
