@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "q_pii_scrub",
     "q_decontaminate",
     "q_repetition",
+    "q_dedup_substring",
+    "q_lm_perplexity",
+    "q_bm25_search",
     "q_events_asof",
     "q_pack_sequences",
     "q_chunk_documents",

@@ -70,7 +70,7 @@ def parse_args(argv):
                    help="also canonicalize + write entities/edges tables")
     p.add_argument("--analytics", action="store_true",
                    help="with --graph (implied): also write pagerank / "
-                        "communities / kcore_2 analytics tables")
+                        "communities / kcore_2 / hits analytics tables")
     p.add_argument("--reference-formats", action="store_true",
                    help="also write S12 JSONL / S13 human / S14 types files")
     args = p.parse_args(argv)
@@ -266,6 +266,12 @@ def main(argv=None) -> int:
                     F.col("node").alias("canonical_id"), "core_degree"
                 ),
                 "kcore_2",
+            )
+            io.write(
+                graphalgs.hits(ed).select(
+                    F.col("node").alias("canonical_id"), "hub", "authority"
+                ),
+                "hits",
             )
 
     if args.reference_formats:
