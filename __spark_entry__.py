@@ -838,6 +838,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_edge_confidence"] = kg_edge_confidence
 
+    def kg_pred_signatures(spark, sf_dir):
+        """Ontology induction: per canonical predicate, the dominant
+        (subject FIGER type, object FIGER type) pair with support and
+        coverage — the inferred domain/range of each relation
+        (operators/ontology.predicate_signatures).  Two dimension-sized
+        aggregates; full SQL oracle (sequential triples × sequential
+        predicate clusters)."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            ontology,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        triples = _kg_triples(spark, sf_dir)
+        pred_map = canonicalize.canonicalize_predicates(triples)
+        return ontology.predicate_signatures(triples, pred_map)
+
+    q["kg_pred_signatures"] = kg_pred_signatures
+
+    def kg_functionality(spark, sf_dir):
+        """KB-consistency profile: per canonical predicate, how functional
+        the relation is (fraction of resolved subjects with exactly one
+        distinct object) plus the count of violating subjects — the
+        conflicting-fact signal a fusion stage weighs evidence against
+        (operators/ontology.functionality).  Full SQL oracle (sequential
+        triples × union-find keymap × predicate clusters)."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        graph = pipeline.materialize_graph(run)
+        return ontology.functionality(graph["edges"])
+
+    q["kg_functionality"] = kg_functionality
+
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
         conversation reach, mean turn length)."""
@@ -2644,6 +2682,69 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicates": f"""
             SELECT pred, pred_canonical
             FROM read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}')
+        """,
+        "kg_pred_signatures": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS pred_canonical,
+                       t.subj_type, t.obj_type
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+            ),
+            sig AS (
+                SELECT pred_canonical, subj_type, obj_type,
+                       count(*) AS n_support
+                FROM e GROUP BY 1, 2, 3
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY pred_canonical
+                           ORDER BY n_support DESC, subj_type ASC, obj_type ASC
+                       ) AS rn,
+                       (sum(n_support) OVER (
+                           PARTITION BY pred_canonical))::BIGINT AS n_edges,
+                       count(*) OVER (
+                           PARTITION BY pred_canonical) AS n_signatures
+                FROM sig
+            )
+            SELECT pred_canonical,
+                   subj_type AS top_subj_type,
+                   obj_type AS top_obj_type,
+                   n_support AS top_support,
+                   n_signatures, n_edges,
+                   round(n_support::DOUBLE / n_edges, 6) AS coverage
+            FROM ranked WHERE rn = 1
+        """,
+        "kg_functionality": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS pred_canonical,
+                       ks.canonical_id AS subj_canonical,
+                       ko.canonical_id AS obj_canonical
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            per_subj AS (
+                SELECT pred_canonical, subj_canonical,
+                       count(*) AS n_edges,
+                       count(DISTINCT obj_canonical) AS n_objects
+                FROM e GROUP BY 1, 2
+            )
+            SELECT pred_canonical,
+                   (sum(n_edges))::BIGINT AS n_edges,
+                   count(*) AS n_subjects,
+                   (count(*) FILTER (WHERE n_objects > 1))::BIGINT
+                       AS n_violating_subjects,
+                   round((count(*) FILTER (WHERE n_objects = 1))::DOUBLE
+                         / count(*), 6) AS functionality
+            FROM per_subj GROUP BY 1
         """,
         "kg_assembly": f"""
             SELECT conv_id, count(*) AS n_turns,
