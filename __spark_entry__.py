@@ -1689,6 +1689,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sample_weighted"] = q_sample_weighted
 
+    def q_sample_temperature(spark, sf_dir):
+        """Temperature-flattened language mixture (mC4/XLM-style): expected
+        kept counts ∝ n_lang^0.3, rarest language kept whole, others
+        downsampled by (n_min/n_lang)^0.7 — the rates are DERIVED from a
+        tiny groupBy(lang) count broadcast back, not configured
+        (operators/sampling.temperature_sample)."""
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        return sampling.temperature_sample(
+            d, "doc_id", "lang", alpha=0.3
+        ).select("doc_id", "lang")
+
+    q["q_sample_temperature"] = q_sample_temperature
+
     def q_curate_corpus(spark, sf_dir):
         """End-to-end training-data curation — the composition the operator
         families exist for: exact dedup (keep min-id survivor per content) →
@@ -2380,6 +2395,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
                   < CAST(floor(least(greatest(quality_score * 0.8, 0.0), 1.0)
                                * 4294967296.0) AS BIGINT)
+        """,
+        "q_sample_temperature": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_s FROM documents GROUP BY lang
+            ),
+            rates AS (
+                SELECT lang,
+                       CAST(floor(
+                           round(pow((SELECT min(n_s) FROM counts)::DOUBLE
+                                     / n_s, 0.7), 6)
+                           * 4294967296.0) AS BIGINT) AS thr
+                FROM counts
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r ON r.lang = d.lang
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+                  < r.thr
         """,
         "q_sample_deterministic": f"""
             SELECT doc_id, lang, n_chars FROM documents

@@ -89,6 +89,49 @@ def weighted_sample(
     return df.where(hash_bucket(F.col(key_col), salt) < per_row_thr)
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.3,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (the multilingual-corpus
+    mixture flattening used by mC4/XLM-style pipelines): keep rates chosen
+    so the EXPECTED kept counts are ∝ n_s^alpha — alpha=1 keeps the natural
+    mixture, alpha→0 flattens toward uniform — without upsampling: the
+    rarest stratum keeps everything (rate 1) and every other stratum
+    downsamples by ``rate_s = (n_min / n_s)^(1 - alpha)``.
+
+    Unlike ``stratified_sample`` the per-stratum fractions are DERIVED
+    from the data: one tiny groupBy(stratum) count (map-side combined,
+    output rows = #strata), a 1-row global min crossed in via broadcast,
+    and the rate table broadcast-joined back — no driver collect, no wide
+    shuffle of the fact table.  Membership uses the same md5 primitive as
+    every sampler here; the per-stratum threshold is rounded to 6 decimals
+    before the integer floor so Spark and a SQL oracle agree bit-for-bit.
+    """
+    a = float(alpha)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    n_min = counts.agg(F.min("_n_s").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        F.floor(
+            F.round(
+                F.pow(F.col("_n_min") / F.col("_n_s"), F.lit(1.0 - a)), 6
+            )
+            * F.lit(float(_HASH_SPACE))
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(hash_bucket(F.col(key_col), salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def train_val_split(
     df: DataFrame, key_col: str, val_fraction: float, salt: str = "split"
 ) -> Tuple[DataFrame, DataFrame]:

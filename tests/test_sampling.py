@@ -89,3 +89,26 @@ def test_weighted_sample_properties(spark):
         df.repartition(7), "doc_id", "w", scale=1.0
     ).toPandas()
     assert set(kept.doc_id) == set(again.doc_id)
+
+
+def test_temperature_sample_properties(spark):
+    from relationextractionpipeline_spark.operators import sampling
+
+    # 400 majority / 100 minority rows: alpha=0.3 keeps ALL of the rare
+    # stratum and ~ (100/400)^0.7 ≈ 0.379 of the common one
+    rows = [(i, "en" if i < 400 else "haw") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.temperature_sample(df, "doc_id", "lang", alpha=0.3).toPandas()
+    assert len(kept[kept.lang == "haw"]) == 100  # rarest: rate exactly 1
+    n_en = len(kept[kept.lang == "en"])
+    assert 100 <= n_en <= 210  # 400 rows at p≈0.379
+
+    # alpha=1 keeps the natural mixture: every row survives
+    allk = sampling.temperature_sample(df, "doc_id", "lang", alpha=1.0).toPandas()
+    assert len(allk) == 500
+
+    # membership is partition-invariant (derived rates + md5 hash only)
+    again = sampling.temperature_sample(
+        df.repartition(7), "doc_id", "lang", alpha=0.3
+    ).toPandas()
+    assert set(kept.doc_id) == set(again.doc_id)
