@@ -104,6 +104,21 @@ def main() -> None:
          entrymod.queries()["q_pack_sequences"](spark, SF)),
         ("Token-window chunking — scan → project → generate, ZERO Exchange",
          entrymod.queries()["q_chunk_documents"](spark, SF)),
+        ("Predicate type signatures — one hash Exchange on the "
+         "(pred, type-pair) aggregate (dimension-sized after map-side "
+         "combine), window rank downstream of it",
+         __import__("relationextractionpipeline_spark.operators.ontology",
+                    fromlist=["ontology"]).predicate_signatures(
+             run["triples"],
+             __import__(
+                 "relationextractionpipeline_spark.operators.canonicalize",
+                 fromlist=["canonicalize"],
+             ).canonicalize_predicates(run["triples"]))),
+        ("Temperature mixture sampling — derived rate table joins back as "
+         "BroadcastHashJoin; the fact table never shuffles",
+         __import__("relationextractionpipeline_spark.operators.sampling",
+                    fromlist=["sampling"]).temperature_sample(
+             docs.select("doc_id", "lang"), "doc_id", "lang")),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
