@@ -1,0 +1,416 @@
+"""Snapshot table format: versioned, atomically-committed parquet tables.
+
+BASELINE.json's north rule names Iceberg-style table maintenance (MERGE
+upserts, snapshot-pinned resume).  The container ships no Iceberg runtime
+jar, so ``tableio.TableIO`` degrades to bare parquet directories — correct
+contents, but no history: ``replace`` has a (tiny) non-atomic rename window,
+a reader can never pin the version it started from, and a failed writer can
+leave a half-written directory the next reader trips on.
+
+This module closes that gap with the same *design* Iceberg uses (public
+knowledge — the Iceberg spec's metadata/data split), implemented on plain
+parquet + POSIX rename so it runs anywhere Spark's local/HDFS-like
+filesystems do:
+
+* **Immutable data files.**  Every commit writes its rows to a fresh
+  ``data/<token>/`` parquet directory; nothing ever rewrites or deletes a
+  directory a live snapshot references.  Appends are metadata-only commits:
+  the new manifest lists the parent's directories plus the new one.
+* **Manifests.**  ``metadata/v<N>.json`` records the snapshot id, parent,
+  wall-clock timestamp, operation, the data directories that make up the
+  snapshot, the schema (as Spark schema JSON), and a row-count summary.
+* **Atomic pointer commit.**  ``metadata/HEAD`` names the current manifest.
+  Commits write the manifest first, then swap HEAD via write-temp +
+  ``os.rename`` (atomic on POSIX).  A kill at ANY point leaves HEAD on the
+  previous complete snapshot; the orphaned data directory is garbage, not
+  corruption, and ``expire_snapshots`` collects it.
+* **Optimistic concurrency.**  A commit carries the version it was computed
+  against; a short ``O_CREAT|O_EXCL`` lock file makes check-and-swap atomic
+  between local writers.  If HEAD moved underneath, ``CommitConflict`` is
+  raised and ``merge`` recomputes against the new head and retries —
+  Iceberg's catalog compare-and-swap, scoped to filesystems with atomic
+  create/rename (local, HDFS, NFSv4).  On S3-style object stores this lock
+  is where a real catalog service plugs in; the manifest/data layout is
+  unchanged.
+* **Time travel + rollback.**  ``read(version=)`` / ``read(as_of_ts=)``
+  resolve any retained manifest; ``rollback_to`` commits a NEW version that
+  re-exposes an old snapshot's files (history is append-only, as in
+  Iceberg — rollback never erases the rolled-back snapshots).
+* **Snapshot-pinned resume.**  ``current_version`` is cheap; a multi-stage
+  job records it once and passes ``version=`` to every subsequent read, so
+  concurrent MERGE traffic can never shear the job's inputs mid-run.
+
+Scale note: manifests hold directory names, not per-row state — a commit is
+O(files touched), reads are ``spark.read.parquet(dir1, dir2, …)`` so
+Catalyst still gets pushdown/pruning over the union of snapshot files.  The
+append path never rewrites history, so a 100 TB table's daily merge costs
+the merge, not the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from relationextractionpipeline_spark.sources.tableio import TableIO, upsert_by_key
+
+
+class CommitConflict(Exception):
+    """HEAD advanced past the snapshot this commit was computed from."""
+
+
+class NoSuchSnapshot(Exception):
+    """Requested version/timestamp resolves to no retained manifest."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    snapshot_id: str
+    parent_id: Optional[str]
+    ts: float
+    operation: str
+    data_dirs: List[str]
+    schema_json: str
+    row_count: int
+
+
+def _manifest_name(version: int) -> str:
+    return f"v{version}.json"
+
+
+class SnapshotTableIO(TableIO):
+    """TableIO whose parquet fallback is the snapshot format above.
+
+    Drop-in for ``TableIO`` everywhere the engine takes an ``io`` object
+    (``streaming/upsert.py``, ``streaming/ctxlink.py``, the CLI): ``read``
+    resolves HEAD, ``write``/``replace`` commit new snapshots, ``upsert``
+    becomes a conflict-retrying MERGE.  When a real Iceberg runtime is on
+    the classpath the base class routes to it and none of this engages —
+    the format here is the fallback's upgrade, not a competing catalog.
+    """
+
+    MERGE_RETRIES = 5
+
+    def __init__(self, spark: SparkSession, warehouse: str, catalog: str = "local"):
+        super().__init__(spark, warehouse, catalog)
+
+    # ---- metadata plumbing -------------------------------------------------
+
+    def _meta_dir(self, name: str) -> str:
+        return os.path.join(self._path(name), "metadata")
+
+    def _data_root(self, name: str) -> str:
+        return os.path.join(self._path(name), "data")
+
+    def _head_path(self, name: str) -> str:
+        return os.path.join(self._meta_dir(name), "HEAD")
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(self._head_path(name))
+
+    def current_version(self, name: str) -> int:
+        """The version a job pins for snapshot-consistent multi-stage reads."""
+        with open(self._head_path(name)) as f:
+            head = f.read().strip()
+        return int(head[1 : -len(".json")])
+
+    def _load_manifest(self, name: str, version: int) -> Snapshot:
+        path = os.path.join(self._meta_dir(name), _manifest_name(version))
+        if not os.path.exists(path):
+            raise NoSuchSnapshot(f"{name} has no retained manifest v{version}")
+        with open(path) as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            snapshot_id=m["snapshot_id"],
+            parent_id=m.get("parent_id"),
+            ts=m["ts"],
+            operation=m["operation"],
+            data_dirs=m["data_dirs"],
+            schema_json=m["schema_json"],
+            row_count=m["row_count"],
+        )
+
+    def snapshot(
+        self,
+        name: str,
+        version: Optional[int] = None,
+        as_of_ts: Optional[float] = None,
+    ) -> Snapshot:
+        """Resolve a snapshot: HEAD by default, else an explicit version,
+        else the newest manifest with ``ts <= as_of_ts`` (time travel)."""
+        if version is not None:
+            return self._load_manifest(name, version)
+        if as_of_ts is not None:
+            best = None
+            for s in self.history(name):
+                if s.ts <= as_of_ts and (best is None or s.version > best.version):
+                    best = s
+            if best is None:
+                raise NoSuchSnapshot(f"{name} has no snapshot at or before {as_of_ts}")
+            return best
+        return self._load_manifest(name, self.current_version(name))
+
+    def history(self, name: str) -> List[Snapshot]:
+        """All retained snapshots, oldest first."""
+        out = []
+        for fn in os.listdir(self._meta_dir(name)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(self._load_manifest(name, int(fn[1:-5])))
+        return sorted(out, key=lambda s: s.version)
+
+    # ---- commit protocol ---------------------------------------------------
+
+    def _commit(
+        self,
+        name: str,
+        data_dirs: List[str],
+        operation: str,
+        schema_json: str,
+        row_count: int,
+        expected_version: Optional[int],
+    ) -> Snapshot:
+        """Write manifest v(head+1), then atomically swap HEAD.
+
+        ``expected_version`` is the optimistic-concurrency token: None means
+        "create" (conflict if the table already exists); otherwise HEAD must
+        still be at that version under the commit lock or CommitConflict is
+        raised and the caller recomputes.  Crash discipline: the manifest is
+        fully written before HEAD moves, and HEAD moves via rename — every
+        observable state is either the old snapshot or the new one.
+        """
+        meta = self._meta_dir(name)
+        os.makedirs(meta, exist_ok=True)
+        lock = os.path.join(meta, "COMMIT.lock")
+        fd = None
+        for _ in range(200):  # lock holders only do two tiny file ops
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.01)
+        if fd is None:
+            raise CommitConflict(f"could not acquire commit lock for {name}")
+        try:
+            head_exists = os.path.exists(self._head_path(name))
+            current = self.current_version(name) if head_exists else None
+            if current != expected_version:
+                raise CommitConflict(
+                    f"{name}: HEAD at {current}, commit computed against "
+                    f"{expected_version}"
+                )
+            version = (current or 0) + 1
+            snap = Snapshot(
+                version=version,
+                snapshot_id=uuid.uuid4().hex,
+                parent_id=(
+                    self._load_manifest(name, current).snapshot_id
+                    if current
+                    else None
+                ),
+                ts=time.time(),
+                operation=operation,
+                data_dirs=data_dirs,
+                schema_json=schema_json,
+                row_count=row_count,
+            )
+            manifest = os.path.join(meta, _manifest_name(version))
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap.__dict__, f)
+            os.rename(tmp, manifest)
+            head_tmp = self._head_path(name) + ".tmp"
+            with open(head_tmp, "w") as f:
+                f.write(_manifest_name(version))
+            os.rename(head_tmp, self._head_path(name))  # THE commit point
+            return snap
+        finally:
+            os.close(fd)
+            os.remove(lock)
+
+    def _write_data_dir(self, df: DataFrame, name: str) -> tuple[str, int]:
+        """Materialize df into a fresh immutable data directory.  Counted
+        via a post-write parquet scan (metadata-only) so the commit summary
+        never forces a second computation of df."""
+        token = uuid.uuid4().hex
+        path = os.path.join(self._data_root(name), token)
+        df.write.mode("error").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        return path, n
+
+    # ---- TableIO surface, snapshot-backed -----------------------------------
+
+    def read(
+        self,
+        name: str,
+        version: Optional[int] = None,
+        as_of_ts: Optional[float] = None,
+    ) -> DataFrame:
+        if self.use_iceberg:
+            return super().read(name)
+        snap = self.snapshot(name, version=version, as_of_ts=as_of_ts)
+        return self.spark.read.parquet(*snap.data_dirs)
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        bucket_by: Optional[str] = None,
+        n_buckets: int = 64,
+    ) -> None:
+        if self.use_iceberg:
+            super().write(df, name, mode=mode, bucket_by=bucket_by, n_buckets=n_buckets)
+            return
+        if bucket_by is not None:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "_bucket", F.pmod(F.xxhash64(bucket_by), F.lit(n_buckets))
+            ).repartition(n_buckets, "_bucket")
+        if mode == "append" and self.table_exists(name):
+            self.append(df, name)
+        else:
+            self.replace(df, name)
+
+    def replace(self, df: DataFrame, name: str) -> None:
+        """Full-snapshot replace (Iceberg ``createOrReplace``): one new data
+        dir, manifest references only it.  Old snapshots stay readable until
+        expired — unlike the base class's rename swap, a concurrent reader
+        pinned to the prior version is never invalidated."""
+        if self.use_iceberg:
+            super().replace(df, name)
+            return
+        while True:
+            expected = (
+                self.current_version(name) if self.table_exists(name) else None
+            )
+            path, n = self._write_data_dir(df, name)
+            try:
+                self._commit(name, [path], "replace", df.schema.json(), n, expected)
+                return
+            except CommitConflict:
+                continue  # replace is last-wins; recompute token and retry
+
+    def append(self, df: DataFrame, name: str) -> None:
+        """Metadata-only append: parent's data dirs + one new dir.  History
+        never rewrites, so appending a micro-batch to a 100 TB table costs
+        the micro-batch.  Column NAMES must match the table schema (order
+        free — parquet is name-resolved at read)."""
+        while True:
+            expected = self.current_version(name)
+            parent = self._load_manifest(name, expected)
+            _check_schema_names(parent.schema_json, df)
+            path, n = self._write_data_dir(df, name)
+            try:
+                self._commit(
+                    name,
+                    parent.data_dirs + [path],
+                    "append",
+                    parent.schema_json,
+                    parent.row_count + n,
+                    expected,
+                )
+                return
+            except CommitConflict:
+                continue  # appends commute; re-parent and retry
+
+    def upsert(
+        self, updates: DataFrame, name: str, keys: List[str], version_col: str
+    ) -> None:
+        """MERGE INTO with snapshot isolation: the merge is computed against
+        a PINNED snapshot and committed with that version as the expected
+        token — if another writer lands in between, the merge result would
+        silently drop their rows, so the commit conflicts and the merge
+        recomputes against the new head (bounded retries).  This is the
+        semantics Iceberg gives MERGE INTO; the base class's read-merge-swap
+        has a lost-update window instead."""
+        if self.use_iceberg:
+            super().upsert(updates, name, keys, version_col)
+            return
+        for _ in range(self.MERGE_RETRIES):
+            expected = self.current_version(name)
+            merged = upsert_by_key(
+                self.read(name, version=expected), updates, keys, version_col
+            )
+            path, n = self._write_data_dir(merged, name)
+            try:
+                self._commit(name, [path], "merge", merged.schema.json(), n, expected)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{name}: merge lost the commit race {self.MERGE_RETRIES} times"
+        )
+
+    def compact(self, name: str, target_files: int = 32) -> int:
+        """Rewrite the current snapshot into one coalesced data dir (content
+        unchanged) — counters append-path file growth.  Returns the data-dir
+        count before compaction.  Conflicts like any other commit."""
+        if self.use_iceberg:
+            return super().compact(name, target_files)
+        expected = self.current_version(name)
+        before = len(self.snapshot(name, version=expected).data_dirs)
+        df = self.read(name, version=expected).coalesce(target_files)
+        path, n = self._write_data_dir(df, name)
+        self._commit(name, [path], "compact", df.schema.json(), n, expected)
+        return before
+
+    # ---- history management --------------------------------------------------
+
+    def rollback_to(self, name: str, version: int) -> Snapshot:
+        """Re-expose an old snapshot's files as a NEW head version (append-
+        only history, as Iceberg does) — the bad commits remain inspectable
+        until expired."""
+        target = self._load_manifest(name, version)
+        expected = self.current_version(name)
+        return self._commit(
+            name,
+            target.data_dirs,
+            f"rollback(v{version})",
+            target.schema_json,
+            target.row_count,
+            expected,
+        )
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> int:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        data directories no retained snapshot references — including orphans
+        from crashed commits (data written, HEAD never moved).  Returns the
+        number of data directories deleted.  Time travel reaches only
+        retained snapshots afterwards."""
+        import shutil
+
+        snaps = self.history(name)
+        keep = snaps[-keep_last:] if keep_last > 0 else []
+        keep_versions = {s.version for s in keep}
+        live = {d for s in keep for d in s.data_dirs}
+        for s in snaps:
+            if s.version not in keep_versions:
+                os.remove(os.path.join(self._meta_dir(name), _manifest_name(s.version)))
+        removed = 0
+        root = self._data_root(name)
+        if os.path.isdir(root):
+            for token in os.listdir(root):
+                path = os.path.join(root, token)
+                if path not in live:
+                    shutil.rmtree(path)
+                    removed += 1
+        return removed
+
+
+def _check_schema_names(schema_json: str, df: DataFrame) -> None:
+    expected = {f["name"] for f in json.loads(schema_json)["fields"]}
+    got = set(df.columns)
+    if got != expected:
+        raise ValueError(
+            f"append schema mismatch: table has {sorted(expected)}, "
+            f"batch has {sorted(got)}"
+        )

@@ -67,10 +67,15 @@ def stream_upsert_triples(
         )
         try:
             io.read(table)  # existence probe (parquet read raises on no dir)
-        except Exception:
+            exists = True
+        except Exception:  # noqa: BLE001 — first batch creates the table
+            exists = False
+        # probe OUTSIDE the upsert try: a real merge failure (e.g. a lost
+        # commit race) must propagate, never fall through to an overwrite
+        if exists:
+            io.upsert(updates, table, keys=TRIPLE_KEYS, version_col="_version")
+        else:
             io.write(updates, table, mode="overwrite")
-            return
-        io.upsert(updates, table, keys=TRIPLE_KEYS, version_col="_version")
 
     q = (
         triples.writeStream.foreachBatch(merge_batch)
@@ -139,10 +144,16 @@ def stream_upsert_kg(
             ).withColumn("_version", F.lit(int(batch_id)).cast("long"))
             try:
                 io.read(triple_table)  # existence probe
+                exists = True
+            except Exception:  # noqa: BLE001 — first batch creates the table
+                exists = False
+            # probe OUTSIDE the upsert try: a real merge failure (e.g. a
+            # lost commit race) must propagate, never silently overwrite
+            if exists:
                 io.upsert(
                     triples, triple_table, keys=TRIPLE_KEYS, version_col="_version"
                 )
-            except Exception:  # noqa: BLE001 — first batch creates the table
+            else:
                 io.write(triples, triple_table, mode="overwrite")
 
             mentions = fused.mention_rows_fused(batch_df, kb_index_bc)
