@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from relationextractionpipeline_spark.operators import (  # noqa: E402
     asof,
     assemble,
+    bpe,
     dedup,
     multimodal,
     packing,
@@ -1385,6 +1386,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_bm25_search"] = q_bm25_search
 
+    def q_bpe_merges(spark, sf_dir):
+        """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) on the
+        corpus: one explode+groupBy collapses the corpus to its unique-word
+        table (the scale knob — corpus size stops mattering after this),
+        then each merge round is a pair-count shuffle + 1-row argmax
+        collect + row-local fold, with CC-style checkpoint rotation so the
+        lineage working set stays O(one word table).  Gated against the
+        sequential replica (train_bpe_seq — shared tie-break: count desc,
+        then lexicographic), so the DuckDB comparison proves the
+        distributed machinery, pytest fixtures prove the rule."""
+        if _small_scale(sf_dir):
+            oracle_mat.bpe_aux(sf_dir, n_merges=60)
+        d = _read(spark, sf_dir, "documents")
+        merges = bpe.train_bpe(d, 60)
+        return spark.createDataFrame(merges, schema=bpe.MERGES_SCHEMA).select(
+            "rank",
+            F.col("left").alias("merge_left"),
+            F.col("right").alias("merge_right"),
+            "merged",
+            "pair_count",
+        )
+
+    q["q_bpe_merges"] = q_bpe_merges
+
+    def q_bpe_tokens(spark, sf_dir):
+        """BPE APPLICATION: per-document token counts + fertility
+        (bpe_per_word) under the merges just trained — the metric that
+        decides whether a tokenizer fits a corpus.  The merge table rides
+        the UDF closure (tokenizer metadata, thousands of rows); documents
+        never shuffle: scan → mapInPandas → project, with a per-batch word
+        memo exploiting Zipf."""
+        if _small_scale(sf_dir):
+            oracle_mat.bpe_aux(sf_dir, n_merges=60)
+        d = _read(spark, sf_dir, "documents")
+        merges = bpe.train_bpe(d, 60)
+        return bpe.bpe_token_stats(
+            d.repartition(spark.sparkContext.defaultParallelism), merges
+        ).select("doc_id", "n_words", "n_bpe_tokens", "bpe_per_word")
+
+    q["q_bpe_tokens"] = q_bpe_tokens
+
     def q_repetition(spark, sf_dir):
         """Gopher-style within-document repetition filter: duplicate-word
         fraction (pure array ops) + most-frequent-bigram fraction (explode
@@ -2266,6 +2308,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tf_dup, tf_hash, tf_merge, score,
                    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "q_bpe_merges": f"""
+            SELECT "rank", "left" AS merge_left, "right" AS merge_right,
+                   merged, pair_count
+            FROM read_parquet('{aux}/bpe_merges_m60.parquet')
+        """,
+        "q_bpe_tokens": f"""
+            SELECT doc_id, n_words, n_bpe_tokens, bpe_per_word
+            FROM read_parquet('{aux}/bpe_tokens_m60.parquet')
         """,
         "q_repetition": """
             WITH base AS (

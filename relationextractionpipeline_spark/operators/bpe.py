@@ -1,0 +1,321 @@
+"""Distributed BPE tokenizer training + application.
+
+A training-data pipeline that feeds an LLM needs the tokenizer itself
+trained on the corpus it curates — byte-pair encoding (Sennrich, Haddow &
+Birch 2016, ACL: "Neural Machine Translation of Rare Words with Subword
+Units") is the standard.  The reference stops at triple emission
+(de_pipeline/pipeline.py:69-77); this is a beyond-reference curation
+operator like dedup/quality/packing.
+
+Spark-first decomposition — BPE's training state is NOT the corpus, it is
+the **word-frequency table** (the classic reduction from the paper):
+
+1. ``word_counts``: one explode + groupBy over the documents — after this,
+   a 100 TB corpus has collapsed to its unique-word table (tens of millions
+   of rows, not billions), which stays DISTRIBUTED here, unlike in-memory
+   trainers.
+2. Each word becomes a symbol array: characters, with the final character
+   carrying an end-of-word marker (``</w>``) so merges never cross word
+   boundaries and word-final units are distinct.
+3. Per merge round: adjacent-pair counts are a zip_with-explode + groupBy
+   SUM weighted by word frequency (map-side partial aggregation does the
+   heavy lifting — the shuffle carries one row per distinct pair per
+   partition); the argmax pair (count desc, then lexicographic — the
+   deterministic tie-break the sequential replica mirrors) is a 1-row
+   collect; applying the merge to every word is a row-local ``F.aggregate``
+   fold (greedy left-to-right, exactly the paper's re-pair semantics), no
+   Python in the loop.
+4. Lineage discipline for the iteration: the symbol table is
+   ``localCheckpoint``-ed every ``checkpoint_every`` rounds with the
+   superseded round freed eagerly (the CC-loop pattern,
+   operators/canonicalize.py) — working set stays O(one word table)
+   regardless of merge count.
+
+Scale notes: each round costs one shuffle over the unique-word table —
+n_merges rounds is n_merges small jobs, independent of corpus size after
+step 1.  Real 100 TB runs train on a deterministic sample anyway (pass
+``docs.sample(...)`` or a sampling-operator output); the word table is the
+scale knob.  Batched non-conflicting merges per round (a common production
+trick) would cut round count further; not implemented — round cost here is
+already corpus-size-independent.
+
+Application (``encode_word`` / ``bpe_token_stats``) uses the learned merge
+RANKS: repeatedly merge the lowest-rank adjacent pair (the paper's greedy
+apply).  Per-document work is a vectorized pandas UDF over Arrow batches
+with an per-batch word memo (Zipf makes the memo hit rate ~99%); the merge
+table rides a broadcast — vectors of text never shuffle.
+
+Sequential replica for the driver gate: ``train_bpe_seq`` — same counts,
+same tie-break, pure Python — lives HERE so operator and oracle share one
+definition of the algorithm while the distributed path is gated against it
+(the kg_entities pattern: the gate proves the DISTRIBUTION, pytest fixtures
+prove the rule).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import cache
+from .quality import words
+
+EOW = "</w>"
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("rank", LongType()),
+        StructField("left", StringType()),
+        StructField("right", StringType()),
+        StructField("merged", StringType()),
+        StructField("pair_count", LongType()),
+    ]
+)
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercased whitespace words — the corpus→vocab
+    collapse.  One shuffle; partial aggregation happens map-side."""
+    return (
+        docs.select(F.explode(words(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def initial_symbols_col(word):
+    """Characters of ``word``, last one suffixed with the end-of-word
+    marker: 'ab' → ['a', 'b</w>'].  Empty words → empty array."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.when(n == 0, chars).otherwise(
+        F.concat(
+            F.slice(chars, 1, n - F.lit(1)),
+            F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
+        )
+    )
+
+
+def _merge_fold(sym, left: str, right: str):
+    """Greedy left-to-right application of one merge rule to a symbol
+    array, as a row-local fold: append each symbol unless it is ``right``
+    and the accumulator currently ends in ``left`` — then the tail becomes
+    the merged token.  The merged token immediately re-participates as a
+    LEFT (so rule (a,a) turns 'aaaa' into [aa, aa]), which is exactly the
+    paper's re-pair semantics."""
+    merged = left + right
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - F.lit(1)), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency.  zip_with over two
+    shifted slices (O(n) per row — the kgram_join lesson), explode, one
+    groupBy SUM."""
+    n = F.size("sym")
+    width = n - F.lit(1)
+    pairs = F.zip_with(
+        F.slice("sym", 1, width),
+        F.slice("sym", 2, width),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        vocab.where(n >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus, distributed.
+
+    Returns the merge table as a small pandas frame (rank, left, right,
+    merged, pair_count) — it is tokenizer metadata (thousands of rows), not
+    data; callers broadcast it into ``bpe_token_stats``.  Stops early if
+    no pair remains (tiny corpora)."""
+    spark = docs.sparkSession
+    vocab = word_counts(docs, text_col).withColumn(
+        "sym", initial_symbols_col(F.col("word"))
+    ).select("sym", "freq")
+    vocab = prev_ck = cache.checkpoint(vocab)
+    merges: List[Tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, left, right, left + right, int(cnt)))
+        vocab = vocab.withColumn("sym", _merge_fold(F.col("sym"), left, right))
+        if (rank + 1) % checkpoint_every == 0:
+            # CC-loop discipline: checkpoint the new round, free ONLY the
+            # superseded round's blocks (never release_all — other
+            # operators' checkpoints are not ours to drop)
+            vocab = cache.checkpoint(vocab)
+            cache.free_checkpoint(prev_ck)
+            prev_ck = vocab
+    # everything is collected (merge list is plain Python) — the last
+    # checkpoint has no live dependents, free it on exit
+    cache.free_checkpoint(prev_ck)
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "merged", "pair_count"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential replica (shared rule definition for the oracle + fixtures)
+# ---------------------------------------------------------------------------
+
+
+def initial_symbols(word: str) -> Tuple[str, ...]:
+    if not word:
+        return ()
+    return tuple(word[:-1]) + (word[-1] + EOW,)
+
+
+def _apply_merge_seq(sym: Tuple[str, ...], left: str, right: str) -> Tuple[str, ...]:
+    out: List[str] = []
+    for s in sym:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def train_bpe_seq(
+    word_freqs: Dict[str, int], n_merges: int
+) -> List[Tuple[int, str, str, str, int]]:
+    """Pure-Python replica of ``train_bpe`` over a word→freq dict: same
+    pair counting, same (count desc, left asc, right asc) tie-break, same
+    greedy fold.  The driver gate compares the distributed trainer's output
+    to this, proving shuffle/fold/argmax plumbing."""
+    vocab: Dict[Tuple[str, ...], int] = {}
+    for w, f in word_freqs.items():
+        s = initial_symbols(w)
+        if s:
+            vocab[s] = vocab.get(s, 0) + f
+    merges: List[Tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: Dict[Tuple[str, str], int] = {}
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, cnt))
+        new_vocab: Dict[Tuple[str, ...], int] = {}
+        for sym, f in vocab.items():
+            ns = _apply_merge_seq(sym, left, right)
+            new_vocab[ns] = new_vocab.get(ns, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
+    """Tokenize one word with learned merge ranks: repeatedly merge the
+    lowest-rank adjacent pair (ties by position are impossible — equal
+    pairs merge in one pass, and distinct pairs never share a rank)."""
+    sym = list(initial_symbols(word))
+    while len(sym) >= 2:
+        best_rank, best_pair = None, None
+        for a, b in zip(sym, sym[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        sym = list(_apply_merge_seq(tuple(sym), best_pair[0], best_pair[1]))
+    return sym
+
+
+def bpe_token_stats(
+    docs: DataFrame, merges: pd.DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document BPE statistics under a learned merge table:
+    ``n_bpe_tokens``, ``n_words``, and ``bpe_per_word`` (the fertility
+    metric that decides whether a tokenizer fits a corpus).
+
+    The merge table rides the UDF closure (broadcast-sized tokenizer
+    metadata); the documents never shuffle — scan → mapInPandas → project.
+    A per-batch word→len memo exploits Zipf: each distinct word is encoded
+    once per Arrow batch."""
+    ranks = {
+        (r.left, r.right): int(r.rank) for r in merges.itertuples(index=False)
+    }
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema["doc_id"].dataType),
+            StructField("n_words", LongType()),
+            StructField("n_bpe_tokens", LongType()),
+        ]
+    )
+
+    def score(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        memo: Dict[str, int] = {}
+
+        def doc_tokens(text: str) -> int:
+            total = 0
+            for w in (text or "").lower().split():
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, ranks))
+                    memo[w] = n
+                total += n
+            return total
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": texts.map(
+                        lambda t: len((t or "").lower().split())
+                    ).astype("int64"),
+                    "n_bpe_tokens": texts.map(doc_tokens).astype("int64"),
+                }
+            )
+
+    stats = docs.select("doc_id", text_col).mapInPandas(score, out_schema)
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        F.round(
+            F.when(F.col("n_words") > 0, F.col("n_bpe_tokens") / F.col("n_words")),
+            6,
+        ).alias("bpe_per_word"),
+    )

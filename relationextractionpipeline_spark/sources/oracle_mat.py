@@ -1066,3 +1066,65 @@ def semantic_clusters(
         }
     )
     return _publish(out, dst)
+
+
+def bpe_aux(sf_dir: str, n_merges: int = 60) -> Dict[str, str]:
+    """Sequential BPE replica (operators/bpe.train_bpe_seq — the SHARED
+    algorithm definition) over the documents word counts: the learned merge
+    table plus per-document token statistics under it.
+
+    The gate on ``q_bpe_merges`` compares the DISTRIBUTED trainer (per-round
+    pair-count shuffle + argmax collect + fold apply + checkpoint loop)
+    against this single-threaded run — same counts, same (count desc, left,
+    right) tie-break, so any divergence is distribution machinery, not the
+    rule.  ``q_bpe_tokens`` then gates the broadcast/mapInPandas application
+    plumbing.  Filenames are parameter-suffixed (merge count) so a default
+    change can never serve stale merges."""
+    adir = aux_dir(sf_dir)
+    out = {
+        "merges": os.path.join(adir, f"bpe_merges_m{n_merges}.parquet"),
+        "tokens": os.path.join(adir, f"bpe_tokens_m{n_merges}.parquet"),
+    }
+    if all(os.path.exists(p) for p in out.values()):
+        return out
+    from relationextractionpipeline_spark.operators import bpe
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    freqs: Dict[str, int] = {}
+    for t in docs["text"]:
+        for w in (t or "").lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = bpe.train_bpe_seq(freqs, n_merges)
+    merges_pdf = pd.DataFrame(
+        merges, columns=["rank", "left", "right", "merged", "pair_count"]
+    )
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    memo: Dict[str, int] = {}
+
+    def doc_tokens(text: str) -> int:
+        total = 0
+        for w in (text or "").lower().split():
+            n = memo.get(w)
+            if n is None:
+                n = len(bpe.encode_word(w, ranks))
+                memo[w] = n
+            total += n
+        return total
+
+    n_words = docs["text"].map(lambda t: len((t or "").lower().split()))
+    n_tok = docs["text"].map(doc_tokens)
+    tokens_pdf = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "n_words": n_words.astype("int64"),
+            "n_bpe_tokens": n_tok.astype("int64"),
+            "bpe_per_word": [
+                round(t / w, 6) if w else None for t, w in zip(n_tok, n_words)
+            ],
+        }
+    )
+    _publish(merges_pdf, out["merges"])
+    _publish(tokens_pdf, out["tokens"])
+    return out

@@ -1,0 +1,112 @@
+"""BPE tokenizer training (operators/bpe.py): sequential rule fixtures +
+distributed ≡ sequential equality + application stats."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import bpe
+
+
+SENNRICH_FREQS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_train_seq_on_the_paper_example():
+    merges = bpe.train_bpe_seq(SENNRICH_FREQS, 4)
+    # round 0: (e,s) and (s,t</w>) tie at 9 — lexicographic tie-break
+    # picks (e,s); then (es,t</w>) 9, then (est</w>,?) vs (l,o) 7 ...
+    assert merges[0][1:4] == ("e", "s", "es")
+    assert merges[0][4] == 9
+    assert merges[1][1:4] == ("es", "t</w>", "est</w>")
+    assert merges[1][4] == 9
+    assert merges[2][1:4] == ("l", "o", "lo")
+    assert merges[2][4] == 7
+    # ranks are dense from 0
+    assert [m[0] for m in merges] == [0, 1, 2, 3]
+
+
+def test_greedy_fold_matches_seq_on_overlaps(spark):
+    # rule (a,a) over 'aaaa' must give [aa, aa]; over 'aaa' → [aa, a</w>]
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+    out = df.select(
+        bpe._merge_fold(bpe.initial_symbols_col(F.col("word")), "a", "a").alias("s")
+    ).collect()
+    # distributed fold ≡ sequential fold, per word (the sequential fold's
+    # own semantics are pinned by test_train_seq_on_the_paper_example)
+    for row, word in zip(out, ["aaaa", "aaa"]):
+        assert tuple(row["s"]) == bpe._apply_merge_seq(
+            bpe.initial_symbols(word), "a", "a"
+        )
+
+
+def test_initial_symbols_edges(spark):
+    df = spark.createDataFrame([("x",), ("ab",)], "word string")
+    got = [r["s"] for r in df.select(
+        bpe.initial_symbols_col(F.col("word")).alias("s")).collect()]
+    assert got == [["x</w>"], ["a", "b</w>"]]
+    assert bpe.initial_symbols("") == ()
+
+
+def test_distributed_training_equals_sequential(spark):
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest widest",
+        "newest newest newest widest widest",
+        "the low bar and the newest bar",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = {
+        r["word"]: r["freq"] for r in bpe.word_counts(docs).collect()
+    }
+    expect = bpe.train_bpe_seq(wc, 12)
+    got = bpe.train_bpe(docs, 12, checkpoint_every=4)
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+
+
+def test_train_stops_early_when_no_pairs_remain(spark):
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    merges = bpe.train_bpe(docs, 50)
+    # single-char words: nothing to merge at all
+    assert len(merges) == 0
+
+
+def test_encode_word_reproduces_training_segmentation():
+    merges = bpe.train_bpe_seq(SENNRICH_FREQS, 10)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    # replay training's folds on each word and compare with rank-apply
+    for word in SENNRICH_FREQS:
+        sym = bpe.initial_symbols(word)
+        for _, left, right, _, _ in merges:
+            sym = bpe._apply_merge_seq(sym, left, right)
+        assert tuple(bpe.encode_word(word, ranks)) == sym
+    # unseen word still tokenizes (falls back toward characters)
+    assert bpe.encode_word("zzz", ranks) == ["z", "z", "z</w>"]
+
+
+def test_bpe_token_stats_matches_sequential(spark):
+    texts = ["low lower newest", "widest widest low", "", "LOW Newest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_pdf = pd.DataFrame(
+        bpe.train_bpe_seq(SENNRICH_FREQS, 6),
+        columns=["rank", "left", "right", "merged", "pair_count"],
+    )
+    ranks = {(r.left, r.right): int(r.rank)
+             for r in merges_pdf.itertuples(index=False)}
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["bpe_per_word"])
+           for r in bpe.bpe_token_stats(docs, merges_pdf).collect()}
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        n_tok = sum(len(bpe.encode_word(w, ranks)) for w in ws)
+        assert got[i][0] == len(ws)
+        assert got[i][1] == n_tok
+        if ws:
+            assert got[i][2] == pytest.approx(round(n_tok / len(ws), 6))
+        else:
+            assert got[i][2] is None
