@@ -1427,6 +1427,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_bpe_tokens"] = q_bpe_tokens
 
+    def q_bpe_vocab(spark, sf_dir):
+        """The shipped tokenizer artifact: subword vocabulary with corpus
+        occurrence counts.  Encoding runs over the unique-WORD table (each
+        distinct word encoded once, weighted by its frequency), then one
+        weighted groupBy over exploded subword tokens — the same
+        corpus-to-vocab collapse as training, so document count never
+        touches the encode cost."""
+        if _small_scale(sf_dir):
+            oracle_mat.bpe_vocab_aux(sf_dir, n_merges=60)
+        d = _read(spark, sf_dir, "documents")
+        merges = bpe.train_bpe(d, 60)
+        return bpe.bpe_vocab(d, merges).select("token", "freq")
+
+    q["q_bpe_vocab"] = q_bpe_vocab
+
     def q_repetition(spark, sf_dir):
         """Gopher-style within-document repetition filter: duplicate-word
         fraction (pure array ops) + most-frequent-bigram fraction (explode
@@ -2317,6 +2332,10 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_tokens": f"""
             SELECT doc_id, n_words, n_bpe_tokens, bpe_per_word
             FROM read_parquet('{aux}/bpe_tokens_m60.parquet')
+        """,
+        "q_bpe_vocab": f"""
+            SELECT token, freq
+            FROM read_parquet('{aux}/bpe_vocab_m60.parquet')
         """,
         "q_repetition": """
             WITH base AS (

@@ -261,6 +261,48 @@ def encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
     return sym
 
 
+def bpe_vocab(
+    docs: DataFrame, merges: pd.DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus subword vocabulary under a learned merge table: one row per
+    BPE token with its total corpus occurrence count — the artifact a
+    tokenizer ships with, and the coverage diagnostic (which merges earn
+    their slot).
+
+    Same distribution shape as training's step 1: encode per word AFTER
+    collapsing the corpus to its unique-word table (encode each distinct
+    word once, weighted by frequency — not once per occurrence), explode
+    the symbols, one weighted groupBy.  The pandas UDF crosses Arrow with
+    (word, freq) rows only."""
+    ranks = {
+        (r.left, r.right): int(r.rank) for r in merges.itertuples(index=False)
+    }
+
+    out_schema = StructType(
+        [
+            StructField("token", StringType()),
+            StructField("freq", LongType()),
+        ]
+    )
+
+    def encode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            toks: List[str] = []
+            freqs: List[int] = []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                for t in encode_word(w, ranks):
+                    toks.append(t)
+                    freqs.append(int(f))
+            yield pd.DataFrame({"token": toks, "freq": freqs})
+
+    return (
+        word_counts(docs, text_col)
+        .mapInPandas(encode, out_schema)
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
 def bpe_token_stats(
     docs: DataFrame, merges: pd.DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -1128,3 +1128,33 @@ def bpe_aux(sf_dir: str, n_merges: int = 60) -> Dict[str, str]:
     _publish(merges_pdf, out["merges"])
     _publish(tokens_pdf, out["tokens"])
     return out
+
+
+def bpe_vocab_aux(sf_dir: str, n_merges: int = 60) -> str:
+    """Sequential subword-vocabulary replica for q_bpe_vocab: encode each
+    distinct word once with the sequential trainer's merges, weight by
+    corpus frequency, sum per token."""
+    adir = aux_dir(sf_dir)
+    dst = os.path.join(adir, f"bpe_vocab_m{n_merges}.parquet")
+    if os.path.exists(dst):
+        return dst
+    from relationextractionpipeline_spark.operators import bpe
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    freqs: Dict[str, int] = {}
+    for t in docs["text"]:
+        for w in (t or "").lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    ranks = {
+        (m[1], m[2]): m[0] for m in bpe.train_bpe_seq(freqs, n_merges)
+    }
+    vocab: Dict[str, int] = {}
+    for w, f in freqs.items():
+        for tok in bpe.encode_word(w, ranks):
+            vocab[tok] = vocab.get(tok, 0) + f
+    out = pd.DataFrame(
+        {"token": list(vocab.keys()), "freq": list(vocab.values())}
+    ).astype({"freq": "int64"})
+    return _publish(out, dst)

@@ -110,3 +110,28 @@ def test_bpe_token_stats_matches_sequential(spark):
             assert got[i][2] == pytest.approx(round(n_tok / len(ws), 6))
         else:
             assert got[i][2] is None
+
+
+def test_bpe_vocab_matches_sequential(spark):
+    texts = ["low lower newest", "widest widest low low", "newest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_pdf = bpe.train_bpe(docs, 8)
+    ranks = {(r.left, r.right): int(r.rank)
+             for r in merges_pdf.itertuples(index=False)}
+    # sequential expectation: encode distinct words, weight by frequency
+    freqs = {}
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    expect = {}
+    for w, f in freqs.items():
+        for tok in bpe.encode_word(w, ranks):
+            expect[tok] = expect.get(tok, 0) + f
+    got = {r["token"]: r["freq"] for r in bpe.bpe_vocab(docs, merges_pdf).collect()}
+    assert got == expect
+    # token mass conservation: vocab freq total == total encoded tokens
+    assert sum(got.values()) == sum(
+        len(bpe.encode_word(w, ranks)) * f for w, f in freqs.items()
+    )
