@@ -66,6 +66,11 @@ def parse_args(argv):
                         "NEs only, adjacent spans fused)")
     p.add_argument("--cpus", type=int, default=os.cpu_count())
     p.add_argument("--master", default=None)
+    p.add_argument("--table-format", default="parquet",
+                   choices=["parquet", "snapshot"],
+                   help="graph/analytics table store: plain parquet dirs, "
+                        "or the snapshot format (versioned manifests, "
+                        "atomic commits, time travel — sources/snapshots)")
     p.add_argument("--graph", action="store_true",
                    help="also canonicalize + write entities/edges tables")
     p.add_argument("--analytics", action="store_true",
@@ -221,7 +226,12 @@ def main(argv=None) -> int:
     n_triples = spark.read.parquet(os.path.join(args.out, "triples")).count()
 
     if args.graph:
-        from relationextractionpipeline_spark.sources.tableio import TableIO
+        if args.table_format == "snapshot":
+            from relationextractionpipeline_spark.sources.snapshots import (
+                SnapshotTableIO as TableIO,
+            )
+        else:
+            from relationextractionpipeline_spark.sources.tableio import TableIO
 
         if "entities" in run:
             # checkpointed mode already materialized the graph stages under
