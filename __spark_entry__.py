@@ -1720,6 +1720,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sample_deterministic"] = q_sample_deterministic
 
+    def q_shuffle_order(spark, sf_dir):
+        """Deterministic global training-order shuffle: shuffle_pos is the
+        row's position under sort-by-(md5 hash, key) — pure function of
+        keys and salt (epoch N = new salt), invariant to partitioning, so
+        a restarted loader resumes mid-epoch in the same order.  Two-phase
+        rank (range partition → local row_number → n_partitions-row offset
+        broadcast) — no single-reducer global window."""
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        return sampling.shuffle_deterministic(d, "doc_id").select(
+            "doc_id", "shuffle_pos"
+        )
+
+    q["q_shuffle_order"] = q_shuffle_order
+
     def q_sample_stratified(spark, sf_dir):
         from relationextractionpipeline_spark.operators import sampling
 
@@ -2487,6 +2503,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
                   < {_sampling.threshold(0.2)}
+        """,
+        "q_shuffle_order": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY ('0x' || substr(
+                           md5(doc_id::VARCHAR || ':epoch0'), 1, 8))::BIGINT
+                           ASC,
+                           doc_id ASC
+                   ) - 1 AS shuffle_pos
+            FROM documents
         """,
         "q_sample_stratified": f"""
             SELECT doc_id, lang FROM documents

@@ -140,3 +140,55 @@ def train_val_split(
     h = hash_bucket(F.col(key_col), salt)
     t = F.lit(threshold(val_fraction))
     return df.where(h >= t), df.where(h < t)
+
+
+def shuffle_deterministic(
+    df: DataFrame, key_col: str, salt: str = "epoch0"
+) -> DataFrame:
+    """Global deterministic pseudo-random training order: adds
+    ``shuffle_pos`` — the row's 0-based position when the whole corpus is
+    sorted by ``(hash_bucket(key, salt), key)``.  The order is a pure
+    function of keys and salt (epoch N reshuffles with a new salt), never
+    of partitioning or RNG state — the property a resumable training
+    loader needs (restart mid-epoch, same order).
+
+    Scale shape: a single ``Window.orderBy`` would collapse to one
+    partition, so this uses the pack_sequences two-phase rank:
+    ``repartitionByRange`` on the hash (global order across partitions,
+    sampled boundaries affect placement only) → per-partition
+    ``row_number`` → per-partition counts prefix-summed over
+    n_partitions rows and broadcast back.  Only (key, hash) drives the
+    shuffle; payload columns ride along once.  The range-bucketed frame is
+    checkpointed for the same reason as pack_sequences: both branches must
+    read ONE materialization of the sampled boundaries (caller frees via
+    ``cache.release_all(checkpoints=True)``)."""
+    from pyspark.sql import Window
+
+    from . import cache
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    h = hash_bucket(F.col(key_col), salt)
+    parted = cache.checkpoint(
+        df.withColumn("_h", h)
+        .repartitionByRange(max(nparts, 2), F.col("_h"), F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("_pid").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    local = parted.withColumn("_rn", F.row_number().over(w_in))
+    w_off = (
+        Window.orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_pcnt"))
+        .withColumn("_off", F.coalesce(F.sum("_pcnt").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("shuffle_pos", F.col("_off") + F.col("_rn") - F.lit(1))
+        .drop("_h", "_pid", "_rn", "_off")
+    )

@@ -60,6 +60,10 @@ def test_release_all_frees_operator_caches(spark, tiny_paths):
     from relationextractionpipeline_spark.operators import graphalgs, packing
 
     packing.pack_documents(docs, 64).count()
+    from relationextractionpipeline_spark.operators import bpe, sampling
+
+    sampling.shuffle_deterministic(docs, "doc_id").count()  # checkpointed buckets
+    bpe.train_bpe(docs, 6)  # per-round checkpoint rotation frees itself
     tiny_edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
         "src string, dst string",

@@ -112,3 +112,49 @@ def test_temperature_sample_properties(spark):
         df.repartition(7), "doc_id", "lang", alpha=0.3
     ).toPandas()
     assert set(kept.doc_id) == set(again.doc_id)
+
+
+def test_shuffle_deterministic_is_a_permutation_and_partition_invariant(spark):
+    from pyspark.sql import Window
+
+    from relationextractionpipeline_spark.operators import cache
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("payload")
+    )
+    out = sampling.shuffle_deterministic(df.repartition(7), "doc_id")
+    rows = out.collect()
+    # exact permutation of 0..n-1
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(500))
+    # payload rides along unharmed
+    assert all(r["payload"] == r["doc_id"] * 3 for r in rows)
+    # equals the single-partition global window (the semantics oracle)
+    w = Window.orderBy(
+        sampling.hash_bucket(F.col("doc_id"), "epoch0").asc(),
+        F.col("doc_id").asc(),
+    )
+    expect = {
+        r["doc_id"]: r["pos"]
+        for r in df.coalesce(1)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .collect()
+    }
+    assert {r["doc_id"]: r["shuffle_pos"] for r in rows} == expect
+    # partition invariance: a different input layout, same order
+    again = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.shuffle_deterministic(
+            df.repartition(3), "doc_id"
+        ).collect()
+    }
+    assert again == expect
+    # a new salt (epoch) produces a different permutation
+    other = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.shuffle_deterministic(
+            df, "doc_id", salt="epoch1"
+        ).collect()
+    }
+    assert other != expect
+    assert sorted(other.values()) == list(range(500))
+    cache.release_all(checkpoints=True)

@@ -245,3 +245,24 @@ def test_streaming_triple_maintenance_over_snapshot_store(
     # snapshot-pinned resume: the pre-second-drain version still reads as
     # exactly the first half's extraction
     assert io.read("triples", version=v_after_first).count() == n_first
+
+
+def test_incremental_scan_returns_only_append_deltas(io, spark):
+    io.write(_df(spark, [("a", 1, 1)]), "t")
+    v1 = io.current_version("t")
+    io.append(_df(spark, [("b", 1, 2)]), "t")
+    io.append(_df(spark, [("c", 1, 3), ("d", 1, 4)]), "t")
+    v3 = io.current_version("t")
+    # delta (v1, v3]: exactly the two appends, never the base rows
+    delta = io.read_incremental("t", v1)
+    assert {r["k"] for r in delta.collect()} == {"b", "c", "d"}
+    # sub-range (v1, v2]
+    assert {r["k"] for r in io.read_incremental("t", v1, v1 + 1).collect()} == {"b"}
+    # empty range → empty frame with the table schema
+    empty = io.read_incremental("t", v3, v3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "version", "w"}
+    # a merge in the range breaks append-only semantics → explicit error
+    io.upsert(_df(spark, [("a", 2, 9)]), "t", keys=["k"], version_col="version")
+    with pytest.raises(ValueError, match="not append"):
+        io.read_incremental("t", v1)
