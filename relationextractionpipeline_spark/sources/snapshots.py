@@ -79,6 +79,10 @@ class Snapshot:
     data_dirs: List[str]
     schema_json: str
     row_count: int
+    # True once any retained data dir was written under an older (narrower)
+    # schema — tells the reader to pay parquet footer-merging at planning.
+    # Non-evolved tables keep the cheap single-schema scan.
+    evolved: bool = False
 
 
 def _manifest_name(version: int) -> str:
@@ -136,6 +140,7 @@ class SnapshotTableIO(TableIO):
             data_dirs=m["data_dirs"],
             schema_json=m["schema_json"],
             row_count=m["row_count"],
+            evolved=m.get("evolved", False),
         )
 
     def snapshot(
@@ -176,6 +181,7 @@ class SnapshotTableIO(TableIO):
         schema_json: str,
         row_count: int,
         expected_version: Optional[int],
+        evolved: bool = False,
     ) -> Snapshot:
         """Write manifest v(head+1), then atomically swap HEAD.
 
@@ -220,6 +226,7 @@ class SnapshotTableIO(TableIO):
                 data_dirs=data_dirs,
                 schema_json=schema_json,
                 row_count=row_count,
+                evolved=evolved,
             )
             manifest = os.path.join(meta, _manifest_name(version))
             tmp = manifest + ".tmp"
@@ -256,7 +263,13 @@ class SnapshotTableIO(TableIO):
         if self.use_iceberg:
             return super().read(name)
         snap = self.snapshot(name, version=version, as_of_ts=as_of_ts)
-        return self.spark.read.parquet(*snap.data_dirs)
+        reader = self.spark.read
+        if snap.evolved:
+            # heterogeneous file schemas in this snapshot (schema evolution):
+            # merge parquet footers so pre-evolution rows surface the added
+            # columns as null.  Non-evolved tables skip the footer pass.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*snap.data_dirs)
 
     def write(
         self,
@@ -299,24 +312,49 @@ class SnapshotTableIO(TableIO):
             except CommitConflict:
                 continue  # replace is last-wins; recompute token and retry
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(
+        self, df: DataFrame, name: str, allow_evolution: bool = False
+    ) -> None:
         """Metadata-only append: parent's data dirs + one new dir.  History
         never rewrites, so appending a micro-batch to a 100 TB table costs
         the micro-batch.  Column NAMES must match the table schema (order
-        free — parquet is name-resolved at read)."""
+        free — parquet is name-resolved at read) — unless
+        ``allow_evolution=True``, which is ADD-COLUMN schema evolution: the
+        batch must carry every existing column plus the new ones; the table
+        schema widens, prior rows read the new columns as null (no rewrite
+        of history — the Iceberg evolution model), and the snapshot is
+        marked so readers merge footers.  Dropping/renaming columns is
+        refused either way: those rewrite meaning, not just shape."""
         while True:
             expected = self.current_version(name)
             parent = self._load_manifest(name, expected)
-            _check_schema_names(parent.schema_json, df)
+            schema_json = parent.schema_json
+            evolved = parent.evolved
+            if allow_evolution:
+                old_names = {
+                    f["name"] for f in json.loads(parent.schema_json)["fields"]
+                }
+                missing = old_names - set(df.columns)
+                if missing:
+                    raise ValueError(
+                        f"schema evolution is add-column only; batch lacks "
+                        f"existing columns {sorted(missing)}"
+                    )
+                if set(df.columns) - old_names:
+                    schema_json = df.schema.json()
+                    evolved = True
+            else:
+                _check_schema_names(parent.schema_json, df)
             path, n = self._write_data_dir(df, name)
             try:
                 self._commit(
                     name,
                     parent.data_dirs + [path],
                     "append",
-                    parent.schema_json,
+                    schema_json,
                     parent.row_count + n,
                     expected,
+                    evolved=evolved,
                 )
                 return
             except CommitConflict:
@@ -397,7 +435,10 @@ class SnapshotTableIO(TableIO):
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema))
             )
-        return self.spark.read.parquet(*new_dirs)
+        reader = self.spark.read
+        if self.snapshot(name, version=to_version).evolved:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*new_dirs)
 
     # ---- history management --------------------------------------------------
 
@@ -414,6 +455,7 @@ class SnapshotTableIO(TableIO):
             target.schema_json,
             target.row_count,
             expected,
+            evolved=target.evolved,
         )
 
     def expire_snapshots(self, name: str, keep_last: int = 2) -> int:

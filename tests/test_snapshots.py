@@ -266,3 +266,41 @@ def test_incremental_scan_returns_only_append_deltas(io, spark):
     io.upsert(_df(spark, [("a", 2, 9)]), "t", keys=["k"], version_col="version")
     with pytest.raises(ValueError, match="not append"):
         io.read_incremental("t", v1)
+
+
+def test_schema_evolution_add_column(io, spark):
+    io.write(_df(spark, [("a", 1, 1)]), "t")
+    wide = spark.createDataFrame(
+        [("b", 1, 2, "de")], "k string, version long, w long, lang string"
+    )
+    # strict append refuses the wider batch...
+    with pytest.raises(ValueError, match="schema mismatch"):
+        io.append(wide, "t")
+    # ...evolution accepts it: history is NOT rewritten, old rows read null
+    io.append(wide, "t", allow_evolution=True)
+    got = {r["k"]: r["lang"] for r in io.read("t").collect()}
+    assert got == {"a": None, "b": "de"}
+    assert set(io.read("t").columns) == {"k", "version", "w", "lang"}
+    # time travel to v1 shows the pre-evolution schema untouched
+    assert set(io.read("t", version=1).columns) == {"k", "version", "w"}
+    # dropping an existing column is refused even under evolution
+    narrow = spark.createDataFrame([("c", 1)], "k string, version long")
+    with pytest.raises(ValueError, match="add-column only"):
+        io.append(narrow, "t", allow_evolution=True)
+    # post-evolution strict appends use the WIDENED schema
+    io.append(
+        spark.createDataFrame(
+            [("d", 1, 4, "en")], "k string, version long, w long, lang string"
+        ),
+        "t",
+    )
+    assert io.read("t").count() == 3
+    # and a merge over the evolved table reads/writes the union schema
+    io.upsert(
+        spark.createDataFrame(
+            [("a", 2, 9, "fr")], "k string, version long, w long, lang string"
+        ),
+        "t", keys=["k"], version_col="version",
+    )
+    head = {r["k"]: (r["w"], r["lang"]) for r in io.read("t").collect()}
+    assert head == {"a": (9, "fr"), "b": (2, "de"), "d": (4, "en")}
