@@ -1799,6 +1799,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_curate_corpus"] = q_curate_corpus
 
+    def q_training_mix(spark, sf_dir):
+        """The full last-mile assembly a pretraining loader consumes, as
+        ONE composition: exact-dedup survivors → temperature-flattened
+        language mixture (rates derived from the SURVIVOR counts) →
+        deterministic epoch shuffle → streaming-concatenation packing in
+        SHUFFLE order (packs follow the training order, not doc_id).
+        Every stage is individually oracled elsewhere; this gates the
+        composition — rate derivation over the right population, shuffle
+        feeding the pack order, column flow.  Scale shape: two metadata
+        shuffles (rank + pack cumsum over (id, size) pairs) plus one
+        equi-join back on the unique position key; text moves once."""
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        survivors = dedup.dedup_exact(d)
+        sampled = sampling.temperature_sample(survivors, "doc_id", "lang", alpha=0.3)
+        shuffled = sampling.shuffle_deterministic(sampled, "doc_id", salt="epoch0")
+        packed = packing.pack_documents(shuffled, ctx_len=512, id_col="shuffle_pos")
+        return (
+            shuffled.select("doc_id", "lang", "shuffle_pos")
+            .join(packed, "shuffle_pos")
+            .select(
+                "doc_id", "lang", "shuffle_pos", "n_tokens",
+                "pack_id", "offset_in_pack",
+            )
+        )
+
+    q["q_training_mix"] = q_training_mix
+
     # ---- multimodal plumbing (decode stubbed; md5-derived fake features) ---
     def q_multimodal_features(spark, sf_dir):
         path = multimodal.materialize_assets(os.path.join(DATA_DIR, "assets"))
@@ -2498,6 +2527,55 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON r.lang = d.lang
             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':'), 1, 8))::BIGINT
                   < r.thr
+        """,
+        "q_training_mix": f"""
+            WITH survivors AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            counts AS (
+                SELECT lang, count(*) AS n_s FROM survivors GROUP BY lang
+            ),
+            rates AS (
+                SELECT lang,
+                       CAST(floor(
+                           round(pow((SELECT min(n_s) FROM counts)::DOUBLE
+                                     / n_s, 0.7), 6)
+                           * 4294967296.0) AS BIGINT) AS thr
+                FROM counts
+            ),
+            sampled AS (
+                SELECT s.doc_id, s.lang, s.text
+                FROM survivors s JOIN rates r ON r.lang = s.lang
+                WHERE ('0x' || substr(md5(s.doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+                      < r.thr
+            ),
+            shuffled AS (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (
+                           ORDER BY ('0x' || substr(
+                               md5(doc_id::VARCHAR || ':epoch0'), 1, 8))::BIGINT
+                               ASC,
+                               doc_id ASC
+                       ) - 1 AS shuffle_pos
+                FROM sampled
+            ),
+            sized AS (
+                SELECT doc_id, lang, shuffle_pos,
+                       len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT
+                           AS n_tokens
+                FROM shuffled
+            ),
+            c AS (
+                SELECT *, (sum(n_tokens) OVER (
+                               ORDER BY shuffle_pos ROWS UNBOUNDED PRECEDING
+                           ) - n_tokens)::BIGINT AS cum_before
+                FROM sized
+            )
+            SELECT doc_id, lang, shuffle_pos, n_tokens,
+                   (cum_before // 512)::BIGINT AS pack_id,
+                   (cum_before % 512)::BIGINT AS offset_in_pack
+            FROM c
         """,
         "q_sample_deterministic": f"""
             SELECT doc_id, lang, n_chars FROM documents
