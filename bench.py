@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from relationextractionpipeline_spark.operators import cache  # noqa: E402
 from relationextractionpipeline_spark.session import get_spark  # noqa: E402
 from relationextractionpipeline_spark.sources import testgen  # noqa: E402
 
@@ -56,6 +57,11 @@ BENCH_QUERIES = [
     "q_embed_topk_ivfpq",
     "q_sample_deterministic",
     "q_multimodal_features",
+    # round-4 fifth session (new keys only — existing keys untouched for
+    # cross-round comparability)
+    "q_bpe_tokens",
+    "q_shuffle_order",
+    "q_training_mix",
 ]
 
 
@@ -133,8 +139,12 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             # sketch/ANN operators persist() intermediates scoped to one
             # query; drop them so repeated queries don't accumulate storage
-            # memory (and so reps re-measure real work, not the cache)
+            # memory (and so reps re-measure real work, not the cache).
+            # release_all(checkpoints=True) additionally frees the
+            # localCheckpoint tails (pack/shuffle/BPE) that clearCache
+            # cannot touch (RDD-owned blocks).
             spark.catalog.clearCache()
+            cache.release_all(checkpoints=True)
         timings[name] = round(best, 3)
 
     # ---- ANN recall@k vs the exact baseline (untimed): the observability
@@ -147,6 +157,7 @@ def main() -> None:
         for q_, n_ in zip(pdf["query_id"], pdf["neighbor_id"]):
             d.setdefault(q_, set()).add(n_)
         spark.catalog.clearCache()
+        cache.release_all(checkpoints=True)
         return d
 
     exact = _topk_sets("q_embed_topk")

@@ -18,6 +18,7 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from relationextractionpipeline_spark.operators import cache  # noqa: E402
 from relationextractionpipeline_spark.session import get_spark  # noqa: E402
 
 TABLES = [
@@ -74,7 +75,10 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             continue
         finally:
-            spark.catalog.clearCache()  # per-query persist() scope
+            # per-query persist() scope + checkpoint tails (clearCache alone
+            # never frees localCheckpoint blocks — they are RDD-owned)
+            spark.catalog.clearCache()
+            cache.release_all(checkpoints=True)
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows, {len(sdf.columns)} cols "
