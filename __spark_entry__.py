@@ -877,6 +877,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_functionality"] = kg_functionality
 
+    def kg_rules(spark, sf_dir):
+        """AMIE-style 1-hop horn rule mining over the canonical fact set
+        (operators/ontology.mine_rules): body(x,y) => head(x,y) and
+        body(x,y) => head(y,x) with support / confidence / head-coverage,
+        the rule table a KB-completion or consistency stage consumes.
+        Self-joins key on the entity pair (group size bounded by the
+        predicate vocabulary); full SQL oracle (sequential triples ×
+        union-find keymap × predicate clusters)."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        graph = pipeline.materialize_graph(run)
+        return ontology.mine_rules(graph["edges"], min_support=2)
+
+    q["kg_rules"] = kg_rules
+
+    def kg_salience(spark, sf_dir):
+        """Per-conversation TF-IDF entity salience over the canonical edge
+        table (operators/ontology.entity_salience): the top-5 entities a
+        conversation is about, corpus-ubiquity down-weighted — the
+        conversation-indexing rollup.  Full SQL oracle."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        graph = pipeline.materialize_graph(run)
+        return ontology.entity_salience(graph["edges"], top_k=5)
+
+    q["kg_salience"] = kg_salience
+
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
         conversation reach, mean turn length)."""
@@ -1218,6 +1252,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_quality"] = q_quality
+
+    def q_gopher_rules(spark, sf_dir):
+        """The Gopher quality-rule battery (Rae et al. 2021 A1.1) as named
+        boolean columns plus the pass_gopher conjunction — the published
+        heuristic filter suite most pretraining curation starts from,
+        kept per-rule so pass rates can be ablated
+        (operators/quality.with_gopher_rules).  All row-local native
+        Columns, zero shuffle; full SQL oracle."""
+        d = _read(spark, sf_dir, "documents")
+        return quality.with_gopher_rules(d, min_words=50).select(
+            "doc_id",
+            "n_words",
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_bullet_lines",
+            "rule_ellipsis_lines",
+            "rule_alpha_words",
+            "rule_stopwords",
+            "pass_gopher",
+        )
+
+    q["q_gopher_rules"] = q_gopher_rules
+
+    def q_quality_classifier(spark, sf_dir):
+        """fastText-style hashed-n-gram logistic-regression quality
+        classifier (operators/classifier.py): trained AS A SPARK JOB by
+        full-batch GD (per-iteration margin/gradient shuffles over the
+        persisted feature table, only the 256-row gradient crossing to
+        the driver), then swept over the corpus with a broadcast weight
+        join.  Supervision here: the generator's lang='en' flag — the
+        seed-set-vs-pool shape of FineWeb-Edu-style quality scoring.
+        Full SQL oracle: a sequential numpy replica trains the same
+        math contract (oracle_mat.classifier_weights) and DuckDB
+        re-derives the scoring relationally from its weights; round-6
+        absorbs float-sum-order drift between the two trainings."""
+        from relationextractionpipeline_spark.operators import classifier
+
+        if _small_scale(sf_dir):
+            oracle_mat.classifier_weights(sf_dir)  # weights for the oracle
+        d = _read(spark, sf_dir, "documents")
+        w, b = classifier.train_quality_classifier(
+            d, F.col("lang") == "en", n_buckets=256, n_iter=30, lr=1.0
+        )
+        return classifier.score_quality(d, w, b)
+
+    q["q_quality_classifier"] = q_quality_classifier
+
+    def q_c4_rules(spark, sf_dir):
+        """The C4 cleaning battery (Raffel et al. 2020 §2.2,
+        operators/quality.with_c4_rules): line-level retention (terminal
+        punctuation + >= 3 words) REBUILDING the page text, plus the
+        page-level sentence-count / lorem-ipsum / curly-brace flags.
+        All row-local native Columns; full SQL oracle."""
+        d = _read(spark, sf_dir, "documents")
+        return quality.with_c4_rules(d).select(
+            "doc_id",
+            "n_lines",
+            "n_lines_kept",
+            "n_sentences",
+            "rule_min_sentences",
+            "rule_no_lorem",
+            "rule_no_braces",
+            "pass_c4",
+            "c4_text",
+        )
+
+    q["q_c4_rules"] = q_c4_rules
 
     def q_quality_quantiles(spark, sf_dir):
         """Per-language exact quality-score quantiles (p25/p50/p75/p90) —
@@ -1720,6 +1822,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sample_deterministic"] = q_sample_deterministic
 
+    def q_sample_dsir(spark, sf_dir):
+        """DSIR importance resampling (Xie et al. 2023) — per-document
+        hashed-n-gram log importance weights toward a target subcorpus
+        (here: the generator's lang='en' documents), the data-selection
+        score modern pretraining mixes are built from
+        (operators/sampling.dsir_weights).  Full SQL oracle (the md5
+        bucket hash and the smoothed bucket distributions replay
+        relationally in DuckDB)."""
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        return sampling.dsir_weights(
+            d, F.col("lang") == "en", n_buckets=256
+        ).select("doc_id", "n_grams", "dsir_logweight", "selected")
+
+    q["q_sample_dsir"] = q_sample_dsir
+
     def q_shuffle_order(spark, sf_dir):
         """Deterministic global training-order shuffle: shuffle_pos is the
         row's position under sort-by-(md5 hash, key) — pure function of
@@ -2114,6 +2233,156 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_langid": f"SELECT doc_id, {langid_case} AS lang_pred FROM documents",
+        "q_gopher_rules": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS w,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       length(text) AS n_chars,
+                       CASE WHEN len(w) > 0
+                            THEN (length(text) - (len(w) - 1)) * 1.0 / len(w)
+                            ELSE 0.0 END AS mean_wl,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines,
+                           x -> substr(trim(x), 1, 1) IN ('-', '*', '•')))
+                           AS n_bullet,
+                       len(list_filter(lines, x -> trim(x) LIKE '%...'))
+                           AS n_ellipsis,
+                       len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                           AS n_alpha,
+                       len(list_intersect(list_distinct(w),
+                           ['the', 'be', 'to', 'of', 'and', 'that',
+                            'have', 'with'])) AS n_stop
+                FROM base
+            ),
+            r AS (
+                SELECT doc_id, n_words,
+                       (n_words >= 50 AND n_words <= 100000)
+                           AS rule_word_count,
+                       (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                           AS rule_mean_word_len,
+                       CASE WHEN n_words > 0
+                            THEN n_symbols * 1.0 / n_words <= 0.1
+                            ELSE FALSE END AS rule_symbol_ratio,
+                       CASE WHEN n_lines > 0
+                            THEN n_bullet * 1.0 / n_lines <= 0.9
+                            ELSE TRUE END AS rule_bullet_lines,
+                       CASE WHEN n_lines > 0
+                            THEN n_ellipsis * 1.0 / n_lines <= 0.3
+                            ELSE TRUE END AS rule_ellipsis_lines,
+                       CASE WHEN n_words > 0
+                            THEN n_alpha * 1.0 / n_words >= 0.8
+                            ELSE FALSE END AS rule_alpha_words,
+                       (n_stop >= 2) AS rule_stopwords
+                FROM m
+            )
+            SELECT *,
+                   (rule_word_count AND rule_mean_word_len
+                    AND rule_symbol_ratio AND rule_bullet_lines
+                    AND rule_ellipsis_lines AND rule_alpha_words
+                    AND rule_stopwords) AS pass_gopher
+            FROM r
+        """,
+        "q_c4_rules": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, text, lines,
+                       list_filter(lines,
+                           x -> regexp_matches(trim(x), '[.!?"]$')
+                                AND len(regexp_split_to_array(trim(x),
+                                        '\\s+')) >= 3) AS kept
+                FROM base
+            ),
+            m AS (
+                SELECT doc_id, text, len(lines) AS n_lines,
+                       len(kept) AS n_lines_kept,
+                       list_aggregate(kept, 'string_agg', chr(10))
+                           AS c4_text_raw
+                FROM k
+            ),
+            r AS (
+                SELECT doc_id, n_lines, n_lines_kept,
+                       coalesce(c4_text_raw, '') AS c4_text,
+                       len(regexp_extract_all(
+                           coalesce(c4_text_raw, ''), '[.!?]'))
+                           AS n_sentences,
+                       NOT contains(lower(text), 'lorem ipsum')
+                           AS rule_no_lorem,
+                       NOT contains(text, '{') AS rule_no_braces
+                FROM m
+            )
+            SELECT doc_id, n_lines, n_lines_kept, n_sentences,
+                   (n_sentences >= 5) AS rule_min_sentences,
+                   rule_no_lorem, rule_no_braces,
+                   (n_lines_kept > 0 AND n_sentences >= 5
+                    AND rule_no_lorem AND rule_no_braces) AS pass_c4,
+                   c4_text
+            FROM r
+        """,
+        "q_quality_classifier": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(w) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                FROM toks, UNNEST(range(1, len(w))) AS r(i)
+                WHERE len(w) >= 2
+            ),
+            occ AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g || ':qcls'), 1, 8))::BIGINT
+                           % 256 AS bucket,
+                       count(*) AS m
+                FROM grams GROUP BY 1, 2
+            ),
+            n AS (SELECT doc_id, sum(m) AS n FROM occ GROUP BY 1),
+            wt AS (
+                SELECT bucket, weight
+                FROM read_parquet('{aux}/qcls_w_b256i30lr100.parquet')
+                WHERE bucket >= 0
+            ),
+            bias AS (
+                SELECT weight AS b
+                FROM read_parquet('{aux}/qcls_w_b256i30lr100.parquet')
+                WHERE bucket = -1
+            ),
+            dots AS (
+                SELECT occ.doc_id, sum(occ.m)::BIGINT AS n_grams,
+                       sum(occ.m * wt.weight / n.n) AS dot
+                FROM occ
+                JOIN n USING (doc_id)
+                JOIN wt USING (bucket)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(dots.n_grams, 0)::BIGINT AS n_grams,
+                   round(1.0 / (1.0
+                       + exp(-(bias.b + coalesce(dots.dot, 0.0)))), 6)
+                       AS qc_score,
+                   (1.0 / (1.0 + exp(-(bias.b + coalesce(dots.dot, 0.0))))
+                       >= 0.5) AS qc_label
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN bias
+            LEFT JOIN dots USING (doc_id)
+        """,
         "q_quality": f"""
             SELECT doc_id,
                    round({punct_ratio}, 6) AS punct_ratio,
@@ -2582,6 +2851,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
                   < {_sampling.threshold(0.2)}
         """,
+        "q_sample_dsir": """
+            WITH toks AS (
+                SELECT doc_id, (lang = 'en') AS tgt,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, tgt, unnest(w) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, tgt, w[i] || ' ' || w[i+1] AS g
+                FROM toks, UNNEST(range(1, len(w))) AS r(i)
+                WHERE len(w) >= 2
+            ),
+            occ AS (
+                SELECT doc_id, tgt,
+                       ('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT
+                           % 256 AS bucket,
+                       count(*) AS m
+                FROM grams GROUP BY 1, 2, 3
+            ),
+            dist AS (
+                SELECT bucket, sum(m) AS c_raw,
+                       coalesce(sum(m) FILTER (tgt), 0) AS c_t
+                FROM occ GROUP BY 1
+            ),
+            tot AS (SELECT sum(c_raw) AS tr, sum(c_t) AS tt FROM dist),
+            ratio AS (
+                SELECT bucket,
+                       ln((c_t + 0.5) / (tt + 128.0))
+                         - ln((c_raw + 0.5) / (tr + 128.0)) AS lr
+                FROM dist CROSS JOIN tot
+            ),
+            sc AS (
+                SELECT o.doc_id, sum(o.m)::BIGINT AS n_grams,
+                       sum(o.m * r.lr) AS w
+                FROM occ o JOIN ratio r USING (bucket) GROUP BY 1
+            )
+            SELECT t.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+                   round(coalesce(sc.w, 0.0), 6) AS dsir_logweight,
+                   (coalesce(sc.w, 0.0) > 0) AS selected
+            FROM (SELECT doc_id FROM toks) t LEFT JOIN sc USING (doc_id)
+        """,
         "q_shuffle_order": """
             SELECT doc_id,
                    row_number() OVER (
@@ -2951,6 +3264,80 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) FILTER (WHERE n_objects = 1))::DOUBLE
                          / count(*), 6) AS functionality
             FROM per_subj GROUP BY 1
+        """,
+        "kg_rules": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS p,
+                       ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            facts AS (SELECT DISTINCT p, s, o FROM e),
+            np AS (SELECT p, count(*) AS n FROM facts GROUP BY p),
+            same AS (
+                SELECT b.p AS body_pred, h.p AS head_pred,
+                       'same' AS direction, count(*) AS support
+                FROM facts b JOIN facts h
+                  ON b.s = h.s AND b.o = h.o AND b.p <> h.p
+                GROUP BY 1, 2
+            ),
+            inv AS (
+                SELECT b.p AS body_pred, h.p AS head_pred,
+                       'inverse' AS direction, count(*) AS support
+                FROM facts b JOIN facts h ON b.s = h.o AND b.o = h.s
+                WHERE b.p <> h.p OR b.s <> b.o
+                GROUP BY 1, 2
+            ),
+            rules AS (SELECT * FROM same UNION ALL SELECT * FROM inv)
+            SELECT r.body_pred, r.head_pred, r.direction, r.support,
+                   nb.n AS n_body_pairs,
+                   round(r.support * 1.0 / nb.n, 6) AS confidence,
+                   round(r.support * 1.0 / nh.n, 6) AS head_coverage
+            FROM rules r
+            JOIN np nb ON nb.p = r.body_pred
+            JOIN np nh ON nh.p = r.head_pred
+            WHERE r.support >= 2
+        """,
+        "kg_salience": f"""
+            WITH e AS (
+                SELECT t.conv_id,
+                       ks.canonical_id AS s_c, ko.canonical_id AS o_c
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+            ),
+            ends AS (
+                SELECT conv_id, s_c AS entity FROM e WHERE s_c IS NOT NULL
+                UNION ALL
+                SELECT conv_id, o_c FROM e WHERE o_c IS NOT NULL
+            ),
+            tf AS (
+                SELECT conv_id, entity, count(*) AS tf
+                FROM ends GROUP BY 1, 2
+            ),
+            df AS (SELECT entity, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT conv_id) AS n_convs FROM tf),
+            scored AS (
+                SELECT tf.conv_id, tf.entity, tf.tf, df.df,
+                       round(tf.tf * ln(n.n_convs * 1.0 / df.df), 6)
+                           AS salience
+                FROM tf JOIN df USING (entity) CROSS JOIN n
+            )
+            SELECT conv_id, entity, tf, df, salience, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id
+                    ORDER BY salience DESC, entity ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 5
         """,
         "kg_assembly": f"""
             SELECT conv_id, count(*) AS n_turns,

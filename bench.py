@@ -62,6 +62,15 @@ BENCH_QUERIES = [
     "q_bpe_tokens",
     "q_shuffle_order",
     "q_training_mix",
+    # round-4 sixth session (kg_rules/kg_salience stay out like the other
+    # graph-tail queries — they re-run the full pipeline + CC and would
+    # double bench wall-clock for no new signal beyond kg_triples/kg_links)
+    "q_gopher_rules",
+    "q_sample_dsir",
+    "q_c4_rules",
+    # q_quality_classifier stays out: 30 GD iterations are ~60 Spark jobs
+    # of fixed scheduling overhead — a bench line would measure the
+    # local-mode job launch path, not the engine (the parity gate times it)
 ]
 
 

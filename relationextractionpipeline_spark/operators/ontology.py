@@ -127,3 +127,174 @@ def functionality(
             F.avg(F.when(F.col("n_objects") == 1, 1.0).otherwise(0.0)), 6
         ).alias("functionality"),
     )
+
+def mine_rules(
+    edges: DataFrame,
+    pred_map: DataFrame | None = None,
+    min_support: int = 2,
+) -> DataFrame:
+    """AMIE-style 1-hop horn rules over the canonical edge table.
+
+    Mines both rule shapes a single body atom supports (Galarraga et al.
+    2013, AMIE):
+
+    * ``same``:    body(x, y) => head(x, y)
+    * ``inverse``: body(x, y) => head(y, x)  (body == head is the
+      symmetry test for a predicate)
+
+    over the DISTINCT resolved fact set (subj_canonical,
+    pred_canonical, obj_canonical) — multiplicity is evidence strength,
+    not logical truth, so facts dedup before mining.  Per rule:
+
+    * ``support``       = #distinct entity pairs satisfying body AND head
+    * ``confidence``    = support / #pairs satisfying the body (std conf)
+    * ``head_coverage`` = support / #pairs satisfying the head
+
+    The degenerate instantiation where the body atom IS the head fact
+    (inverse rules with body == head on a self-loop x == y) is excluded,
+    otherwise reflexive facts would certify their own symmetry.
+
+    Distributed shape: the fact table self-joins keyed on the ENTITY
+    PAIR — (s, o) for ``same``, (s, o) = (o', s') for ``inverse`` — so
+    each shuffle key's group is bounded by the predicate vocabulary on
+    that pair, never by corpus size; rule aggregation and the per-pred
+    denominators are dimension-sized (#pred^2 and #pred rows) and join
+    back by broadcast.  No all-pairs product anywhere; at 100 TB the
+    working set is the distinct-fact table moving through two hash
+    joins.  No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-quality surface.
+    """
+    linked = edges.where(
+        F.col("subj_canonical").isNotNull()
+        & F.col("obj_canonical").isNotNull()
+    )
+    if pred_map is not None:
+        linked = linked.join(F.broadcast(pred_map), "pred", "left")
+    facts = (
+        linked.select(
+            F.coalesce("pred_canonical", "pred").alias("p"),
+            F.col("subj_canonical").alias("s"),
+            F.col("obj_canonical").alias("o"),
+        )
+        .distinct()
+    )
+    n_pairs = facts.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+
+    body = facts.select(
+        F.col("p").alias("body_pred"), "s", "o"
+    )
+    head_same = facts.select(F.col("p").alias("head_pred"), "s", "o")
+    same = (
+        body.join(head_same, ["s", "o"])
+        .where(F.col("body_pred") != F.col("head_pred"))
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select("*", F.lit("same").alias("direction"))
+    )
+    head_inv = facts.select(
+        F.col("p").alias("head_pred"),
+        F.col("o").alias("s"),
+        F.col("s").alias("o"),
+    )
+    inverse = (
+        body.join(head_inv, ["s", "o"])
+        .where(
+            (F.col("body_pred") != F.col("head_pred"))
+            | (F.col("s") != F.col("o"))
+        )
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select("*", F.lit("inverse").alias("direction"))
+    )
+    rules = same.unionByName(inverse).where(
+        F.col("support") >= F.lit(int(min_support))
+    )
+    return (
+        rules.join(
+            F.broadcast(n_pairs.select(F.col("p").alias("body_pred"),
+                                       F.col("n").alias("n_body_pairs"))),
+            "body_pred",
+        )
+        .join(
+            F.broadcast(n_pairs.select(F.col("p").alias("head_pred"),
+                                       F.col("n").alias("n_head_pairs"))),
+            "head_pred",
+        )
+        .select(
+            "body_pred",
+            "head_pred",
+            "direction",
+            "support",
+            "n_body_pairs",
+            F.round(F.col("support") / F.col("n_body_pairs"), 6).alias(
+                "confidence"
+            ),
+            F.round(F.col("support") / F.col("n_head_pairs"), 6).alias(
+                "head_coverage"
+            ),
+        )
+    )
+
+def entity_salience(edges: DataFrame, top_k: int = 5) -> DataFrame:
+    """TF-IDF entity salience per conversation over the canonical edge
+    table: which entities a conversation is ABOUT, down-weighted by how
+    ubiquitous each entity is across the corpus.
+
+        tf(c, e)   = #edge endpoints of entity e in conversation c
+        df(e)      = #distinct conversations whose edges touch e
+        salience   = tf * ln(N / df),  N = #conversations with any edge
+
+    Returns the ``top_k`` entities per conversation ranked by
+    (salience desc, entity asc) — the deterministic headline row a
+    conversation-indexing or retrieval stage consumes.
+
+    Distributed shape: endpoints explode row-locally (2 rows per edge),
+    tf is one map-side-combined groupBy on (conv, entity); df is a
+    groupBy on the entity key joined back BY KEY (not broadcast — the
+    entity table can be billions of rows at corpus scale, so this stays
+    a hash join keyed on the entity); N is a single scalar aggregate;
+    the final window partitions by conversation, whose group size is
+    bounded by the per-conversation entity count, never the corpus.  No
+    reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77).
+    """
+    ends = (
+        edges.select(
+            "conv_id",
+            F.explode(
+                F.array(F.col("subj_canonical"), F.col("obj_canonical"))
+            ).alias("entity"),
+        )
+        .where(F.col("entity").isNotNull())
+    )
+    tf = ends.groupBy("conv_id", "entity").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("entity").agg(F.count(F.lit(1)).alias("df"))
+    n_convs = tf.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )
+    scored = (
+        tf.join(df, "entity")
+        .crossJoin(F.broadcast(n_convs))
+        .select(
+            "conv_id",
+            "entity",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_convs") / F.col("df")), 6
+            ).alias("salience"),
+        )
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("conv_id").orderBy(
+                F.desc("salience"), F.asc("entity")
+            )
+        )
+        .alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= F.lit(int(top_k)))

@@ -246,3 +246,138 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(t)).withColumn(
         "fp_bucket", F.substring(F.md5(t), 1, 4)
     )
+
+
+# The Gopher rule battery (Rae et al. 2021, appendix A1.1) — the published
+# heuristic filter suite most pretraining pipelines start from.  Constants
+# are the paper's, except the word-count floor which is a constructor arg
+# because the useful band is corpus-dependent.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLETS = ["-", "*", "•"]
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Named boolean columns, one per Gopher quality rule, plus the
+    conjunction ``pass_gopher`` — kept separate (not pre-folded into one
+    flag) because curation pipelines tune and ablate rules individually,
+    and a per-rule pass-rate rollup is the standard corpus diagnostic.
+
+    Rules (Rae et al. 2021): word count in [min_words, max_words]; mean
+    word length in [3, 10]; '#'/'...' symbol-to-word ratio <= 0.1; <= 90%
+    of lines bullet-initial; <= 30% of lines ellipsis-final; >= 80% of
+    words contain an alphabetic character; >= 2 distinct stopword hits.
+
+    Entirely native Columns over one scan — every rule is row-local
+    arithmetic on split arrays inside whole-stage codegen; the operator
+    adds zero shuffles at any scale.  No reference analog (the reference
+    stops at triple emission, de_pipeline/pipeline.py:69-77)."""
+    t = F.col(text_col)
+    w = F.when(
+        F.length(F.trim(t)) == 0, F.array().cast("array<string>")
+    ).otherwise(words(F.lower(t)))
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    mean_wl = F.when(
+        n_words > 0, (n_chars - (n_words - 1)) / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(
+        F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_arr = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.array_contains(
+                bullet_arr, F.substring(F.trim(ln), 1, 1)
+            ),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).endswith("..."))
+    )
+    n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(w), stop_arr))
+
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "rule_symbol_ratio": F.when(
+            n_words > 0, n_symbols / n_words <= 0.1
+        ).otherwise(F.lit(False)),
+        "rule_bullet_lines": F.when(
+            n_lines > 0, n_bullet / n_lines <= 0.9
+        ).otherwise(F.lit(True)),
+        "rule_ellipsis_lines": F.when(
+            n_lines > 0, n_ellipsis / n_lines <= 0.3
+        ).otherwise(F.lit(True)),
+        "rule_alpha_words": F.when(
+            n_words > 0, n_alpha_words / n_words >= 0.8
+        ).otherwise(F.lit(False)),
+        "rule_stopwords": n_stop_distinct >= 2,
+    }
+    out = df.withColumn("n_words", n_words)
+    passed = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passed = passed & F.col(name)
+    return out.withColumn("pass_gopher", passed)
+
+
+def with_c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 5,
+    min_line_words: int = 3,
+) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020 §2.2) — unlike the
+    Gopher flags this one also TRANSFORMS: lines that don't end in
+    terminal punctuation (. ! ? ") or carry fewer than ``min_line_words``
+    words are dropped, and ``c4_text`` is the page rebuilt from the
+    surviving lines.  Page-level flags:
+
+    * ``rule_min_sentences`` — >= ``min_sentences`` sentence terminators
+      in the retained text (C4 drops pages under 5 sentences)
+    * ``rule_no_lorem``      — no 'lorem ipsum' boilerplate
+    * ``rule_no_braces``     — no '{' (code page heuristic)
+    * ``pass_c4``            — all of the above and >= 1 retained line
+
+    The bad-words list (C4's fourth page filter) is deliberately
+    omitted — it is a policy artifact, not an algorithm; plug it in as
+    one more `~contains` conjunct if a deployment needs it.
+
+    All row-local native Columns (split / filter / rlike inside
+    whole-stage codegen), zero shuffles at any scale.  No reference
+    analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words),
+    )
+    c4_text = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(c4_text, F.lit(r"[.!?]"), 0))
+    rules = {
+        "rule_min_sentences": n_sentences >= min_sentences,
+        "rule_no_lorem": ~F.contains(F.lower(t), F.lit("lorem ipsum")),
+        "rule_no_braces": ~F.contains(t, F.lit("{")),
+    }
+    out = (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("n_sentences", n_sentences)
+    )
+    passed = F.col("n_lines_kept") > 0
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passed = passed & F.col(name)
+    return out.withColumn("pass_c4", passed).withColumn("c4_text", c4_text)

@@ -192,3 +192,108 @@ def shuffle_deterministic(
         .withColumn("shuffle_pos", F.col("_off") + F.col("_rn") - F.lit(1))
         .drop("_h", "_pid", "_rn", "_off")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_flag: Column,
+    n_buckets: int = 1024,
+    add_k: float = 0.5,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its hashed-n-gram profile looks like a TARGET subcorpus
+    relative to the raw pool.
+
+    ``target_flag`` is a boolean Column over ``docs`` marking the target
+    exemplars (e.g. ``F.col('lang') == 'en'`` to up-select English-like
+    text, or a quality-score band).  Features are unigrams + bigrams of
+    lowercased whitespace tokens hashed into ``n_buckets`` buckets with
+    the corpus-wide md5 primitive (``hash_bucket``, SQL-replicable);
+    bucket distributions are add-k smoothed, and
+
+        dsir_logweight(d) = sum over d's gram occurrences of
+                            ln p_target[bucket] - ln p_raw[bucket]
+
+    Output: one row per document — (id, n_grams, dsir_logweight,
+    selected) with ``selected = dsir_logweight > 0`` (net evidence toward
+    the target).  Threshold- or quota-based selection composes downstream
+    (``quantile_thresholds`` / ``weighted_sample``) — deliberately NOT a
+    global top-k rank here, which would be a single-reducer sort at
+    corpus scale.
+
+    Distributed shape: gram occurrences collapse to per-(doc, bucket)
+    multiplicities with map-side combine BEFORE anything joins (hot
+    grams shuffle once per doc, not once per occurrence — the
+    ngram_lm_scores discipline); the bucket distribution table is
+    dimension-sized (<= n_buckets rows) and joins back by broadcast; the
+    only data-sized shuffles key on bucket ids and doc ids.  Float
+    contract: the per-doc sum is subject to summation-order drift,
+    absorbed by round(., 6) like every corpus-statistics score here.
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference curation surface.
+    """
+    from .textindex import kgram_join, tokens_lower
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    w = tokens_lower(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        target_flag.alias("_target"),
+        F.concat(w, kgram_join(w, 2)).alias("_grams"),
+    )
+    occ = (
+        base.select("_id", "_target", F.explode("_grams").alias("_gram"))
+        .select(
+            "_id",
+            "_target",
+            F.pmod(
+                hash_bucket(F.col("_gram"), salt), F.lit(int(n_buckets))
+            ).alias("bucket"),
+        )
+        .groupBy("_id", "_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    dist = occ.groupBy("bucket").agg(
+        F.sum("m").alias("c_raw"),
+        F.sum(F.when(F.col("_target"), F.col("m")).otherwise(F.lit(0))).alias(
+            "c_t"
+        ),
+    )
+    totals = dist.agg(
+        F.sum("c_raw").alias("tot_raw"), F.sum("c_t").alias("tot_t")
+    )
+    k = float(add_k)
+    kv = k * float(n_buckets)
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + F.lit(k)) / (F.col("tot_t") + F.lit(kv)))
+            - F.log(
+                (F.col("c_raw") + F.lit(k)) / (F.col("tot_raw") + F.lit(kv))
+            )
+        ).alias("lr"),
+    )
+    scored = (
+        occ.join(F.broadcast(ratio), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum("m").alias("n_grams"),
+            F.sum(F.col("m") * F.col("lr")).alias("w"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce("w", F.lit(0.0)), 6).alias("dsir_logweight"),
+            (F.coalesce("w", F.lit(0.0)) > 0).alias("selected"),
+        )
+    )

@@ -1158,3 +1158,94 @@ def bpe_vocab_aux(sf_dir: str, n_merges: int = 60) -> str:
         {"token": list(vocab.keys()), "freq": list(vocab.values())}
     ).astype({"freq": "int64"})
     return _publish(out, dst)
+
+
+def classifier_weights(
+    sf_dir: str,
+    n_buckets: int = 256,
+    n_iter: int = 30,
+    lr: float = 1.0,
+    label_sql: str = "lang = 'en'",
+    salt: str = "qcls",
+) -> str:
+    """Sequential numpy replica of
+    operators/classifier.train_quality_classifier over the documents
+    table: DuckDB featurizes with the SAME md5 bucket hash (the
+    expression the q_sample_dsir gate already proves equal to the Spark
+    featurization), then a single-threaded full-batch GD implements the
+    module's math contract verbatim.  The DuckDB comparison of
+    q_quality_classifier therefore isolates the DISTRIBUTED training
+    passes (per-iteration margin/gradient shuffles + driver update) and
+    the distributed scoring join; float-sum-order drift between the two
+    trainings is absorbed by the round-6 score contract.
+
+    Output parquet: (bucket, weight) for all ``n_buckets`` buckets plus
+    the bias as the ``bucket = -1`` row.  Param-suffixed filename — a
+    default change can never silently serve weights trained under
+    another configuration."""
+    import duckdb
+
+    adir = aux_dir(sf_dir)
+    dst = os.path.join(
+        adir,
+        f"qcls_w_b{n_buckets}i{n_iter}lr{int(lr * 100)}.parquet",
+    )
+    if os.path.exists(dst):
+        return dst
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs = duckdb.sql(
+        f"SELECT doc_id, ({label_sql}) AS y FROM read_parquet('{docs_path}')"
+        " ORDER BY doc_id"
+    ).df()
+    occ = duckdb.sql(
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                   END AS w
+            FROM read_parquet('{docs_path}')
+        ),
+        grams AS (
+            SELECT doc_id, unnest(w) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+            FROM toks, UNNEST(range(1, len(w))) AS r(i)
+            WHERE len(w) >= 2
+        )
+        SELECT doc_id,
+               ('0x' || substr(md5(g || ':{salt}'), 1, 8))::BIGINT
+                   % {int(n_buckets)} AS bucket,
+               count(*) AS m
+        FROM grams GROUP BY 1, 2 ORDER BY doc_id, bucket
+        """
+    ).df()
+    n_docs = len(docs)
+    idx = {d: i for i, d in enumerate(docs["doc_id"].to_numpy())}
+    did = occ["doc_id"].map(idx).to_numpy()
+    bkt = occ["bucket"].to_numpy()
+    m = occ["m"].to_numpy().astype("float64")
+    n_per_doc = np.zeros(n_docs)
+    np.add.at(n_per_doc, did, m)
+    x = m / n_per_doc[did]
+    y = docs["y"].to_numpy().astype("float64")
+    w = np.zeros(int(n_buckets))
+    bias = 0.0
+    for _ in range(int(n_iter)):
+        dot = np.zeros(n_docs)
+        np.add.at(dot, did, w[bkt] * x)
+        p = 1.0 / (1.0 + np.exp(-(bias + dot)))
+        r = p - y
+        gw = np.zeros_like(w)
+        np.add.at(gw, bkt, r[did] * x)
+        w -= float(lr) * (gw / n_docs)
+        bias -= float(lr) * (r.sum() / n_docs)
+    out = pd.DataFrame(
+        {
+            "bucket": np.concatenate(
+                [np.arange(int(n_buckets), dtype="int64"), [-1]]
+            ),
+            "weight": np.concatenate([w, [bias]]),
+        }
+    )
+    return _publish(out, dst)

@@ -121,3 +121,107 @@ def test_functionality_pre_joined_edges(spark):
         key=lambda r: r["pred_canonical"],
     )
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def _rule_edges(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, pred string, subj_canonical string, "
+        "obj_canonical string",
+    )
+    # materialize_graph edges carry pred_canonical; singleton self-map here
+    return df.withColumn("pred_canonical", df.pred)
+
+
+_RULE_ROWS = [
+    # capital_of(x,y) co-occurs with city_in(x,y) on 2 pairs
+    ("c1", "capital_of", "paris", "france"),
+    ("c1", "capital_of", "paris", "france"),  # duplicate fact: no effect
+    ("c1", "capital_of", "berlin", "germany"),
+    ("c1", "city_in", "paris", "france"),
+    ("c1", "city_in", "berlin", "germany"),
+    ("c1", "city_in", "munich", "germany"),
+    # inverse evidence: located_in(y,x) for one capital_of pair
+    ("c2", "located_in", "france", "paris"),
+    # symmetry: married_to on (a,b)/(b,a) plus a self-loop that must NOT
+    # certify its own symmetry
+    ("c2", "married_to", "a", "b"),
+    ("c2", "married_to", "b", "a"),
+    ("c2", "married_to", "c", "c"),
+    # unresolved endpoint: excluded entirely
+    ("c2", "capital_of", "ghost", None),
+]
+
+
+def test_mine_rules(spark):
+    out = {
+        (r["body_pred"], r["head_pred"], r["direction"]): r
+        for r in ontology.mine_rules(
+            _rule_edges(spark, _RULE_ROWS), min_support=1
+        ).collect()
+    }
+
+    fwd = out[("capital_of", "city_in", "same")]
+    assert fwd["support"] == 2 and fwd["n_body_pairs"] == 2
+    assert abs(fwd["confidence"] - 1.0) < 1e-9
+    assert abs(fwd["head_coverage"] - round(2 / 3, 6)) < 1e-9
+
+    rev = out[("city_in", "capital_of", "same")]
+    assert rev["support"] == 2 and rev["n_body_pairs"] == 3
+    assert abs(rev["confidence"] - round(2 / 3, 6)) < 1e-9
+    assert abs(rev["head_coverage"] - 1.0) < 1e-9
+
+    inv = out[("capital_of", "located_in", "inverse")]
+    assert inv["support"] == 1
+    assert abs(inv["confidence"] - 0.5) < 1e-9
+
+    # symmetry: (a,b)/(b,a) support 2; the (c,c) self-loop is excluded
+    sym = out[("married_to", "married_to", "inverse")]
+    assert sym["support"] == 2 and sym["n_body_pairs"] == 3
+    assert abs(sym["confidence"] - round(2 / 3, 6)) < 1e-9
+
+    # a rule can never pair a predicate with itself in the same direction
+    assert not any(
+        b == h for (b, h, d) in out if d == "same"
+    )
+    # the null-endpoint fact contributes nowhere
+    assert all("ghost" not in (b, h) for (b, h, _) in out)
+
+
+def test_mine_rules_min_support(spark):
+    sup2 = ontology.mine_rules(
+        _rule_edges(spark, _RULE_ROWS), min_support=2
+    ).collect()
+    assert all(r["support"] >= 2 for r in sup2)
+    assert ("capital_of", "located_in") not in {
+        (r["body_pred"], r["head_pred"]) for r in sup2
+    }
+
+
+def test_entity_salience(spark):
+    rows = [
+        ("c1", "p", "e1", "e2"),
+        ("c1", "p", "e1", "e3"),
+        ("c2", "p", "e1", "e2"),
+        ("c2", "p", None, "e9"),  # null side dropped, e9 still counts
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "conv_id string, pred string, subj_canonical string, "
+        "obj_canonical string",
+    )
+    out = ontology.entity_salience(edges, top_k=2).collect()
+    got = {(r["conv_id"], r["rank"]): r for r in out}
+    assert len(out) == 4  # two convs × top-2
+
+    # conv c1: tf e1=2, e2=1, e3=1; df e1=e2=2, e3=1; N=2
+    # salience: e3 = ln 2, e1 = e2 = 0 → e3 first, tie broken by entity asc
+    assert got[("c1", 1)]["entity"] == "e3"
+    assert abs(got[("c1", 1)]["salience"] - round(0.6931471805599453, 6)) < 1e-9
+    assert got[("c1", 2)]["entity"] == "e1"
+    assert got[("c1", 2)]["salience"] == 0.0
+
+    # conv c2: e9 (df 1) outranks the ubiquitous e1/e2
+    assert got[("c2", 1)]["entity"] == "e9"
+    assert got[("c2", 2)]["entity"] == "e1"
+    assert got[("c2", 1)]["df"] == 1 and got[("c2", 2)]["df"] == 2

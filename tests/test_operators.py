@@ -667,3 +667,82 @@ def test_ivf_index_append_matches_pinned_assignment(spark, emb, tmp_path):
     via_idx = similarity.ivf_topk_from_index(emb, qs, idx, k=5, nprobe=2)
     assert via_idx.count() > 0
     spark.catalog.clearCache()
+
+
+def test_gopher_rules(spark):
+    from relationextractionpipeline_spark.operators.quality import (
+        with_gopher_rules,
+    )
+
+    good = "the quick brown fox and the lazy dog that ran off with " + " ".join(
+        f"word{i}" for i in range(50)
+    )
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "the short and thin one of them"),       # fails word count only
+        (2, " ".join(f"tok{i}" for i in range(60))), # no stopwords
+        (3, "- the a\n- of b\n- and c"),  # 3/3 lines bullet-initial
+        (4, "the of ... and ... that ... with ... " * 8),       # symbols
+        (5, ""),                                      # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in with_gopher_rules(docs, min_words=10).collect()
+    }
+    assert out[0]["pass_gopher"]
+    assert all(out[0][c] for c in out[0].asDict() if c.startswith("rule_"))
+
+    assert not out[1]["rule_word_count"] and out[1]["rule_stopwords"]
+    assert not out[1]["pass_gopher"]
+
+    assert not out[2]["rule_stopwords"] and out[2]["rule_word_count"]
+
+    assert not out[3]["rule_bullet_lines"]  # every line bullet-initial
+    assert out[3]["rule_stopwords"]
+
+    assert not out[4]["rule_symbol_ratio"]
+
+    e = out[5]
+    assert e["n_words"] == 0
+    assert not e["rule_word_count"] and not e["rule_alpha_words"]
+    assert e["rule_bullet_lines"] and e["rule_ellipsis_lines"]
+    assert not e["pass_gopher"]
+
+
+def test_c4_rules(spark):
+    from relationextractionpipeline_spark.operators.quality import (
+        with_c4_rules,
+    )
+
+    good = "\n".join(
+        f"This is a perfectly fine sentence number {i}." for i in range(6)
+    )
+    rows = [
+        (0, good),                                    # passes everything
+        (1, good + "\nlorem ipsum dolor sit amet."),  # boilerplate page
+        (2, good + "\nfunction f() {"),               # code page
+        # line filter: no terminal punct / too few words
+        (3, "Dangling line without punctuation\nOk.\nShort one here today."),
+        (4, ""),                                      # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_c4_rules(docs).collect()}
+
+    assert out[0]["pass_c4"] and out[0]["n_lines_kept"] == 6
+    assert out[0]["n_sentences"] == 6 and out[0]["c4_text"] == good
+
+    assert not out[1]["rule_no_lorem"] and not out[1]["pass_c4"]
+    assert out[1]["n_lines_kept"] == 7  # the lorem line ends in '.'
+
+    assert not out[2]["rule_no_braces"] and not out[2]["pass_c4"]
+    assert out[2]["n_lines_kept"] == 6  # '{' line dropped by the line rule
+
+    d3 = out[3]
+    assert d3["n_lines"] == 3 and d3["n_lines_kept"] == 1
+    assert d3["c4_text"] == "Short one here today."  # 'Ok.' has < 3 words
+    assert not d3["rule_min_sentences"] and not d3["pass_c4"]
+
+    e = out[4]
+    assert e["n_lines_kept"] == 0 and e["c4_text"] == ""
+    assert not e["pass_c4"]

@@ -158,3 +158,60 @@ def test_shuffle_deterministic_is_a_permutation_and_partition_invariant(spark):
     assert other != expect
     assert sorted(other.values()) == list(range(500))
     cache.release_all(checkpoints=True)
+
+
+def test_dsir_weights(spark):
+    from relationextractionpipeline_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    rows = [
+        # target exemplars share the distinctive 'quantum' vocabulary
+        (0, "quantum field flux quantum gate", "en"),
+        (1, "quantum flux gate quantum field", "en"),
+        # raw-pool docs: one quantum-like, one alien, one empty
+        (2, "quantum gate flux field device", "xx"),
+        (3, "banana apple pear banana mango", "xx"),
+        (4, "", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        # wide bucket space + tiny add_k: at 64 buckets the ~23 distinct
+        # grams here collide (banana grams land in quantum buckets and
+        # flip doc 0's sign), and at default add_k=0.5 the smoothing mass
+        # k*n_buckets dwarfs this 36-occurrence corpus — both are
+        # properties of hashed add-k estimation at toy scale, not bugs,
+        # so the semantic assertions use a collision-free low-smoothing
+        # setting
+        for r in dsir_weights(
+            docs, F.col("lang") == "en", n_buckets=4096, add_k=0.001
+        ).collect()
+    }
+    assert len(out) == 5
+    # unigrams + bigrams: 5 words → 9 gram occurrences
+    assert out[0]["n_grams"] == 9
+    # empty doc: no grams, weight 0, never selected
+    assert out[4]["n_grams"] == 0
+    assert out[4]["dsir_logweight"] == 0.0 and not out[4]["selected"]
+    # target-like text scores strictly above alien text
+    assert out[2]["dsir_logweight"] > out[3]["dsir_logweight"]
+    assert out[0]["selected"] and out[1]["selected"]
+    assert not out[3]["selected"]
+
+
+def test_dsir_weights_partition_invariant(spark):
+    from relationextractionpipeline_spark.operators.sampling import (
+        dsir_weights,
+    )
+
+    rows = [
+        (i, f"tok{i % 3} alpha beta tok{i % 5} gamma", "en" if i % 2 else "xx")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = dsir_weights(docs.repartition(1), F.col("lang") == "en", n_buckets=32)
+    b = dsir_weights(docs.repartition(7), F.col("lang") == "en", n_buckets=32)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb

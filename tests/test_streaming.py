@@ -528,3 +528,81 @@ def test_streaming_context_links_match_batch(spark, tiny_paths, tmp_path):
     a["score"] = a["score"].round(6)
     b["score"] = b["score"].round(6)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Gap-based sessionization as a custom stateful operator: after a
+    sentinel advances the watermark past every real session's close, the
+    emitted (user, session ordinal, count, bounds) rows equal the batch
+    lag→flag→running-sum composition.  Two drains prove open-session
+    state survives the checkpoint."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from relationextractionpipeline_spark.streaming import (
+        sessionize as ssess,
+    )
+
+    src = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "sess_in")
+    os.makedirs(in_dir)
+    for s in range(4):
+        src.iloc[s::4].to_parquet(
+            os.path.join(in_dir, f"part-{s}.parquet"), index=False
+        )
+    max_ts = src["ts"].max()
+
+    def sentinel(name, days):
+        pd.DataFrame(
+            {
+                "event_id": pd.array([10**12 + days], dtype="int64"),
+                "ts": pd.Series(
+                    [max_ts + pd.Timedelta(days=days)], dtype="datetime64[us]"
+                ),
+                "user_id": pd.array([-days], dtype="int64"),
+                "event_type": ["view"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        ).to_parquet(os.path.join(in_dir, name), index=False)
+
+    out = str(tmp_path / "sess_stream")
+    ck = str(tmp_path / "ck_sess")
+    sentinel("sentinel-1.parquet", 1)
+    ssess.stream_sessionize(spark, in_dir, out, ck)
+    sentinel("sentinel-2.parquet", 2)
+    ssess.stream_sessionize(spark, in_dir, out, ck)
+
+    got = spark.read.parquet(out).toPandas()
+    got = got[got.user_id >= 0]
+
+    e = spark.createDataFrame(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        e.withColumn(
+            "new_sess",
+            F.when(
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w)) > 1800,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+        )
+        .toPandas()
+    )
+    cols = ["user_id", "session_id", "n_events", "start_epoch", "end_epoch"]
+    key = ["user_id", "session_id"]
+    a = got[cols].sort_values(key).reset_index(drop=True)
+    b = want[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -19,10 +19,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_job(cpus: int, scale: str) -> dict:
-    out_dir = f"/tmp/rex_bench_triples_{cpus}"
+def run_job(cpus: int, scale: str, job: str = "kg_job.py") -> dict:
+    out_dir = f"/tmp/rex_bench_triples_{job.split('.')[0]}_{cpus}"
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "kg_job.py"),
+        [sys.executable, os.path.join(REPO, "tools", job),
          str(cpus), scale, out_dir],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
@@ -59,11 +59,11 @@ def main() -> None:
     # run lo/hi back-to-back per pair: host contention drifts on a scale of
     # minutes, so adjacent runs share conditions and the per-pair ratio is
     # far less biased than comparing a quiet lo window against a busy hi one
-    def run_pairs(lo_, hi_, reps_):
+    def run_pairs(lo_, hi_, reps_, job="kg_job.py"):
         out = []
         for _ in range(reps_):
-            r_lo = run_job(lo_, scale)
-            r_hi = run_job(hi_, scale)
+            r_lo = run_job(lo_, scale, job)
+            r_hi = run_job(hi_, scale, job)
             out.append(
                 {
                     "lo_tps": r_lo["turns_per_sec"],
@@ -95,6 +95,19 @@ def main() -> None:
         sorted(pairs2, key=lambda p_: p_["eff"])[len(pairs2) // 2]
         if pairs2 else None
     )
+    # shuffle-path pair (tools/shuffle_job.py: scan → two-phase assembly
+    # Exchange → write): evidences the rule on a job whose cost IS the
+    # shuffle, so the headline (shuffle-free extract) can't be read as
+    # trivially scalable
+    reps3 = int(os.environ.get("REX_SCALE_REPS_SHUFFLE", "3"))
+    pairs3 = (
+        run_pairs(lo, hi, reps3, job="shuffle_job.py") if reps3 > 0 else []
+    )
+    med3 = (
+        sorted(pairs3, key=lambda p_: p_["eff"])[len(pairs3) // 2]
+        if pairs3 else None
+    )
+
     res_lo = dict(med["lo"]); res_lo["all_turns_per_sec"] = [p_["lo_tps"] for p_ in pairs]
     res_hi = dict(med["hi"]); res_hi["all_turns_per_sec"] = [p_["hi_tps"] for p_ in pairs]
     eff = med["eff"]
@@ -109,6 +122,15 @@ def main() -> None:
         "gate": ">= 0.8",
         "pass": eff >= 0.8,
     }
+    if med3 is not None:
+        report["shuffle_path"] = {
+            "lo": lo,
+            "hi": hi,
+            "lo_tps": med3["lo_tps"],
+            "hi_tps": med3["hi_tps"],
+            "scaling_efficiency": med3["eff"],
+            "pair_efficiencies": [p_["eff"] for p_ in pairs3],
+        }
     if med2 is not None:
         report["secondary"] = {
             "lo": lo2,
@@ -163,6 +185,24 @@ serialization to hide.
 
 Identical triple counts at both levels double as the partition-invariance
 check at bench scale.
+"""
+    if med3 is not None:
+        shf = report["shuffle_path"]
+        md += f"""
+## Shuffle-path pair — same levels, shuffle-dominated job
+
+The headline job's extract path is shuffle-free, so this second pair runs
+`tools/shuffle_job.py` (scan → skew-aware two-phase assembly — one
+data-sized hash Exchange — → write) at the same {lo}→{hi} levels and
+protocol.  Median of {len(pairs3)} back-to-back pairs:
+
+| parallelism | turns/sec (median pair) | all pairs (tps) |
+|---|---|---|
+| local[{lo}] | {shf['lo_tps']} | {[p_['lo_tps'] for p_ in pairs3]} |
+| local[{hi}] | {shf['hi_tps']} | {[p_['hi_tps'] for p_ in pairs3]} |
+
+* shuffle-path scaling efficiency: **{shf['scaling_efficiency']}** (all
+  pairs: {shf['pair_efficiencies']})
 """
     if med2 is not None:
         sec = report["secondary"]
