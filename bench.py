@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     # q_quality_classifier stays out: 30 GD iterations are ~60 Spark jobs
     # of fixed scheduling overhead — a bench line would measure the
     # local-mode job launch path, not the engine (the parity gate times it)
+    # kg_transe / kg_linkpred(_mrr) stay out for both reasons at once:
+    # graph-tail pipeline re-run + 10 checkpointed GD iterations
 ]
 
 

@@ -1,0 +1,595 @@
+"""Distributed KG-embedding training (TransE) + link-prediction eval.
+
+The KB-completion stage that follows canonicalization in a modern KG
+pipeline: learn a vector per canonical entity and per canonical predicate
+such that ``h + r ≈ t`` for true facts (Bordes et al. 2013, TransE), then
+score held-out facts by ranking the true tail against every candidate
+entity (filtered ranking, Bordes' protocol).  No reference analog (the
+reference stops at triple emission, de_pipeline/pipeline.py:69-77);
+beyond-reference KG-completion surface.
+
+Why this operator is the interesting one at 100 TB: unlike the quality
+classifier (operators/classifier.py), whose weight vector is
+dimension-sized and driver-held, the TransE parameter table is
+**entity-keyed — it scales with the corpus** and therefore must itself
+stay a DataFrame.  Training here is a pure dataflow loop:
+
+* parameters live in LONG format ``(id, j, w)`` — embedding joins,
+  gradient aggregation, and updates are all keyed equi-joins/groupBys on
+  ``(id, j)``;
+* each iteration is a constant number of hash Exchanges over
+  O(n_facts × dim) rows (role join → per-fact pivot → margin test →
+  gradient scatter → parameter join-update → entity renorm);
+* nothing parameter- or data-sized ever reaches the driver — the only
+  driver scalars are ``n_entities`` and ``n_facts``;
+* lineage is truncated with a ``localCheckpoint`` per iteration (the
+  connected-components discipline, operators/canonicalize.py), freeing
+  each superseded round's blocks.
+
+Determinism / oracle contract (the sequential replica
+:func:`transe_train_numpy` implements the SAME spec, wired to the
+sequential KG materializations by ``sources/oracle_mat.transe_aux``):
+
+* init    w0[id, j] = round6((md5_frac(id + '#' + j) * 2 - 1) * scale)
+  with ``md5_frac`` = ``sampling.hash_bucket`` / 2^32 (exact in binary:
+  the hash is < 2^53 and the divisor a power of two) and
+  ``scale = 6 / sqrt(dim)`` (TransE's uniform init bound);
+* entity rows are L2-normalized after init and after every update:
+  n2 = round9(Σ_j w²);  w ← round6(w / sqrt(max(n2, 1e-12)));
+* the corrupted tail of fact ``f`` is the entity at position
+  ``hash(fid) mod n_entities`` in the deterministic entity order of
+  ``sampling.shuffle_deterministic`` (+1 if it lands on the true tail)
+  — static negative sampling, a pure function of the fact;
+* all cross-row arithmetic runs in FIXED POINT: a round-6 parameter is
+  an exact integer count of 1e-6 units, so residuals
+  ``dp_j = h + r − t``, squared distances ``dpi = Σ_j dp_j²`` (1e-12
+  units), the margin test ``margin·1e12 + dpi − dni > 0``, gradient
+  contributions ``2(dp_j − dn_j)`` / ``−2·dp_j`` / ``+2·dn_j``, their
+  per-parameter sums, and the norm-square are ALL int64 — integer
+  addition is exact under any order, so shuffle/accumulation order
+  cannot perturb a single bit;
+* the only float steps are elementwise on bit-identical inputs:
+  g = gsum·1e-6 / n_facts, update w ← round6(w − lr·g), renorm
+  w ← round6(w / sqrt(max(n2·1e-12, 1e-12))) — IEEE-deterministic.
+
+Rounding is Spark ``F.round`` semantics — HALF_UP on the exact binary
+double — which the replica reproduces exactly via ``decimal.Decimal``
+(see ``_round_half_up``).  The first cut quantized FLOAT sums instead
+(round7/round9): at sf0.01 that left 2-4 of 7,344 parameters off by
+1e-6 from knife-edge sum-order drift — hence the integer contract,
+which is drift-FREE by construction rather than drift-improbable.
+Magnitude headroom: |w| ≤ ~8 ⇒ residuals ≤ 2.4e7 units, squares
+≤ 6e14, dim-summed ≤ 1e16, fact-summed gradients ≤ ~1e12 — all far
+inside int64.  The DuckDB gate on the
+emitted embeddings therefore verifies the distributed machinery — role
+joins, gradient shuffles, checkpointed iteration — against a
+single-threaded run of the same math.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .sampling import hash_bucket, shuffle_deterministic
+
+#: field separator inside the synthetic fact id — ASCII unit separator,
+#: cannot appear in generated entity keys / predicate strings
+SEP = "\x1f"
+
+
+def fid_col() -> "F.Column":
+    """Deterministic fact id: ``s <US> p <US> o`` (SQL: ``chr(31)``)."""
+    return F.concat(
+        F.col("s"), F.lit(SEP), F.col("p"), F.lit(SEP), F.col("o")
+    )
+
+
+def is_test_fact(test_mod: int = 5, salt: str = "transe") -> "F.Column":
+    """The held-out test membership of a ``(s, p, o)`` row — the hash
+    split shared by training (which EXCLUDES these facts) and
+    :func:`link_prediction_ranks` (which evaluates exactly them)."""
+    return (
+        F.pmod(hash_bucket(fid_col(), salt + "-split"), F.lit(int(test_mod)))
+        == 0
+    )
+
+
+def fact_table(edges: DataFrame, pred_map: DataFrame | None = None) -> DataFrame:
+    """Distinct resolved facts ``(s, p, o)`` from the canonical edge table
+    — the same derivation ontology.mine_rules uses (multiplicity is
+    evidence, not logical truth; unlinked endpoints are excluded)."""
+    linked = edges.where(
+        F.col("subj_canonical").isNotNull()
+        & F.col("obj_canonical").isNotNull()
+    )
+    if pred_map is not None:
+        linked = linked.join(F.broadcast(pred_map), "pred", "left")
+    return (
+        linked.select(
+            F.col("subj_canonical").alias("s"),
+            F.coalesce("pred_canonical", "pred").alias("p"),
+            F.col("obj_canonical").alias("o"),
+        )
+        .distinct()
+    )
+
+
+def init_embeddings(
+    ids: DataFrame, id_col: str, dim: int, init_scale: float, salt: str
+) -> DataFrame:
+    """Hash-deterministic uniform init in ``(-init_scale, init_scale)``:
+    long-format ``(id, j, w)``, a pure function of (id, j, salt) — no RNG
+    state, no partitioning dependence, SQL-replicable."""
+    u = hash_bucket(
+        F.concat(F.col(id_col), F.lit("#"), F.col("j").cast("string")), salt
+    )
+    return (
+        ids.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.sequence(F.lit(0), F.lit(int(dim) - 1))).alias("j"),
+        )
+        .select(
+            "id",
+            "j",
+            F.round(
+                (u / F.lit(float(2**32)) * F.lit(2.0) - F.lit(1.0))
+                * F.lit(float(init_scale)),
+                6,
+            ).alias("w"),
+        )
+    )
+
+
+def normalize_unit(emb: DataFrame) -> DataFrame:
+    """L2-normalize each embedding row of a long-format ``(id, j, w)``
+    table; the norm-square is an EXACT int64 sum of squared 1e-6 units
+    (then one deterministic ×1e-12 float conversion), so partition sum
+    order cannot leak a single bit into the round-6 parameters."""
+    wi = F.round(F.col("w") * F.lit(1e6)).cast("long")
+    norms = emb.groupBy("id").agg(
+        (F.sum(wi * wi).cast("double") * F.lit(1e-12)).alias("_n2")
+    )
+    return emb.join(norms, "id").select(
+        "id",
+        "j",
+        F.round(
+            F.col("w") / F.sqrt(F.greatest(F.col("_n2"), F.lit(1e-12))), 6
+        ).alias("w"),
+    )
+
+
+def _facts_with_negatives(facts: DataFrame, salt: str) -> tuple:
+    """Attach the deterministic corrupted tail to every fact.  Returns
+    ``(f, ent_index, n_entities)`` where ``f`` carries
+    (s, p, o, fid, t2)."""
+    ents = (
+        facts.select(F.col("s").alias("ent"))
+        .unionByName(facts.select(F.col("o").alias("ent")))
+        .distinct()
+    )
+    # deterministic dense 0..n-1 entity positions WITHOUT a single-task
+    # global window: shuffle_deterministic's two-phase rank (range
+    # partition on the hash → local row_number → broadcast offsets)
+    eidx = shuffle_deterministic(ents, "ent", salt=salt + "-idx").select(
+        "ent", F.col("shuffle_pos").alias("eidx")
+    )
+    n_ent = eidx.count()
+    f = (
+        facts.select("s", "p", "o", fid_col().alias("fid"))
+        .join(
+            eidx.select(
+                F.col("ent").alias("o"), F.col("eidx").alias("_tidx")
+            ),
+            "o",
+        )
+        .withColumn(
+            "_raw",
+            F.pmod(hash_bucket(F.col("fid"), salt + "-neg"), F.lit(n_ent)),
+        )
+        .withColumn(
+            "_t2idx",
+            F.when(
+                F.col("_raw") == F.col("_tidx"),
+                F.pmod(F.col("_raw") + 1, F.lit(n_ent)),
+            ).otherwise(F.col("_raw")),
+        )
+        .join(
+            eidx.select(
+                F.col("eidx").alias("_t2idx"), F.col("ent").alias("t2")
+            ),
+            "_t2idx",
+        )
+        .select("s", "p", "o", "t2", "fid")
+    )
+    return f, eidx, n_ent
+
+
+def train_transe(
+    facts: DataFrame,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "transe",
+) -> Dict[str, object]:
+    """Train TransE embeddings over a ``(s, p, o)`` fact table; returns
+    ``{"ent_emb", "rel_emb", "n_entities", "n_relations", "n_facts"}``
+    with both embedding tables in long format ``(id, j, w)``, round-6,
+    entity rows unit-normalized.
+
+    Distributed shape per iteration (see module docstring): one 4-way
+    role explode of the fact table joined against the two parameter
+    tables, a per-(fact, dim) pivot, the margin test, a gradient
+    scatter-aggregate back onto (id, j), the join-update, and the entity
+    renorm — all keyed Exchanges, no collects, no driver-side parameters.
+    Iteration count is a constant, so the 100 TB cost is
+    ``n_iter × O(n_facts · dim)`` shuffled rows; both parameter tables
+    are localCheckpoint'ed per round (lineage truncation; superseded
+    blocks freed immediately, the canonicalize/CC discipline).
+    """
+    from . import cache
+
+    f, eidx, n_ent = _facts_with_negatives(facts, salt)
+    # static across iterations: (fid, role, pid) — 4 rows per fact
+    roles = f.select(
+        "fid",
+        F.expr(
+            "stack(4, 'h', s, 'r', p, 't', o, 'n', t2) AS (role, pid)"
+        ),
+    ).select("fid", "role", "pid")
+    roles.persist()
+    try:
+        n_facts = roles.count() // 4
+        if n_facts == 0:
+            raise ValueError("cannot train on an empty fact table")
+        rels = facts.select(F.col("p").alias("id")).distinct()
+        init_scale = 6.0 / float(np.sqrt(dim))
+        ent_emb = cache.checkpoint(
+            normalize_unit(
+                init_embeddings(
+                    eidx.select(F.col("ent").alias("id")),
+                    "id", dim, init_scale, salt + "-ent",
+                )
+            )
+        )
+        rel_emb = cache.checkpoint(
+            init_embeddings(rels, "id", dim, init_scale, salt + "-rel")
+        )
+        n_rel = rel_emb.count() // int(dim)
+
+        is_ent_role = F.col("role").isin("h", "t", "n")
+        margin_int = int(round(float(margin) * 1e12))  # 1e-12 units
+        for _ in range(int(n_iter)):
+            per = (
+                roles.where(is_ent_role)
+                .join(ent_emb, F.col("pid") == F.col("id"))
+                .unionByName(
+                    roles.where(F.col("role") == "r").join(
+                        rel_emb, F.col("pid") == F.col("id")
+                    )
+                )
+                .select(
+                    "fid",
+                    "role",
+                    "j",
+                    # fixed-point view: round-6 params are exact integer
+                    # counts of 1e-6 units — everything summed from here
+                    # on is int64 (order-proof, see module docstring)
+                    F.round(F.col("w") * F.lit(1e6)).cast("long").alias("wi"),
+                )
+            )
+            piv = per.groupBy("fid", "j").agg(
+                F.max(F.when(F.col("role") == "h", F.col("wi"))).alias("h"),
+                F.max(F.when(F.col("role") == "r", F.col("wi"))).alias("r"),
+                F.max(F.when(F.col("role") == "t", F.col("wi"))).alias("t"),
+                F.max(F.when(F.col("role") == "n", F.col("wi"))).alias("n"),
+            )
+            # per-(fact, dim) integer residuals feed BOTH the margin test
+            # and the gradient scatter — persist so the role join runs once
+            diffs = piv.select(
+                "fid",
+                "j",
+                (F.col("h") + F.col("r") - F.col("t")).alias("dp_j"),
+                (F.col("h") + F.col("r") - F.col("n")).alias("dn_j"),
+            )
+            diffs.persist()
+            viol = (
+                diffs.groupBy("fid")
+                .agg(
+                    F.sum(F.col("dp_j") * F.col("dp_j")).alias("dpi"),
+                    F.sum(F.col("dn_j") * F.col("dn_j")).alias("dni"),
+                )
+                .where(
+                    F.lit(margin_int) + F.col("dpi") - F.col("dni") > 0
+                )
+                .select("fid")
+            )
+            contrib = (
+                diffs.join(viol, "fid")
+                .join(roles, "fid")
+                .select(
+                    "role",
+                    "pid",
+                    "j",
+                    F.when(
+                        F.col("role").isin("h", "r"),
+                        F.lit(2) * (F.col("dp_j") - F.col("dn_j")),
+                    )
+                    .when(F.col("role") == "t", F.lit(-2) * F.col("dp_j"))
+                    .otherwise(F.lit(2) * F.col("dn_j"))
+                    .alias("g_term"),
+                )
+            )
+
+            def _grads(rows: DataFrame) -> DataFrame:
+                # exact integer gradient sum → ONE deterministic float
+                # conversion: g = gsum · 1e-6 / n_facts
+                return rows.groupBy(
+                    F.col("pid").alias("id"), "j"
+                ).agg(
+                    (
+                        F.sum("g_term").cast("double")
+                        * F.lit(1e-6)
+                        / F.lit(float(n_facts))
+                    ).alias("_g")
+                )
+
+            def _update(emb: DataFrame, grads: DataFrame) -> DataFrame:
+                return emb.join(grads, ["id", "j"], "left").select(
+                    "id",
+                    "j",
+                    F.round(
+                        F.col("w")
+                        - F.lit(float(lr)) * F.coalesce("_g", F.lit(0.0)),
+                        6,
+                    ).alias("w"),
+                )
+
+            new_ent = cache.checkpoint(
+                normalize_unit(
+                    _update(ent_emb, _grads(contrib.where(is_ent_role)))
+                )
+            )
+            new_rel = cache.checkpoint(
+                _update(rel_emb, _grads(contrib.where(F.col("role") == "r")))
+            )
+            diffs.unpersist()
+            cache.free_checkpoint(ent_emb)
+            cache.free_checkpoint(rel_emb)
+            ent_emb, rel_emb = new_ent, new_rel
+    finally:
+        roles.unpersist()
+    return {
+        "ent_emb": ent_emb,
+        "rel_emb": rel_emb,
+        "n_entities": n_ent,
+        "n_relations": n_rel,
+        "n_facts": n_facts,
+    }
+
+
+def link_prediction_ranks(
+    facts: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    test_mod: int = 5,
+    salt: str = "transe",
+) -> DataFrame:
+    """Filtered link-prediction ranks (Bordes et al. 2013 protocol) for
+    the deterministic test split ``hash(fid) mod test_mod == 0``: for
+    each test fact, the true tail's 1-based rank among all candidate
+    entities by ``d = Σ_j (h_j + r_j − e_j)²`` computed in exact integer
+    1e-12 units (fixed-point, see module docstring), candidates that
+    form ANOTHER true fact excluded (filtered), ties broken by entity id
+    so the rank is deterministic.  Output per test fact:
+    ``(s, p, o, rank, inv_rank, hit10)``.
+
+    Scale shape: candidate scoring joins the test expansion against the
+    entity table on the DIMENSION key — an outer product by nature
+    (every test fact scores every entity); exhaustive eval is therefore
+    run on the hash-sampled test split, never the full corpus, and the
+    join stays an equi-join Catalyst can broadcast when the entity side
+    fits.  The rank aggregation and the filter join are fact-keyed.
+    """
+    test = facts.where(is_test_fact(test_mod, salt)).select(
+        "s", "p", "o", fid_col().alias("fid")
+    )
+    micro = F.round(F.col("w") * F.lit(1e6)).cast("long")
+    hr = (
+        test.join(
+            ent_emb.select(
+                F.col("id").alias("s"), "j", micro.alias("_hi")
+            ),
+            "s",
+        )
+        .join(
+            rel_emb.select(
+                F.col("id").alias("p"), "j", micro.alias("_ri")
+            ),
+            ["p", "j"],
+        )
+        .select(
+            "fid", "s", "p", "o", "j",
+            (F.col("_hi") + F.col("_ri")).alias("_hri"),
+        )
+    )
+    # distances in exact integer 1e-12 units (int64 sums are order-proof,
+    # so rank comparisons below are exact — no float tie ambiguity at all)
+    cand = (
+        hr.join(
+            ent_emb.select(F.col("id").alias("e"), "j", micro.alias("_wi")),
+            "j",
+        )
+        .groupBy("fid", "s", "p", "o", "e")
+        .agg(
+            F.sum(
+                (F.col("_hri") - F.col("_wi"))
+                * (F.col("_hri") - F.col("_wi"))
+            ).alias("d")
+        )
+    )
+    known = facts.select(
+        "s", "p", F.col("o").alias("e"), F.lit(True).alias("_known")
+    )
+    scored = cand.join(known, ["s", "p", "e"], "left").where(
+        F.col("_known").isNull() | (F.col("e") == F.col("o"))
+    )
+    true_d = scored.where(F.col("e") == F.col("o")).select(
+        "fid", F.col("d").alias("_dt")
+    )
+    better = (
+        (F.col("d") < F.col("_dt"))
+        | ((F.col("d") == F.col("_dt")) & (F.col("e") < F.col("o")))
+    ) & (F.col("e") != F.col("o"))
+    return (
+        scored.join(true_d, "fid")
+        .groupBy("fid", "s", "p", "o")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(better, 1).otherwise(0))
+            ).cast("long").alias("rank")
+        )
+        .select(
+            "s",
+            "p",
+            "o",
+            "rank",
+            F.round(F.lit(1.0) / F.col("rank"), 6).alias("inv_rank"),
+            (F.col("rank") <= 10).alias("hit10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequential replica (shared by sources/oracle_mat.transe_aux and the tests)
+
+
+def _md5_bucket(key: str, salt: str) -> int:
+    """Python replica of sampling.hash_bucket: first 8 md5 hex chars of
+    ``key + ':' + salt`` as an integer in [0, 2^32)."""
+    return int(
+        hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16
+    )
+
+
+def _round_half_up(a: "np.ndarray", ndigits: int) -> "np.ndarray":
+    """Exact replica of Spark's ``F.round`` on doubles.  Spark's Round
+    expression goes through Scala ``BigDecimal(double)`` =
+    ``java.math.BigDecimal.valueOf`` = ``Double.toString`` — i.e. it
+    rounds the SHORTEST round-trip decimal representation (HALF_UP),
+    not the exact binary value.  Python's ``repr(float)`` is the same
+    shortest representation, so ``Decimal(repr(x))`` reproduces the JVM
+    digits exactly.  Neither ``np.round`` (scaled half-even) nor
+    ``Decimal(x)`` (exact binary value) matches: each flips knife-edge
+    values whose exact binary sits on the other side of a decimal
+    midpoint than their shortest repr — ~4 parameters per sf0.01
+    training run in both failed attempts."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-int(ndigits))
+    arr = np.asarray(a, dtype="float64")
+    flat = arr.ravel()
+    out = np.fromiter(
+        (
+            float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+            for x in flat.tolist()
+        ),
+        dtype="float64",
+        count=flat.size,
+    )
+    return out.reshape(arr.shape)
+
+
+def transe_train_numpy(
+    facts_pdf: pd.DataFrame,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "transe",
+) -> pd.DataFrame:
+    """Single-threaded numpy run of the train_transe math contract over a
+    pandas fact frame with columns (s, p, o).  Returns the long-format
+    parameter table (kind, id, j, w) the kg_transe oracle reads — 'ent'
+    rows unit-normalized, all values round-6."""
+    facts_pdf = facts_pdf[["s", "p", "o"]].drop_duplicates()
+    ents = sorted(set(facts_pdf["s"]) | set(facts_pdf["o"]))
+    # shuffle_deterministic order: sort by (hash_bucket(key, salt), key)
+    ents = sorted(ents, key=lambda e: (_md5_bucket(e, salt + "-idx"), e))
+    e_of = {e: i for i, e in enumerate(ents)}
+    rels = sorted(set(facts_pdf["p"]))
+    r_of = {r: i for i, r in enumerate(rels)}
+    n_ent, n_rel = len(ents), len(rels)
+    n_facts = len(facts_pdf)
+    if n_facts == 0:
+        raise ValueError("cannot train on an empty fact table")
+
+    s_i = facts_pdf["s"].map(e_of).to_numpy()
+    o_i = facts_pdf["o"].map(e_of).to_numpy()
+    p_i = facts_pdf["p"].map(r_of).to_numpy()
+    t2_i = np.empty(n_facts, dtype="int64")
+    for k, (s, p, o) in enumerate(
+        facts_pdf[["s", "p", "o"]].itertuples(index=False)
+    ):
+        raw = _md5_bucket(f"{s}{SEP}{p}{SEP}{o}", salt + "-neg") % n_ent
+        t2_i[k] = (raw + 1) % n_ent if raw == e_of[o] else raw
+
+    init_scale = 6.0 / float(np.sqrt(dim))
+
+    def init(ids, sub_salt):
+        w = np.empty((len(ids), dim), dtype="float64")
+        for i, ident in enumerate(ids):
+            for j in range(dim):
+                u = _md5_bucket(f"{ident}#{j}", sub_salt)
+                w[i, j] = (u / float(2**32) * 2.0 - 1.0) * init_scale
+        return _round_half_up(w, 6)
+
+    def micro(w):
+        # exact integer count of 1e-6 units of a round-6 parameter
+        return np.rint(w * 1e6).astype("int64")
+
+    def normalize(w):
+        n2 = (micro(w) ** 2).sum(axis=1).astype("float64") * 1e-12
+        return _round_half_up(
+            w / np.sqrt(np.maximum(n2, 1e-12))[:, None], 6
+        )
+
+    margin_int = int(round(float(margin) * 1e12))
+    we = normalize(init(ents, salt + "-ent"))
+    wr = init(rels, salt + "-rel")
+    for _ in range(int(n_iter)):
+        wei, wri = micro(we), micro(wr)
+        dp_j = wei[s_i] + wri[p_i] - wei[o_i]  # int64, 1e-6 units
+        dn_j = wei[s_i] + wri[p_i] - wei[t2_i]
+        dpi = (dp_j * dp_j).sum(axis=1)  # int64, 1e-12 units — exact
+        dni = (dn_j * dn_j).sum(axis=1)
+        v = (margin_int + dpi - dni) > 0
+        ge = np.zeros((len(ents), dim), dtype="int64")
+        gr = np.zeros((len(rels), dim), dtype="int64")
+        np.add.at(ge, s_i[v], 2 * (dp_j[v] - dn_j[v]))
+        np.add.at(gr, p_i[v], 2 * (dp_j[v] - dn_j[v]))
+        np.add.at(ge, o_i[v], -2 * dp_j[v])
+        np.add.at(ge, t2_i[v], 2 * dn_j[v])
+        we = normalize(
+            _round_half_up(
+                we - lr * (ge.astype("float64") * 1e-6 / n_facts), 6
+            )
+        )
+        wr = _round_half_up(
+            wr - lr * (gr.astype("float64") * 1e-6 / n_facts), 6
+        )
+
+    rows = []
+    for i, e in enumerate(ents):
+        for j in range(dim):
+            rows.append(("ent", e, j, we[i, j]))
+    for i, r in enumerate(rels):
+        for j in range(dim):
+            rows.append(("rel", r, j, wr[i, j]))
+    return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])

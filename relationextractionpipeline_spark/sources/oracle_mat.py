@@ -1249,3 +1249,88 @@ def classifier_weights(
         }
     )
     return _publish(out, dst)
+
+
+def oracle_facts(scale: str, data_dir: str = testgen.DEFAULT_DATA_DIR) -> pd.DataFrame:
+    """Sequential canonical fact set (s, p, o) — the oracle-side analog of
+    operators/kgembed.fact_table over materialize_graph's edges: oracle
+    triples' subj/obj rewritten through the entity key map (rows with an
+    unmapped endpoint dropped), pred through the predicate-cluster map
+    (singletons self-map via coalesce), then DISTINCT.  Mirrors the facts
+    CTE of the kg_rules oracle SQL."""
+    t = pd.read_parquet(oracle_triples(scale, data_dir))
+    small = os.path.join(data_dir, testgen.scale_dir(scale))
+    entity_clusters(scale, data_dir)
+    predicate_clusters(scale, data_dir)
+    keymap = pd.read_parquet(os.path.join(small, ENTITY_KEYMAP_FILE))
+    pmap = pd.read_parquet(os.path.join(small, PREDICATE_CLUSTERS_FILE))
+    k = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    pm = dict(zip(pmap["pred"], pmap["pred_canonical"]))
+    f = pd.DataFrame(
+        {
+            "s": t["subj"].map(k),
+            "p": t["pred"].map(lambda x: pm.get(x, x)),
+            "o": t["obj"].map(k),
+        }
+    )
+    return f.dropna().drop_duplicates().reset_index(drop=True)
+
+
+def transe_filename(
+    dim: int = 16, n_iter: int = 10, lr: float = 0.1, margin: float = 1.0
+) -> str:
+    """Param-suffixed basename of the transe_aux parquet (shared with the
+    oracle SQL so path construction cannot drift)."""
+    return (
+        f"transe_d{int(dim)}i{int(n_iter)}lr{int(lr * 1000)}"
+        f"m{int(margin * 10)}_v{ORACLE_MAT_VERSION}.parquet"
+    )
+
+
+def transe_aux(
+    scale: str,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "transe",
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+) -> str:
+    """Sequential numpy replica of operators/kgembed.train_transe over the
+    sequential canonical fact set: the kg_transe oracle reads this table
+    directly and the kg_linkpred oracle re-derives filtered ranks from it
+    relationally, so the DuckDB comparison isolates the DISTRIBUTED
+    training machinery (role joins, gradient shuffles, checkpointed
+    iteration, the two-phase entity indexing) against a single-threaded
+    run of the same math contract (see the kgembed module docstring for
+    the quantization rules that make the two runs bit-comparable).
+
+    Output parquet: (kind 'ent'|'rel', id, j, w) round-6.  Param-suffixed
+    filename — a default change can never silently serve embeddings
+    trained under another configuration."""
+    from relationextractionpipeline_spark.operators import kgembed
+
+    small = os.path.join(data_dir, testgen.scale_dir(scale))
+    dst = os.path.abspath(
+        os.path.join(small, transe_filename(dim, n_iter, lr, margin))
+    )
+    if os.path.exists(dst):
+        return dst
+    facts = oracle_facts(scale, data_dir)
+    # held-out protocol: train on the 80% hash split (the kg_linkpred
+    # oracle SQL selects the complementary 20% as its test set)
+    is_test = facts.apply(
+        lambda r: kgembed._md5_bucket(
+            f"{r['s']}{kgembed.SEP}{r['p']}{kgembed.SEP}{r['o']}",
+            salt + "-split",
+        )
+        % 5
+        == 0,
+        axis=1,
+    )
+    emb = kgembed.transe_train_numpy(
+        facts[~is_test],
+        dim=dim, n_iter=n_iter, lr=lr, margin=margin, salt=salt,
+    )
+    emb["j"] = emb["j"].astype("int32")
+    return _publish(emb, dst)

@@ -1,0 +1,169 @@
+"""KG-embedding training (operators/kgembed.py): distributed-vs-sequential
+exact equality, partition invariance, the negative-sampling contract, unit
+norms, and hand-checked filtered link-prediction ranks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import kgembed
+
+
+def _toy_facts_pdf():
+    rows = []
+    # structured toy KG: cities ↦ countries (functional), capitals,
+    # a border chain, plus a couple of repeated-object facts
+    for c in range(4):
+        for k in range(3):
+            rows.append((f"city{c}_{k}", "located_in", f"country{c}"))
+        rows.append((f"country{c}", "capital", f"city{c}_0"))
+    for c in range(3):
+        rows.append((f"country{c}", "borders", f"country{c+1}"))
+    return pd.DataFrame(rows, columns=["s", "p", "o"])
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    pdf = _toy_facts_pdf()
+    return pdf, spark.createDataFrame(pdf)
+
+
+def _collect_emb(res):
+    ent = res["ent_emb"].toPandas().assign(kind="ent")
+    rel = res["rel_emb"].toPandas().assign(kind="rel")
+    return (
+        pd.concat([ent, rel])[["kind", "id", "j", "w"]]
+        .sort_values(["kind", "id", "j"])
+        .reset_index(drop=True)
+    )
+
+
+def test_transe_matches_sequential_replica_exactly(spark, toy):
+    """The fixed-point contract makes distributed training BIT-equal to
+    the numpy replica — not merely close: every cross-row sum is int64,
+    and rounding replicates Spark's shortest-repr HALF_UP."""
+    pdf, facts = toy
+    res = kgembed.train_transe(facts, dim=8, n_iter=5, lr=0.5, margin=1.0)
+    a = _collect_emb(res)
+    b = (
+        kgembed.transe_train_numpy(pdf, dim=8, n_iter=5, lr=0.5, margin=1.0)
+        .sort_values(["kind", "id", "j"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) == (res["n_entities"] + res["n_relations"]) * 8
+    assert (a["w"].to_numpy() == b["w"].to_numpy()).all()
+
+
+def test_transe_partition_invariance(spark, toy):
+    """Identical parameters no matter how the fact table is partitioned —
+    the distributed-determinism claim the integer gradient sums buy."""
+    _, facts = toy
+    outs = []
+    for nparts in (1, 7):
+        res = kgembed.train_transe(
+            facts.repartition(nparts), dim=4, n_iter=3, lr=0.5
+        )
+        outs.append(_collect_emb(res))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_corrupted_tail_is_deterministic_and_never_true_tail(spark, toy):
+    _, facts = toy
+    f, eidx, n_ent = kgembed._facts_with_negatives(facts, "transe")
+    rows = f.collect()
+    assert len(rows) == facts.count()
+    assert all(r["t2"] != r["o"] for r in rows)
+    ents = {r["ent"] for r in eidx.collect()}
+    assert all(r["t2"] in ents for r in rows)
+    # pure function of the fact: a second call yields the same negatives
+    f2, _, _ = kgembed._facts_with_negatives(facts, "transe")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, f2.collect()))
+
+
+def test_entity_rows_unit_normalized(spark, toy):
+    _, facts = toy
+    res = kgembed.train_transe(facts, dim=8, n_iter=2, lr=0.5)
+    norms = (
+        res["ent_emb"]
+        .groupBy("id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        .collect()
+    )
+    # round-6 components: |Σw² − 1| ≤ ~2·dim·1e-6
+    assert all(abs(r["n2"] - 1.0) < 1e-4 for r in norms)
+
+
+def test_linkpred_ranks_hand_checked(spark):
+    """Tiny hand-built model: 1-d embeddings, distances and the filtered
+    rank computed by hand."""
+    # entities a,b,c at positions 0.1, 0.5, 0.9; relation r = +0.4
+    ent = spark.createDataFrame(
+        [("a", 0, 0.1), ("b", 0, 0.5), ("c", 0, 0.9)], "id string, j int, w double"
+    )
+    rel = spark.createDataFrame([("r", 0, 0.4)], "id string, j int, w double")
+    facts_pdf = pd.DataFrame(
+        [("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c")],
+        columns=["s", "p", "o"],
+    )
+    facts = spark.createDataFrame(facts_pdf)
+    # evaluate EVERY fact (test_mod=1 selects all)
+    out = {
+        (r["s"], r["p"], r["o"]): r
+        for r in kgembed.link_prediction_ranks(
+            facts, ent, rel, test_mod=1
+        ).collect()
+    }
+    assert len(out) == 3
+    # fact (a, r, b): h+r = 0.5 → d(a)=0.16, d(b)=0, d(c)=0.16;
+    # candidate c is another true tail of (a, r, ·) → filtered out;
+    # true tail b has the strict minimum → rank 1
+    assert out[("a", "r", "b")]["rank"] == 1
+    # fact (a, r, c): d(c)=0.16 vs d(a)=0.16 (tie → id order: a < c wins),
+    # b filtered (true fact) → rank 2
+    assert out[("a", "r", "c")]["rank"] == 2
+    # fact (b, r, c): h+r = 0.9 → d(c)=0 strict minimum → rank 1; hit10
+    r = out[("b", "r", "c")]
+    assert r["rank"] == 1 and r["hit10"] and r["inv_rank"] == 1.0
+
+
+def test_training_improves_over_init(spark, toy):
+    """Learning-capacity sanity: trained embeddings rank true tails
+    better than the untrained init on the structured toy KG (in-sample —
+    this asserts the loss moves the geometry, not generalization)."""
+    pdf, facts = toy
+    res = kgembed.train_transe(facts, dim=8, n_iter=8, lr=1.0)
+    init_ent = kgembed.normalize_unit(
+        kgembed.init_embeddings(
+            res["ent_emb"].select("id").distinct(), "id", 8,
+            6.0 / float(np.sqrt(8)), "transe-ent",
+        )
+    )
+    init_rel = kgembed.init_embeddings(
+        res["rel_emb"].select("id").distinct(), "id", 8,
+        6.0 / float(np.sqrt(8)), "transe-rel",
+    )
+    def mrr(ent, rel):
+        rows = kgembed.link_prediction_ranks(
+            facts, ent, rel, test_mod=2
+        ).collect()
+        assert rows
+        return sum(r["inv_rank"] for r in rows) / len(rows)
+
+    assert mrr(res["ent_emb"], res["rel_emb"]) > mrr(init_ent, init_rel)
+
+
+def test_fact_table_excludes_unlinked_and_dedups(spark):
+    edges = spark.createDataFrame(
+        [
+            ("e1", "p1", "e2", "p1c"),
+            ("e1", "p1", "e2", "p1c"),   # duplicate fact
+            (None, "p1", "e2", "p1c"),   # unlinked subject
+            ("e1", "p2", None, None),    # unlinked object
+            ("e3", "p3", "e3", None),    # predicate outside the map
+        ],
+        "subj_canonical string, pred string, obj_canonical string,"
+        " pred_canonical string",
+    )
+    got = sorted(map(tuple, kgembed.fact_table(edges).collect()))
+    assert got == [("e1", "p1c", "e2"), ("e3", "p3", "e3")]

@@ -120,9 +120,46 @@ def test_no_query_uses_cartesian_or_row_python(spark):
 
     sf = "/root/testdata/sf0.001"
     allowed_cross = {"q_embed_topk"}  # explicit broadcast(queries) × corpus
+    # the TransE trio returns the MEMOIZED trained model (createDataFrame —
+    # a trivial plan), but building the memo runs full training (~2 min at
+    # tiny); the meaningful plan (the link-pred scoring join) is asserted
+    # training-free in test_linkpred_plan_is_equi_join below
+    memo_trained = {"kg_transe", "kg_linkpred", "kg_linkpred_mrr"}
     for name, fn in entrymod.queries().items():
+        if name in memo_trained:
+            continue
         plan = _plan(fn(spark, sf))
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
         if name not in allowed_cross:
             assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         spark.catalog.clearCache()
+
+
+def test_linkpred_plan_is_equi_join(spark):
+    """link_prediction_ranks' candidate scoring must be an equi-join on
+    the dimension key (broadcast/shuffled hash or sort-merge — Catalyst's
+    choice), never a CartesianProduct, and pure JVM (no Python)."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.operators import kgembed
+
+    ent = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"e{i}", j, 0.1 * (i + j)) for i in range(6) for j in range(4)],
+            columns=["id", "j", "w"],
+        )
+    )
+    rel = spark.createDataFrame(
+        pd.DataFrame(
+            [("r", j, 0.05 * j) for j in range(4)], columns=["id", "j", "w"]
+        )
+    )
+    facts = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"e{i}", "r", f"e{(i+1) % 6}") for i in range(6)],
+            columns=["s", "p", "o"],
+        )
+    )
+    plan = _plan(kgembed.link_prediction_ranks(facts, ent, rel, test_mod=1))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -119,6 +119,41 @@ def main() -> None:
          __import__("relationextractionpipeline_spark.operators.sampling",
                     fromlist=["sampling"]).temperature_sample(
              docs.select("doc_id", "lang"), "doc_id", "lang")),
+        ("Quality-classifier scoring — featurize → broadcast weight join → "
+         "doc-keyed aggregate → left join back (zero-gram docs score "
+         "sigmoid(bias)); the 100 TB sweep path, pure JVM",
+         __import__("relationextractionpipeline_spark.operators.classifier",
+                    fromlist=["classifier"]).score_quality(
+             docs.select("doc_id", "text"),
+             __import__("pandas").DataFrame(
+                 {"bucket": range(16), "weight": [0.1] * 16}), 0.0)),
+        ("DSIR importance weights — (doc, bucket) multiplicities map-side "
+         "combined, dimension-sized ratio table broadcast back",
+         __import__("relationextractionpipeline_spark.operators.sampling",
+                    fromlist=["sampling"]).dsir_weights(
+             docs.select("doc_id", "text", "lang"),
+             F.col("lang") == "en", n_buckets=64)),
+        ("Gopher rule battery — row-local native Columns, ZERO Exchange",
+         __import__("relationextractionpipeline_spark.operators.quality",
+                    fromlist=["quality"]).with_gopher_rules(
+             docs.select("doc_id", "text"))),
+        ("Link-prediction scoring (TransE eval) — candidate scoring is an "
+         "equi-join on the dimension key (outer product by nature, run on "
+         "the hash-sampled test split); exact int64 distances, fact-keyed "
+         "rank aggregate, no CartesianProduct",
+         __import__("relationextractionpipeline_spark.operators.kgembed",
+                    fromlist=["kgembed"]).link_prediction_ranks(
+             spark.createDataFrame(
+                 [(f"e{i}", "r", f"e{(i + 1) % 6}") for i in range(6)],
+                 "s string, p string, o string"),
+             spark.createDataFrame(
+                 [(f"e{i}", j, 0.1 * (i + j))
+                  for i in range(6) for j in range(4)],
+                 "id string, j int, w double"),
+             spark.createDataFrame(
+                 [("r", j, 0.05 * j) for j in range(4)],
+                 "id string, j int, w double"),
+             test_mod=1)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
