@@ -952,6 +952,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_salience"] = kg_salience
 
+    def _canonical_graph(spark, sf_dir):
+        """Shared plumbing for the graph-query family: run the pipeline,
+        materialize the canonical graph, pre-materialize the oracle tables
+        the SQL side reads."""
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        return pipeline.materialize_graph(run)
+
+    def kg_motif(spark, sf_dir):
+        """Graph-pattern query surface (operators/motif.find — the
+        GraphFrames-style ``find`` compiled to Catalyst hash equi-joins,
+        negation as LEFT ANTI, never a cartesian): the motif
+        ``(a)-[p]->(b); (b)-[p]->(c); !(a)-[p]->(c)`` — same-predicate
+        two-hop chains with no transitive shortcut, the
+        transitivity-violation mining query (a predicate high here is
+        either non-transitive by nature or missing inferable edges).
+        The repeated edge variable joins the two hops on the predicate
+        itself; rolled up per predicate.  Full SQL oracle (distinct
+        canonical edge set, chain join, NOT EXISTS anti)."""
+        from relationextractionpipeline_spark.operators import motif
+
+        graph = _canonical_graph(spark, sf_dir)
+        edges = (
+            graph["edges"]
+            .where(
+                F.col("subj_canonical").isNotNull()
+                & F.col("obj_canonical").isNotNull()
+            )
+            .select(
+                F.col("subj_canonical").alias("src"),
+                F.coalesce("pred_canonical", "pred").alias("pred"),
+                F.col("obj_canonical").alias("dst"),
+            )
+        )
+        m = motif.find(edges, "(a)-[p]->(b); (b)-[p]->(c); !(a)-[p]->(c)")
+        return m.groupBy("p").agg(F.count(F.lit(1)).alias("n_open_chains"))
+
+    q["kg_motif"] = kg_motif
+
+    def kg_ntriples(spark, sf_dir):
+        """RDF N-Triples export (operators/sinks.ntriples): one fact line
+        per distinct resolved canonical triple on md5-minted IRIs, plus
+        rdfs:label lines carrying the N-Triples-escaped canonical entity
+        and predicate strings — the interchange surface a triple store
+        loads.  All native Columns (md5 + nested replace); the DuckDB
+        oracle mints and escapes with the same primitives."""
+        from relationextractionpipeline_spark.operators import sinks
+
+        graph = _canonical_graph(spark, sf_dir)
+        return sinks.ntriples(graph["edges"])
+
+    q["kg_ntriples"] = kg_ntriples
+
+    def kg_fact_intervals(spark, sf_dir):
+        """Temporal KG: per canonical fact the observation interval —
+        first/last event-time, observation + conversation counts
+        (operators/ontology.fact_intervals); the fact-aging table an
+        incremental build keys snapshot validity on.  One lineage-key
+        join + one graph-sized aggregate; full SQL oracle."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        graph = _canonical_graph(spark, sf_dir)
+        turns = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"])
+        iv = ontology.fact_intervals(graph["edges"], turns)
+        return iv.select(
+            "subj_canonical",
+            "pred_canonical",
+            "obj_canonical",
+            F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+            F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+            "n_observations",
+            "n_convs",
+        )
+
+    q["kg_fact_intervals"] = kg_fact_intervals
+
+    def kg_fact_conflicts(spark, sf_dir):
+        """KB-consistency over time (operators/ontology.fact_conflicts):
+        per (pred, subj) with >1 distinct object, the object-change count
+        along the deterministic event-time observation order plus
+        first/last observed object — interleaved contradiction vs a value
+        that legitimately evolved.  One shuffle serves window + rollup;
+        full SQL oracle (same total ordering)."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        graph = _canonical_graph(spark, sf_dir)
+        turns = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"])
+        return ontology.fact_conflicts(graph["edges"], turns)
+
+    q["kg_fact_conflicts"] = kg_fact_conflicts
+
     def kg_transe(spark, sf_dir):
         """Distributed TransE KG-embedding training
         (operators/kgembed.train_transe): the parameter tables are
@@ -3442,6 +3539,149 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) FILTER (WHERE n_objects = 1))::DOUBLE
                          / count(*), 6) AS functionality
             FROM per_subj GROUP BY 1
+        """,
+        # motif semantics replayed relationally: DISTINCT named-variable
+        # assignments over the distinct canonical edge set; the negated
+        # term is NOT EXISTS (≡ the Spark LEFT ANTI)
+        "kg_motif": f"""
+            WITH e AS (
+                SELECT DISTINCT ks.canonical_id AS src,
+                       coalesce(pc.pred_canonical, t.pred) AS pred,
+                       ko.canonical_id AS dst
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            m AS (
+                SELECT DISTINCT x.src AS a, x.pred AS p, x.dst AS b,
+                                y.dst AS c
+                FROM e x JOIN e y ON y.src = x.dst AND y.pred = x.pred
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM e z
+                    WHERE z.src = x.src AND z.pred = x.pred AND z.dst = y.dst
+                )
+            )
+            SELECT p, count(*) AS n_open_chains
+            FROM m GROUP BY p
+        """,
+        # N-Triples: md5-minted IRIs + escaped rdfs:labels; chr(92) is the
+        # backslash (spelled numerically so SQL-literal escaping can't
+        # diverge between engines)
+        "kg_ntriples": f"""
+            WITH facts AS (
+                SELECT DISTINCT ks.canonical_id AS s,
+                       coalesce(pc.pred_canonical, t.pred) AS p,
+                       ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            ents AS (SELECT s AS v FROM facts UNION SELECT o FROM facts),
+            preds AS (SELECT DISTINCT p AS v FROM facts),
+            esc_e AS (
+                SELECT v, replace(replace(replace(replace(replace(v,
+                    chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+                    chr(10), chr(92)||'n'), chr(13), chr(92)||'r'),
+                    chr(9), chr(92)||'t') AS lit
+                FROM ents
+            ),
+            esc_p AS (
+                SELECT v, replace(replace(replace(replace(replace(v,
+                    chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+                    chr(10), chr(92)||'n'), chr(13), chr(92)||'r'),
+                    chr(9), chr(92)||'t') AS lit
+                FROM preds
+            )
+            SELECT '<http://kg.local/e/' || md5(s) || '> <http://kg.local/p/'
+                   || md5(p) || '> <http://kg.local/e/' || md5(o) || '> .'
+                   AS line
+            FROM facts
+            UNION ALL
+            SELECT '<http://kg.local/e/' || md5(v)
+                   || '> <http://www.w3.org/2000/01/rdf-schema#label> "'
+                   || lit || '" .'
+            FROM esc_e
+            UNION ALL
+            SELECT '<http://kg.local/p/' || md5(v)
+                   || '> <http://www.w3.org/2000/01/rdf-schema#label> "'
+                   || lit || '" .'
+            FROM esc_p
+        """,
+        "kg_fact_intervals": f"""
+            WITH e AS (
+                SELECT ks.canonical_id AS subj_canonical,
+                       coalesce(pc.pred_canonical, t.pred) AS pred_canonical,
+                       ko.canonical_id AS obj_canonical,
+                       tr.ts, t.conv_id
+                FROM read_parquet('{otriples}') t
+                JOIN read_parquet('{small}/transcripts.parquet/*.parquet') tr
+                  ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            )
+            SELECT subj_canonical, pred_canonical, obj_canonical,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+                   count(*) AS n_observations,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM e GROUP BY 1, 2, 3
+        """,
+        "kg_fact_conflicts": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS pred_canonical,
+                       ks.canonical_id AS subj_canonical,
+                       ko.canonical_id AS obj_canonical,
+                       tr.ts, t.conv_id, t.turn_idx, t.sent_idx, t.rel_idx
+                FROM read_parquet('{otriples}') t
+                JOIN read_parquet('{small}/transcripts.parquet/*.parquet') tr
+                  ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            seq AS (
+                SELECT pred_canonical, subj_canonical, obj_canonical,
+                       lag(obj_canonical) OVER w AS prev_obj,
+                       row_number() OVER w AS rn
+                FROM e
+                WINDOW w AS (
+                    PARTITION BY pred_canonical, subj_canonical
+                    ORDER BY ts, conv_id, turn_idx, sent_idx, rel_idx
+                )
+            )
+            SELECT pred_canonical, subj_canonical,
+                   count(DISTINCT obj_canonical) AS n_objects,
+                   count(*) AS n_observations,
+                   (count(*) FILTER (WHERE prev_obj IS NOT NULL
+                        AND prev_obj <> obj_canonical))::BIGINT AS n_changes,
+                   max(CASE WHEN rn = 1 THEN obj_canonical END) AS first_obj,
+                   arg_max(obj_canonical, rn) AS last_obj
+            FROM seq
+            GROUP BY 1, 2
+            HAVING count(DISTINCT obj_canonical) > 1
         """,
         "kg_rules": f"""
             WITH e AS (

@@ -298,3 +298,101 @@ def entity_salience(edges: DataFrame, top_k: int = 5) -> DataFrame:
         .alias("rank"),
     )
     return ranked.where(F.col("rank") <= F.lit(int(top_k)))
+
+
+def fact_intervals(edges: DataFrame, turns: DataFrame) -> DataFrame:
+    """Temporal KG: per canonical fact the observation interval.
+
+    Each edge row carries the extraction lineage keys (conv_id, turn_idx);
+    joining them back to the transcripts' event time gives every fact an
+    observation timestamp, and the rollup per DISTINCT resolved
+    (subj_canonical, pred_canonical, obj_canonical) yields
+    ``first_seen`` / ``last_seen`` plus observation and conversation
+    counts — the table an incremental KG build uses for fact aging,
+    recency-weighted fusion, and snapshot validity intervals.
+
+    Scale: one corpus-keyed equi-join (edges ⋈ turns on the lineage key —
+    both sides hash-partition on conv_id, no skew beyond conversation
+    length, which AQE splits) followed by one fact-keyed aggregate whose
+    output is graph-sized.  No UDFs.
+    """
+    linked = edges.where(
+        F.col("subj_canonical").isNotNull()
+        & F.col("obj_canonical").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "subj_canonical",
+        F.coalesce("pred_canonical", "pred").alias("pred_canonical"),
+        "obj_canonical",
+    )
+    ts = turns.select("conv_id", "turn_idx", "ts")
+    return (
+        linked.join(ts, ["conv_id", "turn_idx"])
+        .groupBy("subj_canonical", "pred_canonical", "obj_canonical")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("n_observations"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def fact_conflicts(edges: DataFrame, turns: DataFrame) -> DataFrame:
+    """KB-consistency over time: subjects whose object CHANGES under a
+    predicate, with the change count along the event-time observation
+    sequence.
+
+    ``functionality`` (above) counts violating subjects statically; this
+    orders each (pred, subj) group's observations by a total key
+    (ts, then the edge natural key) and counts transitions where the
+    object differs from the previous observation — distinguishing a
+    value that legitimately evolved (few changes, e.g. an attribute
+    updated mid-corpus) from interleaved contradiction (many changes).
+    Output per (pred_canonical, subj_canonical) with >1 distinct object:
+    distinct-object / observation / change counts plus the first and
+    last observed object.
+
+    Scale: one shuffle on (pred, subj) serving both the window and the
+    aggregate (same key); group size is bounded by a subject's edge
+    count under one predicate.  The ordering key is total (the edge
+    natural key is unique), so ``lag`` is deterministic under any
+    partitioning.
+    """
+    keys = ["pred_canonical", "subj_canonical"]
+    order = [F.col(c) for c in
+             ("ts", "conv_id", "turn_idx", "sent_idx", "rel_idx")]
+    linked = edges.where(
+        F.col("subj_canonical").isNotNull()
+        & F.col("obj_canonical").isNotNull()
+    ).select(
+        "conv_id", "turn_idx", "sent_idx", "rel_idx",
+        "subj_canonical",
+        F.coalesce("pred_canonical", "pred").alias("pred_canonical"),
+        "obj_canonical",
+    ).join(turns.select("conv_id", "turn_idx", "ts"),
+           ["conv_id", "turn_idx"])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    seq = linked.select(
+        *keys,
+        "obj_canonical",
+        F.lag("obj_canonical").over(w).alias("prev_obj"),
+        F.row_number().over(w).alias("rn"),
+    )
+    grp = seq.groupBy(*keys).agg(
+        F.countDistinct("obj_canonical").alias("n_objects"),
+        F.count(F.lit(1)).alias("n_observations"),
+        F.sum(
+            F.when(
+                F.col("prev_obj").isNotNull()
+                & (F.col("prev_obj") != F.col("obj_canonical")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        F.max(F.when(F.col("rn") == 1, F.col("obj_canonical"))).alias(
+            "first_obj"
+        ),
+        F.max_by("obj_canonical", "rn").alias("last_obj"),
+    )
+    return grp.where(F.col("n_objects") > 1)

@@ -128,3 +128,88 @@ def types_list(triples: DataFrame) -> DataFrame:
         triples.select(F.explode(F.array("subj_type", "obj_type")).alias("t"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# RDF N-Triples export (beyond-reference: the interchange format a KG
+# consumer loads into a triple store; the reference stops at its private
+# JSONL, binary_relation.py:150-157)
+# ---------------------------------------------------------------------------
+
+KG_ENTITY_NS = "http://kg.local/e/"
+KG_PRED_NS = "http://kg.local/p/"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def _nt_escape(col):
+    """N-Triples string-literal escaping (W3C N-Triples spec §2.3): backslash
+    first, then quote / LF / CR / TAB.  Native Column chain — whole-stage
+    codegen, and replayable verbatim as nested replace() in the DuckDB
+    oracle."""
+    out = F.col(col) if isinstance(col, str) else col
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def _iri(ns: str, col) -> "F.Column":
+    """Mint a deterministic IRI for an arbitrary canonical string: the md5
+    of the string under a fixed namespace.  Hashing (rather than
+    percent-encoding) keeps the IRI grammar trivially valid for any input
+    byte sequence and the minting SQL-replayable; the human-readable form
+    travels alongside as an rdfs:label literal."""
+    return F.concat(F.lit("<" + ns), F.md5(col), F.lit(">"))
+
+
+def ntriples(edges: DataFrame) -> DataFrame:
+    """RDF N-Triples lines for the canonicalized edge table: one fact line
+    per DISTINCT resolved (subj_canonical, pred_canonical, obj_canonical)
+    plus one rdfs:label line per distinct entity and predicate (the label
+    carries the canonical string, N-Triples-escaped).
+
+    ``edges`` is the ``materialize_graph`` output (``subj_canonical``,
+    ``obj_canonical``, ``pred_canonical``/``pred``).  Rows with an
+    unresolved (null) endpoint are excluded — RDF wants stable IRIs, and
+    the unlinked remainder stays in the columnar tables.
+
+    Scale: three distinct-aggregations (fact set, entity set, predicate
+    set), each keyed on graph-sized — not mention-sized — values, then
+    pure per-row string assembly in whole-stage codegen.  Output column:
+    ``line``.  Writing sorted lines to one file is the caller's choice
+    (tiny graphs); at scale, ``df.write.text`` per partition.
+    """
+    facts = (
+        edges.where(
+            F.col("subj_canonical").isNotNull()
+            & F.col("obj_canonical").isNotNull()
+        )
+        .select(
+            F.col("subj_canonical").alias("s"),
+            F.coalesce("pred_canonical", "pred").alias("p"),
+            F.col("obj_canonical").alias("o"),
+        )
+        .distinct()
+    )
+    fact_lines = facts.select(
+        F.concat_ws(
+            " ", _iri(KG_ENTITY_NS, F.col("s")), _iri(KG_PRED_NS, F.col("p")),
+            _iri(KG_ENTITY_NS, F.col("o")), F.lit(".")
+        ).alias("line")
+    )
+    ents = facts.select(F.col("s").alias("v")).union(
+        facts.select(F.col("o").alias("v"))
+    ).distinct()
+    ent_labels = ents.select(
+        F.concat_ws(
+            " ", _iri(KG_ENTITY_NS, F.col("v")), F.lit("<" + RDFS_LABEL + ">"),
+            F.concat(F.lit('"'), _nt_escape("v"), F.lit('"')), F.lit(".")
+        ).alias("line")
+    )
+    pred_labels = facts.select(F.col("p").alias("v")).distinct().select(
+        F.concat_ws(
+            " ", _iri(KG_PRED_NS, F.col("v")), F.lit("<" + RDFS_LABEL + ">"),
+            F.concat(F.lit('"'), _nt_escape("v"), F.lit('"')), F.lit(".")
+        ).alias("line")
+    )
+    return fact_lines.union(ent_labels).union(pred_labels)
