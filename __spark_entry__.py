@@ -1434,6 +1434,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_top_words"] = q_top_words
 
+    def q_heavy_hitters_cms(spark, sf_dir):
+        """Count-Min sketch heavy hitters (operators/freq.py): build the
+        d=4 × w=1024 sketch over the full token stream (shuffled state
+        bounded at d×w counters per map task — the corpus-sized key space
+        never shuffles), then point-query it for the exact top-20 words.
+        Output (word, n_exact, est) with the CM guarantee est ≥ n_exact.
+        Sketch hashes derive from the shared md5 primitive, so the DuckDB
+        oracle replays the sketch bit-for-bit."""
+        from relationextractionpipeline_spark.operators import freq
+
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        words = d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        ).where(F.col("word") != "")
+        sketch = freq.cms_build(words, "word", depth=4, width=1024)
+        top = (
+            words.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .orderBy(F.desc("n_exact"), F.asc("word"))
+            .limit(20)
+        )
+        return freq.cms_estimate(sketch, top, "word", depth=4, width=1024)
+
+    q["q_heavy_hitters_cms"] = q_heavy_hitters_cms
+
     # ---- text analysis (native Column ops, SQL parity) -------------------
     def q_doc_token_stats(spark, sf_dir):
         d = _read(spark, sf_dir, "documents")
@@ -2500,6 +2527,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n_occurrences DESC, word ASC
             LIMIT 20
+        """,
+        # Count-Min replayed relationally: same shared-md5 bucket hash
+        # (word || ':cms:<row>' → first 8 hex → int → mod width), same
+        # d=4/w=1024 geometry, min over the probe cells
+        "q_heavy_hitters_cms": """
+            WITH w2 AS (
+                SELECT word FROM (
+                    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+')) AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            ids AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            sketch AS (
+                SELECT i AS row,
+                       ('0x' || substr(md5(word || ':cms:' || i::VARCHAR),
+                                       1, 8))::BIGINT % 1024 AS bucket,
+                       count(*) AS cnt
+                FROM w2 CROSS JOIN ids
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT word, count(*) AS n_exact FROM w2 GROUP BY word
+                ORDER BY n_exact DESC, word ASC LIMIT 20
+            ),
+            probes AS (
+                SELECT t.word, t.n_exact, i,
+                       ('0x' || substr(md5(t.word || ':cms:' || i::VARCHAR),
+                                       1, 8))::BIGINT % 1024 AS bucket
+                FROM top t CROSS JOIN ids
+            )
+            SELECT p.word, p.n_exact, min(coalesce(s.cnt, 0)) AS est
+            FROM probes p
+            LEFT JOIN sketch s ON s.row = p.i AND s.bucket = p.bucket
+            GROUP BY 1, 2
         """,
         "q_doc_token_stats": f"""
             SELECT doc_id, length(text) AS n_chars_calc,

@@ -1,0 +1,68 @@
+"""Count-Min sketch: overcount guarantee, mergeability, and zero-for-unseen
+on hand-computed data.  The sf-scale gate is the DuckDB oracle for
+q_heavy_hitters_cms (bit-for-bit sketch replay)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from relationextractionpipeline_spark.operators import freq
+
+
+def _words(spark, tokens):
+    return spark.createDataFrame([(t,) for t in tokens], "word string")
+
+
+TOKENS = (["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 7 + ["delta"] * 1
+          + [f"tail{i}" for i in range(100)])
+
+
+def test_estimate_never_undercounts(spark):
+    df = _words(spark, TOKENS)
+    sketch = freq.cms_build(df, "word", depth=4, width=64)
+    exact = df.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    est = freq.cms_estimate(sketch, exact, "word", depth=4, width=64)
+    rows = est.collect()
+    assert len(rows) == 104
+    assert all(r.est >= r.n for r in rows)
+    # the sketch total per row equals the insert count, so overcounts are
+    # bounded; heavy hitters at width 64 over 178 inserts stay near-exact
+    by = {r.word: r for r in rows}
+    assert by["alpha"].est >= 50 and by["alpha"].est <= 50 + 178
+
+
+def test_sketch_size_bounded(spark):
+    sketch = freq.cms_build(_words(spark, TOKENS), "word", depth=3, width=16)
+    assert sketch.count() <= 3 * 16
+    assert {tuple(r) for r in sketch.select("row").distinct().collect()} <= {
+        (0,), (1,), (2,)
+    }
+
+
+def test_merge_equals_single_build(spark):
+    half1, half2 = TOKENS[: len(TOKENS) // 2], TOKENS[len(TOKENS) // 2:]
+    merged = freq.cms_merge(
+        freq.cms_build(_words(spark, half1), "word", depth=4, width=64),
+        freq.cms_build(_words(spark, half2), "word", depth=4, width=64),
+    )
+    whole = freq.cms_build(_words(spark, TOKENS), "word", depth=4, width=64)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, whole.collect()))
+    assert a == b
+
+
+def test_unseen_key_can_read_zero(spark):
+    # a fresh sketch over one token: almost every other key reads 0 (it
+    # would need to collide on ALL depth rows to read >0)
+    sketch = freq.cms_build(_words(spark, ["solo"]), "word", depth=4,
+                            width=1024)
+    items = _words(spark, [f"unseen{i}" for i in range(20)])
+    est = freq.cms_estimate(sketch, items, "word", depth=4, width=1024)
+    assert sum(r.est for r in est.collect()) == 0
+
+
+def test_partition_invariance(spark):
+    df = _words(spark, TOKENS)
+    a = freq.cms_build(df.repartition(7), "word", depth=4, width=64)
+    b = freq.cms_build(df.coalesce(1), "word", depth=4, width=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
