@@ -1461,6 +1461,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_heavy_hitters_cms"] = q_heavy_hitters_cms
 
+    def q_distinct_kmv(spark, sf_dir):
+        """K-Minimum-Values distinct-count sketch (operators/freq.py):
+        estimate the distinct-token count of the documents corpus from
+        the 256 smallest distinct md5 hash values — hash → map-side
+        distinct → per-partition top-k (TakeOrdered), never a global sort
+        of the key space.  The estimate is integer math ((k-1)·2^32 div
+        h_k), so the DuckDB oracle gates the estimate itself, not just
+        the sketch rows."""
+        from relationextractionpipeline_spark.operators import freq
+
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        words = d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        ).where(F.col("word") != "")
+        return freq.kmv_estimate(freq.kmv_sketch(words, "word", k=256), k=256)
+
+    q["q_distinct_kmv"] = q_distinct_kmv
+
     # ---- text analysis (native Column ops, SQL parity) -------------------
     def q_doc_token_stats(spark, sf_dir):
         d = _read(spark, sf_dir, "documents")
@@ -2562,6 +2582,27 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             LEFT JOIN sketch s ON s.row = p.i AND s.bucket = p.bucket
             GROUP BY 1, 2
+        """,
+        # KMV replayed relationally: same shared-md5 hash (word || ':kmv'),
+        # 256 smallest distinct, integer-division estimate
+        "q_distinct_kmv": """
+            WITH w2 AS (
+                SELECT word FROM (
+                    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+')) AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            hs AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(word || ':kmv'), 1, 8))::BIGINT AS h
+                FROM w2
+            ),
+            sk AS (SELECT h FROM hs ORDER BY h LIMIT 256)
+            SELECT count(*) AS n_kept,
+                   CASE WHEN count(*) < 256 THEN count(*)
+                        ELSE 1095216660480 // max(h) END AS est
+            FROM sk
         """,
         "q_doc_token_stats": f"""
             SELECT doc_id, length(text) AS n_chars_calc,

@@ -108,3 +108,56 @@ def cms_estimate(
         joined.groupBy(*others)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002): keep the
+# k smallest distinct hash values; the k-th smallest fixes the estimate
+# (k-1) * 2^32 / h_k.  All integer math — unlike HLL's float harmonic mean,
+# the estimate itself is bit-replayable in SQL, so the DuckDB gate covers
+# the whole sketch, not just its registers.
+# ---------------------------------------------------------------------------
+
+KMV_HASH_SPACE = 1 << 32
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """The k smallest DISTINCT shared-md5 hash values of ``df[key_col]``
+    (column ``h``).  Plan: hash → distinct (map-side combined) →
+    sort+limit, which Spark executes as per-partition top-k merged on the
+    driver (TakeOrdered) — never a global sort of the key space.
+    Sketches over disjoint inputs merge by union → distinct → re-take the
+    k smallest (``kmv_merge``)."""
+    h = df.select(hash_bucket(F.col(key_col), salt).alias("h")).distinct()
+    return h.orderBy("h").limit(int(k))
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Merge KMV sketches built with the same salt: the k smallest of the
+    union of survivors (a KMV sketch is a uniform sample of the distinct
+    hash space, so the merged bound is exact)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(int(k))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: one row,
+    (``n_kept``, ``est``).  If the sketch holds fewer than k hashes the
+    count is EXACT (every distinct value is present); otherwise
+    ``est = (k-1) * 2^32 div h_k`` with h_k the largest kept hash —
+    integer division, identical in Spark and SQL."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
+    )
+    return agg.select(
+        "n_kept",
+        F.when(F.col("n_kept") < F.lit(int(k)), F.col("n_kept"))
+        .otherwise(
+            F.expr(f"CAST({(int(k) - 1) * KMV_HASH_SPACE} AS BIGINT) div h_k")
+        )
+        .alias("est"),
+    )

@@ -66,3 +66,30 @@ def test_partition_invariance(spark):
     a = freq.cms_build(df.repartition(7), "word", depth=4, width=64)
     b = freq.cms_build(df.coalesce(1), "word", depth=4, width=64)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_exact_below_k(spark):
+    df = _words(spark, TOKENS)  # 104 distinct < k
+    est = freq.kmv_estimate(freq.kmv_sketch(df, "word", k=256), k=256)
+    r = est.collect()[0]
+    assert r.n_kept == 104 and r.est == 104
+
+
+def test_kmv_estimate_accuracy_above_k(spark):
+    n = 5000
+    df = _words(spark, [f"tok{i}" for i in range(n)])
+    r = freq.kmv_estimate(freq.kmv_sketch(df, "word", k=256), k=256).collect()[0]
+    assert r.n_kept == 256
+    # std error ~ 1/sqrt(k) ≈ 6.3%; allow 4 sigma
+    assert abs(r.est - n) < 0.25 * n
+
+
+def test_kmv_merge_equals_single_build(spark):
+    toks = [f"tok{i}" for i in range(3000)]
+    a = freq.kmv_sketch(_words(spark, toks[:1500] + toks[:100]), "word", k=64)
+    b = freq.kmv_sketch(_words(spark, toks[1500:]), "word", k=64)
+    merged = sorted(r.h for r in freq.kmv_merge(64, a, b).collect())
+    whole = sorted(
+        r.h for r in freq.kmv_sketch(_words(spark, toks), "word", k=64).collect()
+    )
+    assert merged == whole
