@@ -76,10 +76,13 @@ def parse_args(argv):
     p.add_argument("--analytics", action="store_true",
                    help="with --graph (implied): also write pagerank / "
                         "communities / kcore_2 / hits analytics tables")
+    p.add_argument("--rdf", action="store_true",
+                   help="with --graph (implied): export the canonical graph "
+                        "as RDF N-Triples under <out>/ntriples/")
     p.add_argument("--reference-formats", action="store_true",
                    help="also write S12 JSONL / S13 human / S14 types files")
     args = p.parse_args(argv)
-    if args.analytics:
+    if args.analytics or args.rdf:
         args.graph = True
     if args.config:
         ini = configparser.ConfigParser()
@@ -283,6 +286,25 @@ def main(argv=None) -> int:
                 ),
                 "hits",
             )
+            # temporal fact tables (operators/ontology.py): observation
+            # intervals + object-change conflict profiles
+            from relationextractionpipeline_spark.operators import ontology
+
+            turns = spark.read.parquet(paths["transcripts"])
+            io.write(
+                ontology.fact_intervals(g["edges"], turns), "fact_intervals"
+            )
+            io.write(
+                ontology.fact_conflicts(g["edges"], turns), "fact_conflicts"
+            )
+
+        if args.rdf:
+            # orderBy range-partitions on the line, so concatenating part
+            # files in filename order yields one deterministically-sorted
+            # N-Triples document
+            sinks.ntriples(g["edges"]).orderBy("line").write.mode(
+                "overwrite"
+            ).text(os.path.join(args.out, "ntriples"))
 
     if args.reference_formats:
         if parsed is None:
