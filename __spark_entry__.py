@@ -389,6 +389,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_edges"] = kg_edges
 
+    def kg_verbalize(spark, sf_dir):
+        """KG-to-text verbalization (operators/ontology.verbalize): distinct
+        facts render to template sentences and concatenate per canonical
+        subject into deterministic description paragraphs — the KELM-style
+        synthetic-corpus export a KG-grounded pretraining mix consumes.
+        Gated against the sequential union-find keymap + the same rendering
+        replayed in SQL."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            ontology,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        return ontology.verbalize(edges)
+
+    q["kg_verbalize"] = kg_verbalize
+
     def kg_predicates(spark, sf_dir):
         """Predicate canonicalization (north_star: near-duplicate predicate
         strings cluster via minhash-LSH + connected components, canonical =
@@ -1154,6 +1174,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples_hourly"] = kg_triples_hourly
 
+    def q_sft_pairs(spark, sf_dir):
+        """Instruction-tuning pair extraction (operators/instruct.py): every
+        adjacent user→assistant turn pair becomes one (prompt, response) SFT
+        example with a 3-turn rendered context window — the last-mile
+        training-data operation over the transcripts input shape.  One
+        conv_id shuffle feeds both the adjacency lead and the context frame
+        (shared window spec → single Exchange); all native Columns."""
+        from relationextractionpipeline_spark.operators import instruct
+
+        t = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"])
+        return instruct.sft_pairs(t, ctx_turns=3, min_response_words=3)
+
+    q["q_sft_pairs"] = q_sft_pairs
+
     def kg_cooccurrence(spark, sf_dir):
         """Term co-occurrence edges over the driver's documents table — the
         KG-construction primitive that applies to schema-free corpora (the
@@ -1481,6 +1515,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_distinct_kmv"] = q_distinct_kmv
 
+    def q_distinct_hll(spark, sf_dir):
+        """HyperLogLog distinct-count sketch (operators/freq.py): 256
+        5-bit-equivalent registers (max leading-zero rank per bucket of the
+        shared md5 hash), merged by a map-side-combined MAX groupBy — the
+        register-based sibling of q_distinct_kmv (σ ≈ 1.04/√256 ≈ 6.5%).
+        The harmonic-mean denominator accumulates as an exact integer, so
+        the DuckDB oracle replays sketch AND estimate bit-for-bit."""
+        from relationextractionpipeline_spark.operators import freq
+
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        words = d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        ).where(F.col("word") != "")
+        return freq.hll_estimate(freq.hll_sketch(words, "word"))
+
+    q["q_distinct_hll"] = q_distinct_hll
+
+    def q_quantile_sketch(spark, sf_dir):
+        """Mergeable histogram quantile sketch (operators/freq.py): doc-length
+        quantiles from 128 fixed-range buckets — the bounded-state sibling of
+        the exact rank-based q_quality_quantiles (which pays a value-keyed
+        shuffle; this pays a 128-row one and merges across shards by
+        addition).  Estimates interpolate within the hit bucket; integer
+        counts + one shared float expression ⇒ bit-replayable in SQL."""
+        from relationextractionpipeline_spark.operators import freq
+
+        d = _read(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        lens = d.select(F.length("text").alias("n_chars"))
+        sk = freq.hist_sketch(lens, "n_chars", 0.0, 1024.0, 128)
+        return freq.hist_quantiles(
+            sk, [0.25, 0.5, 0.75, 0.9, 0.99], 0.0, 1024.0, 128
+        )
+
+    q["q_quantile_sketch"] = q_quantile_sketch
+
     # ---- text analysis (native Column ops, SQL parity) -------------------
     def q_doc_token_stats(spark, sf_dir):
         d = _read(spark, sf_dir, "documents")
@@ -1738,6 +1811,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_bm25_search"] = q_bm25_search
+
+    def q_hybrid_search(spark, sf_dir):
+        """Hybrid retrieval (operators/textindex.rrf_fuse): reciprocal-rank
+        fusion of the BM25 keyword shortlist and the exact-cosine dense
+        shortlist for one query — rank-based combination, so the two
+        scorers' incomparable scales never meet.  Both shortlists are
+        candidate-bounded (top-50 each) before the full-outer fuse, so the
+        fusion stage is O(shortlist) at any corpus scale."""
+        d = _read(spark, sf_dir, "documents")
+        emb = _read(spark, sf_dir, "embeddings")
+        kw = textindex.bm25_scores(
+            d, terms=["dup", "hash", "merge"], top_k=50
+        ).select("doc_id", "rank")
+        qs = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        dense = similarity.brute_force_topk(emb, qs, k=50).select(
+            F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        return textindex.rrf_fuse(kw, dense, top_k=10)
+
+    q["q_hybrid_search"] = q_hybrid_search
 
     def q_bpe_merges(spark, sf_dir):
         """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) on the
@@ -2583,6 +2678,82 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sketch s ON s.row = p.i AND s.bucket = p.bucket
             GROUP BY 1, 2
         """,
+        # HLL replayed relationally: same shared-md5 hash (word || ':hll'),
+        # bucket = top 8 bits, rho = 25 - bit_length(low 24 bits), registers
+        # max-merged, integer-scaled harmonic sum, identical float formula
+        "q_distinct_hll": """
+            WITH w2 AS (
+                SELECT word FROM (
+                    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+')) AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            hs AS (
+                SELECT ('0x' || substr(md5(word || ':hll'), 1, 8))::BIGINT AS h
+                FROM w2
+            ),
+            cells AS (
+                SELECT h // 16777216 AS bucket,
+                       CASE WHEN h % 16777216 = 0 THEN 25
+                            ELSE 25 - length(bin(h % 16777216)) END AS rho
+                FROM hs
+            ),
+            sk AS (SELECT bucket, max(rho) AS rho FROM cells GROUP BY bucket),
+            agg AS (
+                SELECT count(*) AS n_used,
+                       sum((1::BIGINT << (25 - rho))) AS s_present
+                FROM sk
+            ),
+            fin AS (
+                SELECT 256 AS m, n_used, 256 - n_used AS v_zero,
+                       coalesce(s_present, 0)
+                         + (256 - n_used) * 33554432 AS s_scaled
+                FROM agg
+            )
+            SELECT m, n_used::BIGINT AS n_used, v_zero::BIGINT AS v_zero,
+                   s_scaled::BIGINT AS s_scaled,
+                   floor(CASE WHEN (0.7213 / (1.0 + 1.079 / 256) * 256.0
+                                    * 256.0 * 33554432.0 / s_scaled) <= 640.0
+                                   AND v_zero > 0
+                              THEN 256.0 * ln(256.0 / v_zero)
+                              ELSE 0.7213 / (1.0 + 1.079 / 256) * 256.0
+                                   * 256.0 * 33554432.0 / s_scaled
+                         END)::BIGINT AS est
+            FROM fin
+        """,
+        # histogram sketch replayed relationally: same clamp/width bucketing,
+        # window cumsum, ceil(q·N) target, identical interpolation expression
+        # (q probes cast ::DOUBLE[] — DuckDB decimal literals would make
+        # ceil(0.9·N) exact-decimal where Spark's double math rounds up)
+        "q_quantile_sketch": """
+            WITH lens AS (SELECT length(text) AS n_chars FROM documents),
+            sk AS (
+                SELECT least(greatest(
+                           floor((n_chars::DOUBLE - 0.0) / 8.0)::INT, 0),
+                           127) AS bucket,
+                       count(*) AS cnt
+                FROM lens GROUP BY 1
+            ),
+            cum AS (
+                SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum
+                FROM sk
+            ),
+            tot AS (SELECT sum(cnt) AS total FROM sk),
+            probes AS (
+                SELECT q, ceil(q * total)::BIGINT AS target_rank
+                FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[])
+                          AS q)
+                CROSS JOIN tot
+            )
+            SELECT p.q, p.target_rank, c.bucket,
+                   round(0.0 + (c.bucket
+                                + (p.target_rank - (c.cum - c.cnt)) * 1.0
+                                  / c.cnt) * 8.0, 6) AS est
+            FROM probes p
+            JOIN cum c ON c.cum >= p.target_rank
+                      AND c.cum - c.cnt < p.target_rank
+        """,
         # KMV replayed relationally: same shared-md5 hash (word || ':kmv'),
         # 256 smallest distinct, integer-division estimate
         "q_distinct_kmv": """
@@ -3016,6 +3187,81 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "q_hybrid_search": f"""
+            WITH d AS (
+                SELECT doc_id, len(words) AS dl,
+                       len(list_filter(words, x -> x = 'dup')) AS tf_dup,
+                       len(list_filter(words, x -> x = 'hash')) AS tf_hash,
+                       len(list_filter(words, x -> x = 'merge')) AS tf_merge
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                ELSE regexp_split_to_array(
+                                    lower(trim(text)), '\\s+')
+                           END AS words
+                    FROM documents
+                )
+            ),
+            s AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl,
+                       count(*) FILTER (tf_dup > 0) AS df_dup,
+                       count(*) FILTER (tf_hash > 0) AS df_hash,
+                       count(*) FILTER (tf_merge > 0) AS df_merge
+                FROM d
+            ),
+            kw AS (
+                SELECT doc_id, rank_kw FROM (
+                    SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                               AS rank_kw
+                    FROM (
+                        SELECT d.doc_id,
+                               round(
+                                   ln((s.n - s.df_dup + 0.5)
+                                      / (s.df_dup + 0.5) + 1.0)
+                                     * d.tf_dup * 2.2
+                                     / (d.tf_dup
+                                        + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                                 + ln((s.n - s.df_hash + 0.5)
+                                      / (s.df_hash + 0.5) + 1.0)
+                                     * d.tf_hash * 2.2
+                                     / (d.tf_hash
+                                        + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                                 + ln((s.n - s.df_merge + 0.5)
+                                      / (s.df_merge + 0.5) + 1.0)
+                                     * d.tf_merge * 2.2
+                                     / (d.tf_merge
+                                        + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)),
+                               6) AS score
+                        FROM d CROSS JOIN s
+                        WHERE d.tf_dup + d.tf_hash + d.tf_merge > 0
+                    )
+                ) WHERE rank_kw <= 50
+            ),
+            dense AS (
+                SELECT neighbor_id AS doc_id, rank_dense FROM (
+                    SELECT b.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               ORDER BY {cos_sql} DESC, b.vec_id ASC
+                           ) AS rank_dense
+                    FROM embeddings a, embeddings b
+                    WHERE a.vec_id = 0 AND b.vec_id <> a.vec_id
+                ) WHERE rank_dense <= 50
+            ),
+            fused AS (
+                SELECT coalesce(k.doc_id, de.doc_id) AS doc_id,
+                       k.rank_kw, de.rank_dense,
+                       round(CASE WHEN k.rank_kw IS NULL THEN 0.0
+                                  ELSE 1.0 / (60 + k.rank_kw) END
+                           + CASE WHEN de.rank_dense IS NULL THEN 0.0
+                                  ELSE 1.0 / (60 + de.rank_dense) END,
+                             6) AS rrf
+                FROM kw k FULL OUTER JOIN dense de ON de.doc_id = k.doc_id
+            )
+            SELECT doc_id, rank_kw, rank_dense, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+            FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
         "q_bpe_merges": f"""
             SELECT "rank", "left" AS merge_left, "right" AS merge_right,
                    merged, pair_count
@@ -3330,6 +3576,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
               ON ko.ent_key = t.obj
         """,
+        "kg_verbalize": f"""
+            WITH sents AS (
+                SELECT DISTINCT ks.canonical_id AS subj_canonical,
+                       t.subj || ' ' ||
+                       replace(regexp_replace(t.pred, '^NEG__', 'not '),
+                               '.', ' ')
+                       || ' ' || t.obj || '.' AS sentence
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+            )
+            SELECT subj_canonical, count(*) AS n_facts,
+                   string_agg(sentence, ' ' ORDER BY sentence) AS description
+            FROM sents GROUP BY subj_canonical
+        """,
         "kg_degree": f"""
             WITH e AS (
                 SELECT t.pred,
@@ -3575,6 +3836,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{small}/transcripts.parquet/*.parquet') tr
               ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
             GROUP BY 1
+        """,
+        "q_sft_pairs": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, text
+                FROM read_parquet('{small}/transcripts.parquet/*.parquet')
+            ),
+            base AS (
+                SELECT conv_id, turn_idx, role, text AS prompt,
+                       coalesce(string_agg(role || ': ' || text, chr(10))
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                           '') AS context,
+                       count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS BETWEEN 3 PRECEDING
+                                           AND 1 PRECEDING) AS n_ctx,
+                       lead(role) OVER w AS next_role,
+                       lead(turn_idx) OVER w AS next_idx,
+                       lead(text) OVER w AS response
+                FROM t
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, turn_idx, context, n_ctx::INT AS n_ctx,
+                   prompt, response
+            FROM base
+            WHERE role = 'user' AND next_role = 'assistant'
+              AND next_idx = turn_idx + 1 AND trim(prompt) <> ''
+              AND CASE WHEN trim(response) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(response),
+                                                      '\\s+'))
+                  END >= 3
         """,
         "kg_predicates": f"""
             SELECT pred, pred_canonical

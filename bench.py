@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "q_gopher_rules",
     "q_sample_dsir",
     "q_c4_rules",
+    # round-4 eighth session (new keys only)
+    "q_sft_pairs",
+    "q_hybrid_search",
+    "q_distinct_hll",
+    "q_quantile_sketch",
     # q_quality_classifier stays out: 30 GD iterations are ~60 Spark jobs
     # of fixed scheduling overhead — a bench line would measure the
     # local-mode job launch path, not the engine (the parity gate times it)

@@ -1,4 +1,5 @@
-"""Mergeable frequency sketches: Count-Min over arbitrary keys.
+"""Mergeable sketches over corpus-sized key spaces: Count-Min (point
+frequency), KMV and HyperLogLog (distinct count).
 
 The 100 TB counting primitive the exact ``groupBy(key).count()`` path
 can't provide when the key space itself is corpus-sized (distinct tokens,
@@ -22,7 +23,7 @@ corpus-sized shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from relationextractionpipeline_spark.operators.sampling import hash_bucket
 
@@ -119,6 +120,187 @@ def cms_estimate(
 # ---------------------------------------------------------------------------
 
 KMV_HASH_SPACE = 1 << 32
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007): m = 2^b registers
+# each holding the max leading-zero rank seen in its bucket's hash suffix.
+# Registers merge by cell-wise MAX — a map-side-combined groupBy — so the
+# shuffled state is ≤ m rows per map task regardless of input size, and
+# sketches over disjoint inputs union exactly (the property KMV pays k
+# hashes for, HLL gets in m 5-bit registers).  Complements KMV: same
+# distinct-count question, register-based instead of sample-based, with the
+# standard-error knob σ ≈ 1.04/√m.
+#
+# Determinism: the hash is the shared md5 primitive; the rank is integer
+# bit-length math (length(bin(w))), and the harmonic-mean denominator is
+# accumulated as an exact INTEGER (Σ 2^(HLL_W_BITS+1−rho) in scaled units) —
+# shuffle order cannot perturb one bit, and the float estimate derives from
+# that single integer scalar with an expression written identically in the
+# DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+HLL_B = 8  # 2^8 = 256 registers
+HLL_W_BITS = 32 - HLL_B  # hash bits left for the rank after bucketing
+
+
+def hll_sketch(
+    df: DataFrame, key_col: str, b: int = HLL_B, salt: str = "hll"
+) -> DataFrame:
+    """Register table (``bucket``, ``rho``) for ``df[key_col]``: bucket =
+    top ``b`` hash bits, rho = 1-based position of the leftmost 1 in the
+    remaining ``32-b`` bits (``32-b+1`` when they are all zero), register =
+    MAX rho per bucket.  ≤ 2^b rows total, one map-side-combined
+    aggregate — the shuffle carries O(tasks × 2^b) rows however large the
+    input is."""
+    w_bits = 32 - int(b)
+    h = hash_bucket(F.col(key_col), salt)
+    w = F.pmod(h, F.lit(1 << w_bits)).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    cells = df.select(
+        (h.cast("long") / F.lit(1 << w_bits)).cast("long").alias("bucket"),
+        rho.alias("rho"),
+    )
+    return cells.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (b, salt): cell-wise register
+    MAX — the union sketch is bit-identical to sketching the concatenated
+    inputs, which is what makes HLL a distributed aggregate."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hist_sketch(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 128
+) -> DataFrame:
+    """Fixed-range equi-width histogram sketch of ``df[col]``: ≤ ``n_bins``
+    (``bucket``, ``cnt``) rows from one map-side-combined aggregate —
+    the mergeable approximate-quantiles path for 100 TB (the exact
+    rank-based quantiles pay a value-keyed shuffle; this pays an
+    ``n_bins``-bounded one).  Out-of-range values clamp into the edge
+    buckets, so the sketch never drops rows — quantile estimates beyond
+    [lo, hi] degrade to the range edges rather than silently missing
+    mass.  Disjoint-input sketches merge by bucket-wise addition
+    (``hist_merge``)."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    b = F.least(
+        F.greatest(b.cast("int"), F.lit(0)), F.lit(int(n_bins) - 1)
+    )
+    return df.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built with identical (lo, hi, n_bins):
+    bucket-wise count addition."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each ``q`` the first
+    bucket whose cumulative count reaches ``ceil(q·N)``, linearly
+    interpolated within the bucket.
+
+    Everything downstream of the sketch is bin-bounded: the cumulative sum
+    is a single-partition window over ≤ ``n_bins`` rows, the probe join is
+    a constant-key broadcast equi-join of ``len(qs) × n_bins`` rows, and
+    exactly one row survives per ``q`` (``cum ≥ target > cum − cnt``).
+    Estimates are doubles derived from integer counts with one shared
+    expression, so a DuckDB oracle replays them bit-for-bit.
+
+    Output: (``q``, ``target_rank``, ``bucket``, ``est``).
+    """
+    width = (float(hi) - float(lo)) / int(n_bins)
+    w = Window.orderBy("bucket")
+    cum = sketch.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.lit(1).alias("_k"),
+    )
+    total = sketch.agg(
+        F.sum("cnt").alias("total"), F.lit(1).alias("_k")
+    )
+    probes = total.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "total",
+        "_k",
+    ).select(
+        "q",
+        F.ceil(F.col("q") * F.col("total")).alias("target_rank"),
+        "_k",
+    )
+    hit = probes.join(F.broadcast(cum), "_k").where(
+        (F.col("cum") >= F.col("target_rank"))
+        & (F.col("cum") - F.col("cnt") < F.col("target_rank"))
+    )
+    est = F.lit(float(lo)) + (
+        F.col("bucket")
+        + (F.col("target_rank") - (F.col("cum") - F.col("cnt")))
+        .cast("double")
+        / F.col("cnt").cast("double")
+    ) * F.lit(width)
+    return hit.select(
+        "q", "target_rank", "bucket", F.round(est, 6).alias("est")
+    )
+
+
+def hll_estimate(sketch: DataFrame, b: int = HLL_B) -> DataFrame:
+    """Distinct-count estimate from an HLL register table: one row,
+    (``m``, ``n_used``, ``v_zero``, ``s_scaled``, ``est``).
+
+    The harmonic mean is kept exact-integer: each present register
+    contributes ``2^(w_bits+1-rho)`` and each empty register ``2^(w_bits+1)``
+    to ``s_scaled`` (= 2^(w_bits+1) · Σ 2^-rho), so the raw estimate
+    ``alpha·m²·2^(w_bits+1) / s_scaled`` is a float derived from ONE
+    integer — no float accumulation anywhere.  Small-range correction
+    (Flajolet §4): linear counting ``m·ln(m/V)`` when the raw estimate is
+    below 2.5·m and empty registers remain.  The estimate floors to BIGINT
+    (decimal rounding of doubles differs between engines — NOTES.md)."""
+    m = 1 << int(b)
+    w_bits = 32 - int(b)
+    scale = 1 << (w_bits + 1)
+    # alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3) — written as the
+    # same literal arithmetic the SQL oracle uses so the doubles agree
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"CAST(shiftleft(1, {w_bits + 1} - rho) AS BIGINT)"))
+        .alias("s_present"),
+    )
+    v_zero = F.lit(m) - F.col("n_used")
+    s_scaled = F.coalesce(F.col("s_present"), F.lit(0)) + v_zero * F.lit(scale)
+    raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(scale))
+        / s_scaled.cast("double")
+    )
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v_zero > 0), lin).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_used").cast("long").alias("n_used"),
+        v_zero.cast("long").alias("v_zero"),
+        s_scaled.cast("long").alias("s_scaled"),
+        F.floor(est).cast("long").alias("est"),
+    )
 
 
 def kmv_sketch(

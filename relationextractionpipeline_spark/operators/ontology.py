@@ -300,6 +300,39 @@ def entity_salience(edges: DataFrame, top_k: int = 5) -> DataFrame:
     return ranked.where(F.col("rank") <= F.lit(int(top_k)))
 
 
+def verbalize(edges: DataFrame) -> DataFrame:
+    """KG-to-text verbalization: the KELM-style (Agarwal et al. 2021,
+    "Knowledge Graph Based Synthetic Corpus Generation") training-data
+    export — every distinct fact renders to one template sentence and each
+    canonical subject's facts concatenate into a deterministic description
+    paragraph, the corpus a KG-grounded pretraining mix ingests.
+
+    Rendering is native Column work (NEG__ prefix → "not ", predicate dots
+    → spaces, terminal period); the paragraph is
+    ``sort_array(collect_list(sentence))`` joined by single spaces, so the
+    output is independent of partitioning and join order.  Plan: one
+    distinct on (subject, sentence) + one groupBy on the canonical subject
+    — both keyed on entity-bounded columns, map-side combined; no UDFs.
+
+    Output: (subj_canonical, n_facts, description) with n_facts the count
+    of distinct rendered sentences.
+    """
+    pred_txt = F.regexp_replace(F.col("pred"), r"^NEG__", "not ")
+    pred_txt = F.regexp_replace(pred_txt, r"\.", " ")
+    sentence = F.concat(
+        F.concat_ws(" ", F.col("subj"), pred_txt, F.col("obj")), F.lit(".")
+    )
+    sents = edges.select(
+        "subj_canonical", sentence.alias("sentence")
+    ).distinct()
+    return sents.groupBy("subj_canonical").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.array_join(F.sort_array(F.collect_list("sentence")), " ").alias(
+            "description"
+        ),
+    )
+
+
 def fact_intervals(edges: DataFrame, turns: DataFrame) -> DataFrame:
     """Temporal KG: per canonical fact the observation interval.
 

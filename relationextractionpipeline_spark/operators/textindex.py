@@ -236,3 +236,50 @@ def bm25_scores(
             Window.orderBy(F.desc("score"), F.asc(id_col))
         ),
     )
+
+
+def rrf_fuse(
+    kw: DataFrame,
+    dense: DataFrame,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of a
+    keyword ranking and a dense ranking —
+    ``rrf(d) = Σ_lists 1/(k_rrf + rank_list(d))``, absent-from-list
+    contributing 0.  The standard BM25 ⊕ embedding combiner: rank-based,
+    so the two scorers' incomparable score scales never meet.
+
+    Inputs are (id, rank) lists ALREADY truncated to their per-retriever
+    top-k (shortlist-sized, typically ≤ a few hundred rows), so the
+    full-outer join and the final row_number window are candidate-bounded
+    — never data-sized — regardless of corpus scale.
+
+    Output: (id, rank_kw, rank_dense, rrf, rank), top-``top_k`` by fused
+    score with id as the deterministic tie-break.
+    """
+    a = kw.select(F.col(id_col), F.col("rank").alias("rank_kw"))
+    b = dense.select(F.col(id_col), F.col("rank").alias("rank_dense"))
+    j = a.join(b, id_col, "full_outer")
+
+    def _contrib(c: str):
+        return (
+            F.when(
+                F.col(c).isNotNull(),
+                F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(c)),
+            )
+            .otherwise(F.lit(0.0))
+        )
+
+    scored = j.select(
+        id_col,
+        "rank_kw",
+        "rank_dense",
+        F.round(_contrib("rank_kw") + _contrib("rank_dense"), 6).alias("rrf"),
+    )
+    top = scored.orderBy(F.desc("rrf"), F.asc(id_col)).limit(int(top_k))
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc(id_col))),
+    )

@@ -84,6 +84,81 @@ def test_kmv_estimate_accuracy_above_k(spark):
     assert abs(r.est - n) < 0.25 * n
 
 
+def test_hll_estimate_accuracy(spark):
+    n = 5000
+    df = _words(spark, [f"tok{i}" for i in range(n)] * 2)  # dups don't count
+    r = freq.hll_estimate(freq.hll_sketch(df, "word")).collect()[0]
+    assert r.m == 256 and r.n_used + r.v_zero == 256
+    # std error ~ 1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+    assert abs(r.est - n) < 0.26 * n
+
+
+def test_hll_linear_counting_small_range(spark):
+    # 20 distinct « 2.5·m with empty registers ⇒ the m·ln(m/V) branch,
+    # which is near-exact at this cardinality
+    df = _words(spark, [f"tok{i}" for i in range(20)])
+    r = freq.hll_estimate(freq.hll_sketch(df, "word")).collect()[0]
+    assert r.v_zero >= 236
+    assert abs(r.est - 20) <= 2
+
+
+def test_hll_merge_equals_single_build(spark):
+    toks = [f"tok{i}" for i in range(3000)]
+    merged = freq.hll_merge(
+        freq.hll_sketch(_words(spark, toks[:1500] + toks[:100]), "word"),
+        freq.hll_sketch(_words(spark, toks[1500:]), "word"),
+    )
+    whole = freq.hll_sketch(_words(spark, toks), "word")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_partition_invariance(spark):
+    df = _words(spark, TOKENS)
+    a = freq.hll_estimate(freq.hll_sketch(df.repartition(7), "word"))
+    b = freq.hll_estimate(freq.hll_sketch(df.coalesce(1), "word"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "x double")
+
+
+def test_hist_quantiles_interpolate_within_bin_width(spark):
+    xs = list(range(1000))  # uniform 0..999
+    sk = freq.hist_sketch(_vals(spark, xs), "x", 0.0, 1000.0, 100)
+    out = {
+        r.q: r
+        for r in freq.hist_quantiles(
+            sk, [0.25, 0.5, 0.9], 0.0, 1000.0, 100
+        ).collect()
+    }
+    # exact quantile of uniform ints is ~q*1000; estimate within one bin
+    for q in (0.25, 0.5, 0.9):
+        assert abs(out[q].est - q * 1000) <= 10.0
+
+
+def test_hist_sketch_clamps_out_of_range(spark):
+    sk = freq.hist_sketch(
+        _vals(spark, [-5.0, 0.5, 99.5, 1000.0]), "x", 0.0, 100.0, 10
+    )
+    by = {r.bucket: r.cnt for r in sk.collect()}
+    assert by == {0: 2, 9: 2}  # -5 clamps low, 1000 clamps high
+
+
+def test_hist_merge_equals_single_build(spark):
+    xs = [i % 97 for i in range(500)]
+    merged = freq.hist_merge(
+        freq.hist_sketch(_vals(spark, xs[:250]), "x", 0.0, 100.0, 20),
+        freq.hist_sketch(_vals(spark, xs[250:]), "x", 0.0, 100.0, 20),
+    )
+    whole = freq.hist_sketch(_vals(spark, xs), "x", 0.0, 100.0, 20)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
 def test_kmv_merge_equals_single_build(spark):
     toks = [f"tok{i}" for i in range(3000)]
     a = freq.kmv_sketch(_words(spark, toks[:1500] + toks[:100]), "word", k=64)
