@@ -2264,6 +2264,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_curate_corpus"] = q_curate_corpus
 
+    def q_curation_funnel(spark, sf_dir):
+        """Curation observability: per-stage retention counts (docs AND
+        words) for the q_curate_corpus composition — raw → exact-dedup
+        survivors → quality gate → deterministic 50% sample.  The funnel
+        table is what a data card / curation report prints; silent
+        over-filtering shows up as a cliff between adjacent rows.  Four
+        tiny aggregates (one per stage), all native Columns."""
+        from relationextractionpipeline_spark.operators import sampling
+
+        d = _read(spark, sf_dir, "documents")
+        survivors = dedup.dedup_exact(d)
+        scored = quality.with_quality(survivors)
+        kept = scored.where(
+            (F.col("quality_score") >= 0.5) & (F.col("stop_ratio") > 0)
+        )
+        sampled = sampling.deterministic_sample(kept, "doc_id", 0.5)
+
+        def stage(idx, name, df):
+            return (
+                quality.with_token_stats(df)
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_words").alias("n_words"),
+                )
+                .select(
+                    F.lit(idx).alias("stage_idx"),
+                    F.lit(name).alias("stage"),
+                    "n_docs",
+                    "n_words",
+                )
+            )
+
+        return (
+            stage(0, "raw", d)
+            .unionByName(stage(1, "dedup_exact", survivors))
+            .unionByName(stage(2, "quality_gate", kept))
+            .unionByName(stage(3, "sample", sampled))
+        )
+
+    q["q_curation_funnel"] = q_curation_funnel
+
     def q_training_mix(spark, sf_dir):
         """The full last-mile assembly a pretraining loader consumes, as
         ONE composition: exact-dedup survivors → temperature-flattened
@@ -2994,6 +3035,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.cluster_id, s.cluster_size,
                    (c.doc_id = c.cluster_id) AS is_survivor
             FROM c JOIN s USING (cluster_id)
+        """,
+        "q_curation_funnel": f"""
+            WITH surv AS (
+                SELECT * FROM documents
+                WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                                 GROUP BY text)
+            ),
+            kept AS (
+                SELECT * FROM surv
+                WHERE {quality_score} >= 0.5 AND round({stop_ratio}, 6) > 0
+            ),
+            samp AS (
+                SELECT * FROM kept
+                WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1,
+                                      8))::BIGINT
+                      < {_sampling.threshold(0.5)}
+            )
+            SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+                   sum({n_words_sql})::BIGINT AS n_words
+            FROM documents
+            UNION ALL SELECT 1, 'dedup_exact', count(*),
+                   sum({n_words_sql})::BIGINT FROM surv
+            UNION ALL SELECT 2, 'quality_gate', count(*),
+                   sum({n_words_sql})::BIGINT FROM kept
+            UNION ALL SELECT 3, 'sample', count(*),
+                   sum({n_words_sql})::BIGINT FROM samp
         """,
         "q_dedup_exact_survivors": """
             SELECT doc_id, n_chars FROM documents

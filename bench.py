@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_hybrid_search",
     "q_distinct_hll",
     "q_quantile_sketch",
+    "q_curation_funnel",
     # q_quality_classifier stays out: 30 GD iterations are ~60 Spark jobs
     # of fixed scheduling overhead — a bench line would measure the
     # local-mode job launch path, not the engine (the parity gate times it)

@@ -530,6 +530,62 @@ def test_streaming_context_links_match_batch(spark, tiny_paths, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_streaming_sft_pairs_match_batch(spark, tiny_paths, tmp_path):
+    """Conversation-complete micro-batching + the batch SFT-pair extractor
+    inside foreachBatch: the maintained pair table equals the batch
+    extraction exactly (split conversations would break both the
+    adjacency test and the context window).  Second drain proves
+    checkpoint resume; replayed conversations rewrite identical rows."""
+    import pandas as pd
+
+    from relationextractionpipeline_spark.operators import instruct
+    from relationextractionpipeline_spark.sources.tableio import TableIO
+    from relationextractionpipeline_spark.streaming import sftpairs
+
+    src = pd.read_parquet(tiny_paths["transcripts"])
+    in_dir = str(tmp_path / "sft_turns_in")
+    os.makedirs(in_dir)
+    for s in range(4):
+        src.iloc[s::4].to_parquet(
+            os.path.join(in_dir, f"part-{s}.parquet"), index=False
+        )
+    max_ts = src["ts"].max()
+
+    def sentinel(name, days):
+        pd.DataFrame(
+            {
+                "conv_id": [f"__sentinel_{days}__"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": ["x"],
+                "tool": [""],
+                "ts": pd.Series(
+                    [max_ts + pd.Timedelta(days=days)], dtype="datetime64[us]"
+                ),
+            }
+        ).to_parquet(os.path.join(in_dir, name), index=False)
+
+    io = TableIO(spark, str(tmp_path / "warehouse"))
+    ck = str(tmp_path / "ck_sft")
+    sentinel("sentinel-1.parquet", 1)
+    sftpairs.stream_sft_pairs(spark, in_dir, io, "sft_pairs", ck)
+    sentinel("sentinel-2.parquet", 2)
+    sftpairs.stream_sft_pairs(spark, in_dir, io, "sft_pairs", ck)
+
+    got = io.read("sft_pairs").toPandas()
+    got = got[~got.conv_id.str.startswith("__sentinel")]
+
+    batch = instruct.sft_pairs(
+        spark.read.parquet(tiny_paths["transcripts"])
+    ).toPandas()
+
+    keys = ["conv_id", "turn_idx"]
+    cols = ["conv_id", "turn_idx", "context", "n_ctx", "prompt", "response"]
+    a = got[cols].sort_values(keys).reset_index(drop=True)
+    b = batch[cols].sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_streaming_sessionize_matches_batch(spark, tmp_path):
     """Gap-based sessionization as a custom stateful operator: after a
     sentinel advances the watermark past every real session's close, the
