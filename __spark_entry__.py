@@ -1731,6 +1731,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_clusters"] = q_dedup_clusters
 
+    def q_dedup_clusters_incr(spark, sf_dir):
+        """Incremental near-dup maintenance gate: the corpus splits in two
+        by doc_id hash; batch 1 bootstraps the (sigs, assign) state, batch 2
+        merges WITHOUT re-clustering history (dedup.merge_doc_batch — new
+        signatures probe the union's LSH buckets, pair evidence contracts
+        onto prior labels, CC on the quotient).  Gated against the SAME
+        sequential union-find oracle as q_dedup_clusters: incremental ≡
+        one-shot batch is the exactness claim (cap-free regime)."""
+        if _small_scale(sf_dir):
+            oracle_mat.dedup_clusters(sf_dir, jaccard_threshold=0.5)
+        d = _read(spark, sf_dir, "documents")
+        a = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+        b = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+        state = dedup.doc_dedup_state(a, jaccard_threshold=0.5)
+        state = dedup.merge_doc_batch(state, b, jaccard_threshold=0.5)
+        sizes = state.assign.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return state.assign.join(sizes, "cluster_id").select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+        )
+
+    q["q_dedup_clusters_incr"] = q_dedup_clusters_incr
+
     def q_dedup_simhash(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.doc_sketches(sf_dir)
@@ -3024,6 +3051,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "q_dedup_clusters": f"""
+            WITH c AS (
+                SELECT doc_id, cluster_id
+                FROM read_parquet('{aux}/dedup_clusters_t50.parquet')
+            ),
+            s AS (
+                SELECT cluster_id, count(*) AS cluster_size
+                FROM c GROUP BY cluster_id
+            )
+            SELECT c.doc_id, c.cluster_id, s.cluster_size,
+                   (c.doc_id = c.cluster_id) AS is_survivor
+            FROM c JOIN s USING (cluster_id)
+        """,
+        # incremental ≡ batch: same oracle table as q_dedup_clusters by design
+        "q_dedup_clusters_incr": f"""
             WITH c AS (
                 SELECT doc_id, cluster_id
                 FROM read_parquet('{aux}/dedup_clusters_t50.parquet')

@@ -182,6 +182,15 @@ def near_dup_pairs_minhash(
             .where(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard")
         )
+    return _sig_agreement_pairs(cand, sigs, id_col, jaccard_threshold)
+
+
+def _sig_agreement_pairs(
+    cand: DataFrame, sigs: DataFrame, id_col: str, jaccard_threshold: float
+) -> DataFrame:
+    """Verify candidate pairs by signature agreement ratio (unbiased
+    Jaccard estimator) — shared by the batch and incremental minhash
+    paths so the threshold semantics cannot drift."""
     s = sigs.select(F.col(id_col), F.col("minhash"))
     est = (
         cand.join(s.select(F.col(id_col).alias("id_a"),
@@ -486,4 +495,149 @@ def substring_dup_stats(
             ).alias("dup_frac"),
         )
         .withColumn("is_dup", F.col("dup_frac") >= F.lit(dup_frac_flag))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup cluster maintenance — the dedup analog of
+# canonicalize.merge_entity_batch: continuous corpus ingestion keeps the
+# minhash cluster assignment current WITHOUT re-clustering history.
+#
+# Exactness (not an approximation, cap-free regime): connected components
+# factor through the quotient by any prior partial clustering and the
+# min-id cluster label is an associative reduction, so contracting the
+# batch's new pair evidence onto prior labels and running CC on that
+# batch-sized quotient graph EQUALS a one-shot near_dup_clusters over the
+# union (tests/test_dedup_incremental.py asserts exact equality at every
+# split order).  Pair evidence is incremental too: new signatures probe
+# the union's LSH buckets (sketches.lsh_candidate_pairs_incremental), so
+# the candidate join scales with the batch.  Shared caveat: if the LSH
+# max_bucket cap triggers mid-history, incremental and one-shot can
+# differ (population-dependent pruning).
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+
+class DocDedupState(NamedTuple):
+    """Persistable near-dup state for incremental maintenance.
+
+    ``sigs``   — (id, minhash) for every document ever seen: the
+                 signature universe (new batches anti-join it; documents
+                 never re-shingle).
+    ``assign`` — (id, cluster_id): the connected-component label (min id
+                 of the component) for every known document.
+
+    Both tables round-trip through ``sources.tableio.TableIO`` — see
+    ``streaming/neardup.py`` for the maintained-table wrapper.
+    """
+
+    sigs: DataFrame
+    assign: DataFrame
+
+
+def doc_dedup_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DocDedupState:
+    """Bootstrap the state from a batch corpus — same signatures, candidate
+    generation, and verification as ``near_dup_clusters`` (estimate mode),
+    so the assignment equals the batch operator's (doc_id, cluster_id)."""
+    sigs = cache.checkpoint(
+        sketches.with_minhash(
+            df.select(id_col, text_col), text_col, n_hashes=n_hashes,
+            shingle_k=shingle_k, mode="word",
+        ).select(id_col, "minhash")
+    )
+    cand = sketches.lsh_candidate_pairs(sigs, id_col, "minhash", bands=bands)
+    pairs = _sig_agreement_pairs(cand, sigs, id_col, jaccard_threshold)
+    assign = cache.checkpoint(
+        clusters_from_pairs(df, pairs, id_col).select(id_col, "cluster_id")
+    )
+    return DocDedupState(sigs=sigs, assign=assign)
+
+
+def merge_doc_batch(
+    state: DocDedupState,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DocDedupState:
+    """Merge a batch of new documents into an existing cluster state.
+
+    Replay-idempotent: already-seen ids anti-join ``sigs`` away, so a
+    replayed batch is the empty merge.  Parameters must match the ones the
+    state was built with."""
+    from relationextractionpipeline_spark.operators import canonicalize
+
+    new_rows = cache.checkpoint(
+        new_df.select(id_col, text_col).join(
+            state.sigs.select(id_col), id_col, "left_anti"
+        )
+    )
+    new_sigs = cache.checkpoint(
+        sketches.with_minhash(
+            new_rows, text_col, n_hashes=n_hashes, shingle_k=shingle_k,
+            mode="word",
+        ).select(id_col, "minhash")
+    )
+    all_sigs = state.sigs.unionByName(new_sigs)
+    cand = sketches.lsh_candidate_pairs_incremental(
+        new_sigs, all_sigs, id_col, "minhash", bands=bands
+    )
+    pairs = _sig_agreement_pairs(cand, all_sigs, id_col, jaccard_threshold)
+
+    # contract new evidence onto prior cluster labels (quotient graph):
+    # known endpoints map to their cluster_id, new ids to themselves
+    amap = state.assign
+    q_edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .join(
+            amap.select(F.col(id_col).alias("src"),
+                        F.col("cluster_id").alias("src_c")),
+            "src", "left",
+        )
+        .join(
+            amap.select(F.col(id_col).alias("dst"),
+                        F.col("cluster_id").alias("dst_c")),
+            "dst", "left",
+        )
+        .select(
+            F.coalesce("src_c", F.col("src")).alias("src"),
+            F.coalesce("dst_c", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+    comps = (
+        None if q_edges.isEmpty()
+        else canonicalize.connected_components(q_edges)
+    )
+
+    def relabel(df: DataFrame, key: str) -> DataFrame:
+        if comps is None:
+            return df.select(id_col, F.col(key).alias("cluster_id"))
+        return df.join(comps, df[key] == comps["node"], "left").select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(key)).alias("cluster_id"),
+        )
+
+    # prior ids follow their (possibly merged) component label; genuinely
+    # new ids (not yet in assign — the distinction matters on replay after
+    # a partial state write) get their quotient label or stay singletons
+    updated = relabel(state.assign, "cluster_id")
+    new_ids = new_sigs.select(id_col).join(amap, id_col, "left_anti")
+    added = relabel(new_ids, id_col)
+    return DocDedupState(
+        sigs=cache.checkpoint(all_sigs),
+        assign=cache.checkpoint(updated.unionByName(added)),
     )
