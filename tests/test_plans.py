@@ -80,6 +80,19 @@ def test_assembly_is_single_shuffle_with_partial_agg(spark, tiny_paths):
     assert plan.count("Aggregate") >= 2
 
 
+def test_sft_pairs_single_exchange_single_window(spark):
+    """The adjacency lead and the context frame share one window spec, so
+    Catalyst must plan ONE conv_id Exchange and ONE Window operator — a
+    second of either means the specs drifted apart and the extraction
+    shuffles the transcripts twice."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_sft_pairs"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
 def test_flagship_agg_partial_before_shuffle(spark):
     import __spark_entry__ as entrymod
 

@@ -154,6 +154,30 @@ def main() -> None:
                  [("r", j, 0.05 * j) for j in range(4)],
                  "id string, j int, w double"),
              test_mod=1)),
+        ("SFT pair extraction — ONE hash Exchange on conv_id feeds both the "
+         "adjacency lead and the context frame (shared window spec → a "
+         "single Window operator), everything else row-local",
+         entrymod.queries()["q_sft_pairs"](spark, SF)),
+        ("Hybrid retrieval (RRF) — both shortlists candidate-bounded before "
+         "the full-outer fuse; corpus stats one aggregate row; top-k as "
+         "TakeOrderedAndProject",
+         entrymod.queries()["q_hybrid_search"](spark, SF)),
+        ("KG verbalization — distinct on (subject, sentence) + one groupBy "
+         "on the canonical subject, both map-side combined; rendering is "
+         "native concat/regexp inside codegen",
+         entrymod.queries()["kg_verbalize"](spark, SF)),
+        ("HyperLogLog estimate — register table via ONE map-side-combined "
+         "aggregate (≤256 rows shuffle per task), estimate from a single "
+         "integer scalar",
+         entrymod.queries()["q_distinct_hll"](spark, SF)),
+        ("Histogram quantile sketch — bin-bounded cumsum window + "
+         "constant-key broadcast probe join; the corpus touches only the "
+         "128-bucket aggregate",
+         entrymod.queries()["q_quantile_sketch"](spark, SF)),
+        ("Incremental near-dup merge (assign table) — quotient-graph CC ran "
+         "eagerly at construction; the plan reads the final checkpointed "
+         "label scan, lineage O(1) — history never re-clusters",
+         entrymod.queries()["q_dedup_clusters_incr"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
