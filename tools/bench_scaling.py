@@ -193,7 +193,9 @@ check at bench scale.
 
 The headline job's extract path is shuffle-free, so this second pair runs
 `tools/shuffle_job.py` (scan → skew-aware two-phase assembly — one
-data-sized hash Exchange — → write) at the same {lo}→{hi} levels and
+data-sized hash Exchange — → write, repeated REX_SHUFFLE_ROUNDS=5 times
+per timed run so per-job fixed costs don't dominate the seconds-long
+passes) at the same {lo}→{hi} levels and
 protocol.  Median of {len(pairs3)} back-to-back pairs:
 
 | parallelism | turns/sec (median pair) | all pairs (tps) |
@@ -203,6 +205,16 @@ protocol.  Median of {len(pairs3)} back-to-back pairs:
 
 * shuffle-path scaling efficiency: **{shf['scaling_efficiency']}** (all
   pairs: {shf['pair_efficiencies']})
+
+Interpretation: the assembly exchange moves ~1.8M ~120-byte rows in
+single-digit seconds per pass, so even with 5 amortizing rounds the
+per-partition fixed costs (task launch, tiny-file commits) and the
+host's shared memory bandwidth — common to BOTH levels of a single-box
+pair — remain visible at local[8].  On a real cluster the same plan
+shards the exchange across hosts with per-executor bandwidth; the
+single-box pair is the conservative bound.  Recorded next to the
+headline so the shuffle-free extract path can't be read as "trivially
+scalable because nothing moves".
 """
     if med2 is not None:
         sec = report["secondary"]
