@@ -1758,6 +1758,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_clusters_incr"] = q_dedup_clusters_incr
 
+    def q_dedup_convs(spark, sf_dir):
+        """Conversation-level exact dedup — the assembly→dedup COMPOSITION
+        over the transcripts input: conversations assemble to their
+        newline-joined documents (one conv_id shuffle), then the content
+        dedup keeps the lexicographic-min conv_id per distinct document
+        (the ~28-byte hash-key shuffle of dedup_exact — assembled texts
+        never re-shuffle).  The pass a transcript corpus runs before any
+        per-document curation."""
+        t = spark.read.parquet(_synthetic_paths(sf_dir)["transcripts"])
+        docs = assemble.assemble_conversations(t)
+        return dedup.dedup_exact(
+            docs, id_col="conv_id", text_col="doc_text"
+        ).select("conv_id", F.col("n_turns").cast("long").alias("n_turns"))
+
+    q["q_dedup_convs"] = q_dedup_convs
+
     def q_dedup_simhash(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.doc_sketches(sf_dir)
@@ -3062,6 +3078,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.cluster_id, s.cluster_size,
                    (c.doc_id = c.cluster_id) AS is_survivor
             FROM c JOIN s USING (cluster_id)
+        """,
+        "q_dedup_convs": f"""
+            WITH docs AS (
+                SELECT conv_id, count(*) AS n_turns,
+                       string_agg(text, chr(10) ORDER BY turn_idx)
+                           AS doc_text
+                FROM read_parquet('{small}/transcripts.parquet/*.parquet')
+                GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns::BIGINT AS n_turns FROM docs
+            WHERE conv_id IN (
+                SELECT min(conv_id) FROM docs GROUP BY doc_text
+            )
         """,
         # incremental ≡ batch: same oracle table as q_dedup_clusters by design
         "q_dedup_clusters_incr": f"""
