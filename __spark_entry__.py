@@ -1774,6 +1774,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dedup_convs"] = q_dedup_convs
 
+    def kg_pred_cardinality(spark, sf_dir):
+        """Grouped-HLL cardinality profile of the KG: per predicate the
+        estimated distinct-subject count from ≤256 registers PER GROUP
+        (freq.hll_sketch_grouped) next to the exact count — at 10^12 turns
+        the exact per-key countDistinct is a subject-keyed shuffle per
+        predicate while the sketch is one bounded-state aggregate; the
+        exact column here gates the estimate's error in-query.  Same
+        shared-md5 register math as q_distinct_hll ⇒ the DuckDB oracle
+        replays sketch and estimate bit-for-bit."""
+        from relationextractionpipeline_spark.operators import freq
+
+        if _small_scale(sf_dir):
+            oracle_mat.oracle_triples(_scale_for(sf_dir))
+        t = _kg_triples(spark, sf_dir).select("pred", "subj")
+        sk = freq.hll_sketch_grouped(t, "subj", ["pred"])
+        est = freq.hll_estimate_grouped(sk, ["pred"])
+        exact = t.groupBy("pred").agg(
+            F.countDistinct("subj").alias("n_exact")
+        )
+        return est.join(exact, "pred")
+
+    q["kg_pred_cardinality"] = kg_pred_cardinality
+
     def q_dedup_simhash(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.doc_sketches(sf_dir)
@@ -3078,6 +3101,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.cluster_id, s.cluster_size,
                    (c.doc_id = c.cluster_id) AS is_survivor
             FROM c JOIN s USING (cluster_id)
+        """,
+        # grouped HLL replayed relationally: same register math as
+        # q_distinct_hll, keyed by predicate
+        "kg_pred_cardinality": f"""
+            WITH cells AS (
+                SELECT pred, h // 16777216 AS bucket,
+                       CASE WHEN h % 16777216 = 0 THEN 25
+                            ELSE 25 - length(bin(h % 16777216)) END AS rho
+                FROM (
+                    SELECT pred,
+                           ('0x' || substr(md5(subj || ':hll'), 1,
+                                           8))::BIGINT AS h
+                    FROM read_parquet('{otriples}')
+                )
+            ),
+            sk AS (
+                SELECT pred, bucket, max(rho) AS rho
+                FROM cells GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT pred, count(*) AS n_used,
+                       sum((1::BIGINT << (25 - rho))) AS s_present
+                FROM sk GROUP BY pred
+            ),
+            fin AS (
+                SELECT pred, n_used, 256 - n_used AS v_zero,
+                       coalesce(s_present, 0)
+                         + (256 - n_used) * 33554432 AS s_scaled
+                FROM agg
+            ),
+            ex AS (
+                SELECT pred, count(DISTINCT subj) AS n_exact
+                FROM read_parquet('{otriples}') GROUP BY pred
+            )
+            SELECT f.pred, f.n_used::BIGINT AS n_used,
+                   f.v_zero::BIGINT AS v_zero,
+                   f.s_scaled::BIGINT AS s_scaled,
+                   floor(CASE WHEN (0.7213 / (1.0 + 1.079 / 256) * 256.0
+                                    * 256.0 * 33554432.0 / f.s_scaled)
+                                   <= 640.0 AND f.v_zero > 0
+                              THEN 256.0 * ln(256.0 / f.v_zero)
+                              ELSE 0.7213 / (1.0 + 1.079 / 256) * 256.0
+                                   * 256.0 * 33554432.0 / f.s_scaled
+                         END)::BIGINT AS est,
+                   e.n_exact::BIGINT AS n_exact
+            FROM fin f JOIN ex e USING (pred)
         """,
         "q_dedup_convs": f"""
             WITH docs AS (

@@ -143,6 +143,21 @@ HLL_B = 8  # 2^8 = 256 registers
 HLL_W_BITS = 32 - HLL_B  # hash bits left for the rank after bucketing
 
 
+def _hll_cells(key, b: int, salt: str):
+    """(bucket, rho) Columns for one key value — shared by the global and
+    grouped sketch builders so the register math cannot drift."""
+    w_bits = 32 - int(b)
+    h = hash_bucket(key, salt)
+    w = F.pmod(h, F.lit(1 << w_bits)).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    bucket = (h.cast("long") / F.lit(1 << w_bits)).cast("long")
+    return bucket, rho
+
+
 def hll_sketch(
     df: DataFrame, key_col: str, b: int = HLL_B, salt: str = "hll"
 ) -> DataFrame:
@@ -152,19 +167,31 @@ def hll_sketch(
     MAX rho per bucket.  ≤ 2^b rows total, one map-side-combined
     aggregate — the shuffle carries O(tasks × 2^b) rows however large the
     input is."""
-    w_bits = 32 - int(b)
-    h = hash_bucket(F.col(key_col), salt)
-    w = F.pmod(h, F.lit(1 << w_bits)).cast("long")
-    rho = (
-        F.when(w == 0, F.lit(w_bits + 1))
-        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
-        .cast("int")
-    )
-    cells = df.select(
-        (h.cast("long") / F.lit(1 << w_bits)).cast("long").alias("bucket"),
-        rho.alias("rho"),
-    )
+    bucket, rho = _hll_cells(F.col(key_col), b, salt)
+    cells = df.select(bucket.alias("bucket"), rho.alias("rho"))
     return cells.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_sketch_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list,
+    b: int = HLL_B,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group register table (``*group_cols``, ``bucket``, ``rho``) —
+    the grouped-cardinality pattern (distinct subjects per predicate,
+    distinct users per tool, …): one map-side-combined aggregate whose
+    state is ≤ 2^b registers PER GROUP, so a billion-row group costs the
+    same shuffle as a hundred-row one.  Same cell math as the global
+    sketch; groups merge by register MAX exactly like sketches do."""
+    bucket, rho = _hll_cells(F.col(key_col), b, salt)
+    cells = df.select(
+        *group_cols, bucket.alias("bucket"), rho.alias("rho")
+    )
+    return cells.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
@@ -175,6 +202,40 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_grouped(
+    sketch: DataFrame, group_cols: list, b: int = HLL_B
+) -> DataFrame:
+    """Per-group distinct-count estimates from a grouped register table:
+    (``*group_cols``, ``n_used``, ``v_zero``, ``s_scaled``, ``est``) —
+    identical estimate expressions to :func:`hll_estimate` (exact-integer
+    scaled harmonic sum, small-range linear counting, BIGINT floor), one
+    group-keyed aggregate."""
+    m = 1 << int(b)
+    w_bits = 32 - int(b)
+    scale = 1 << (w_bits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr(f"CAST(shiftleft(1, {w_bits + 1} - rho) AS BIGINT)"))
+        .alias("s_present"),
+    )
+    v_zero = F.lit(m) - F.col("n_used")
+    s_scaled = F.coalesce(F.col("s_present"), F.lit(0)) + v_zero * F.lit(scale)
+    raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(scale))
+        / s_scaled.cast("double")
+    )
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v_zero > 0), lin).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_used").cast("long").alias("n_used"),
+        v_zero.cast("long").alias("v_zero"),
+        s_scaled.cast("long").alias("s_scaled"),
+        F.floor(est).cast("long").alias("est"),
+    )
 
 
 def hist_sketch(

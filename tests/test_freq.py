@@ -102,6 +102,25 @@ def test_hll_linear_counting_small_range(spark):
     assert abs(r.est - 20) <= 2
 
 
+def test_hll_grouped_matches_per_group_global(spark):
+    """The grouped sketch/estimate must equal running the global HLL on
+    each group's rows separately — same cell math, same estimate."""
+    rows = [(g, f"tok{g}_{i}") for g in ("a", "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, word string")
+    grouped = {
+        r.grp: (r.n_used, r.v_zero, r.s_scaled, r.est)
+        for r in freq.hll_estimate_grouped(
+            freq.hll_sketch_grouped(df, "word", ["grp"]), ["grp"]
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = freq.hll_estimate(
+            freq.hll_sketch(df.where(F.col("grp") == g), "word")
+        ).collect()[0]
+        assert grouped[g] == (solo.n_used, solo.v_zero, solo.s_scaled,
+                              solo.est)
+
+
 def test_hll_merge_equals_single_build(spark):
     toks = [f"tok{i}" for i in range(3000)]
     merged = freq.hll_merge(
