@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q_distinct_hll",
     "q_quantile_sketch",
     "q_curation_funnel",
+    "q_dedup_convs",
     # q_quality_classifier stays out: 30 GD iterations are ~60 Spark jobs
     # of fixed scheduling overhead — a bench line would measure the
     # local-mode job launch path, not the engine (the parity gate times it)
