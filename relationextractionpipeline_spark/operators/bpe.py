@@ -32,12 +32,27 @@ the **word-frequency table** (the classic reduction from the paper):
    regardless of merge count.
 
 Scale notes: each round costs one shuffle over the unique-word table —
-n_merges rounds is n_merges small jobs, independent of corpus size after
-step 1.  Real 100 TB runs train on a deterministic sample anyway (pass
-``docs.sample(...)`` or a sampling-operator output); the word table is the
-scale knob.  Batched non-conflicting merges per round (a common production
-trick) would cut round count further; not implemented — round cost here is
-already corpus-size-independent.
+independent of corpus size after step 1.  Real 100 TB runs train on a
+deterministic sample anyway (pass ``docs.sample(...)`` or a
+sampling-operator output); the word table is the scale knob.
+
+**Batched merges** (``batch_size > 1``): a 32k-entry production vocabulary
+cannot afford 32k sequential shuffle rounds, so each round may learn up to
+``batch_size`` SYMBOL-DISJOINT merges (no accepted pair shares a left /
+right / merged symbol with another) — disjointness makes the batch
+order-independent: no merge can consume a symbol another needs, and a
+merged token can never feed another rule in the same pass, so applying the
+batch in one left-to-right fold is provably identical to applying each
+rule's own fold in sequence (``test_bpe.py`` pins this).  The selection
+rule (scan the top ``4×batch_size`` candidates in (count desc, left,
+right) order, greedily accept disjoint pairs) lives in ONE function,
+``select_merge_batch``, called by both the distributed trainer and the
+sequential replica — the two sides cannot diverge by construction.
+``batch_size=1`` degenerates to classic Sennrich BPE exactly.  Batched
+training is the standard production variant (pair counts of disjoint
+pairs are unchanged by each other's application; only the relative rank
+of a *newly created* pair vs. the tail of the batch can differ from the
+strictly sequential schedule — a bounded, documented deviation).
 
 Application (``encode_word`` / ``bpe_token_stats``) uses the learned merge
 RANKS: repeatedly merge the lowest-rank adjacent pair (the paper's greedy
@@ -127,6 +142,54 @@ def _merge_fold(sym, left: str, right: str):
     )
 
 
+def select_merge_batch(
+    candidates: List[Tuple[str, str, int]], batch_size: int
+) -> List[Tuple[str, str, int]]:
+    """THE shared batch-selection rule (distributed trainer and sequential
+    replica both call this — they cannot diverge): scan ``candidates`` in
+    the given order (callers pass (count desc, left asc, right asc)) and
+    greedily accept up to ``batch_size`` pairs that are symbol-disjoint
+    from every previously accepted pair (left, right, AND merged symbol all
+    unseen).  Disjointness is what makes one-pass batch application equal
+    to sequential per-rule application — see the module docstring."""
+    batch: List[Tuple[str, str, int]] = []
+    touched: set = set()
+    for left, right, cnt in candidates:
+        if len(batch) >= batch_size:
+            break
+        merged = left + right
+        if left in touched or right in touched or merged in touched:
+            continue
+        batch.append((left, right, int(cnt)))
+        touched.update((left, right, merged))
+    return batch
+
+
+def _merge_fold_batch(sym, rules: List[Tuple[str, str]]):
+    """One left-to-right fold applying a whole symbol-disjoint batch: at
+    most one rule can match any (tail, next) position (disjointness), so a
+    chained ``when`` per rule inside a single ``F.aggregate`` is exactly
+    the sequential composition of the rules' individual folds."""
+    def step(acc, s):
+        out = F.concat(acc, F.array(s))
+        for left, right in rules:
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right))
+            )
+            out = F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - F.lit(1)),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(out)
+        return out
+
+    return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Adjacent symbol pairs weighted by word frequency.  zip_with over two
     shifted slices (O(n) per row — the kgram_join lesson), explode, one
@@ -151,38 +214,55 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    batch_size: int = 1,
 ) -> pd.DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus, distributed.
 
-    Returns the merge table as a small pandas frame (rank, left, right,
-    merged, pair_count) — it is tokenizer metadata (thousands of rows), not
-    data; callers broadcast it into ``bpe_token_stats``.  Stops early if
-    no pair remains (tiny corpora)."""
-    spark = docs.sparkSession
+    ``batch_size=1`` (default) is classic Sennrich BPE: one pair-count
+    shuffle + 1-row argmax collect + one fold per merge.  ``batch_size>1``
+    learns up to that many symbol-disjoint merges per round
+    (``select_merge_batch`` — the shared rule), cutting the number of
+    sequential Spark jobs ~batch_size× — the knob that makes a 32k-entry
+    vocabulary trainable (32k rounds is not a schedulable job count; 4k
+    is).  Returns the merge table as a small pandas frame (rank, left,
+    right, merged, pair_count) — tokenizer metadata (thousands of rows),
+    not data; callers broadcast it into ``bpe_token_stats``.  Stops early
+    if no pair remains (tiny corpora)."""
     vocab = word_counts(docs, text_col).withColumn(
         "sym", initial_symbols_col(F.col("word"))
     ).select("sym", "freq")
     vocab = prev_ck = cache.checkpoint(vocab)
     merges: List[Tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    since_ck = 0
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
+        want = min(batch_size, remaining)
         top = (
             _pair_counts(vocab)
             .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(4 * batch_size)
             .collect()
         )
-        if not top:
+        batch = select_merge_batch(
+            [(r["left"], r["right"], r["pair_count"]) for r in top], want
+        )
+        if not batch:
             break
-        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
-        merges.append((rank, left, right, left + right, int(cnt)))
-        vocab = vocab.withColumn("sym", _merge_fold(F.col("sym"), left, right))
-        if (rank + 1) % checkpoint_every == 0:
+        for left, right, cnt in batch:
+            merges.append((len(merges), left, right, left + right, cnt))
+        vocab = vocab.withColumn(
+            "sym",
+            _merge_fold_batch(F.col("sym"), [(l, r) for l, r, _ in batch]),
+        )
+        since_ck += len(batch)
+        if since_ck >= checkpoint_every:
             # CC-loop discipline: checkpoint the new round, free ONLY the
             # superseded round's blocks (never release_all — other
             # operators' checkpoints are not ours to drop)
             vocab = cache.checkpoint(vocab)
             cache.free_checkpoint(prev_ck)
             prev_ck = vocab
+            since_ck = 0
     # everything is collected (merge list is plain Python) — the last
     # checkpoint has no live dependents, free it on exit
     cache.free_checkpoint(prev_ck)
@@ -213,34 +293,43 @@ def _apply_merge_seq(sym: Tuple[str, ...], left: str, right: str) -> Tuple[str, 
 
 
 def train_bpe_seq(
-    word_freqs: Dict[str, int], n_merges: int
+    word_freqs: Dict[str, int], n_merges: int, batch_size: int = 1
 ) -> List[Tuple[int, str, str, str, int]]:
     """Pure-Python replica of ``train_bpe`` over a word→freq dict: same
-    pair counting, same (count desc, left asc, right asc) tie-break, same
-    greedy fold.  The driver gate compares the distributed trainer's output
-    to this, proving shuffle/fold/argmax plumbing."""
+    pair counting, same (count desc, left asc, right asc) tie-break, the
+    SAME ``select_merge_batch`` call over the same top-``4×batch_size``
+    candidate window, same greedy fold.  The driver gate compares the
+    distributed trainer's output to this, proving shuffle/fold/argmax
+    plumbing."""
     vocab: Dict[Tuple[str, ...], int] = {}
     for w, f in word_freqs.items():
         s = initial_symbols(w)
         if s:
             vocab[s] = vocab.get(s, 0) + f
     merges: List[Tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         counts: Dict[Tuple[str, str], int] = {}
         for sym, f in vocab.items():
             for a, b in zip(sym, sym[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + f
         if not counts:
             break
-        (left, right), cnt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        candidates = sorted(
+            ((l, r, c) for (l, r), c in counts.items()),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )[: 4 * batch_size]
+        batch = select_merge_batch(
+            candidates, min(batch_size, n_merges - len(merges))
         )
-        merges.append((rank, left, right, left + right, cnt))
-        new_vocab: Dict[Tuple[str, ...], int] = {}
-        for sym, f in vocab.items():
-            ns = _apply_merge_seq(sym, left, right)
-            new_vocab[ns] = new_vocab.get(ns, 0) + f
-        vocab = new_vocab
+        if not batch:
+            break
+        for left, right, cnt in batch:
+            merges.append((len(merges), left, right, left + right, cnt))
+            new_vocab: Dict[Tuple[str, ...], int] = {}
+            for sym, f in vocab.items():
+                ns = _apply_merge_seq(sym, left, right)
+                new_vocab[ns] = new_vocab.get(ns, 0) + f
+            vocab = new_vocab
     return merges
 
 

@@ -212,6 +212,27 @@ def _sig_agreement_pairs(
     )
 
 
+def _simhash_chunks(sh: DataFrame, id_col: str) -> DataFrame:
+    """(chunk_idx, chunk_val, _id, simhash): the 64-bit fingerprint split
+    into 4×16-bit band keys (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
+    equal) — shared by the batch and incremental simhash paths so the
+    banding cannot drift."""
+    return sh.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+
+
 def near_dup_pairs_simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -233,20 +254,7 @@ def near_dup_pairs_simhash(
     sh = sketches.with_simhash(
         df.select(id_col, text_col), text_col, shingle_k=shingle_k, mode="word"
     )
-    chunks = sh.select(
-        F.col(id_col).alias("_id"),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
-    )
+    chunks = _simhash_chunks(sh, id_col)
     # self-join + size pre-pass: sketch UDF once; caller releases the caches
     chunks = cache.track(chunks)
     chunks = cache.track(
@@ -595,20 +603,32 @@ def merge_doc_batch(
         new_sigs, all_sigs, id_col, "minhash", bands=bands
     )
     pairs = _sig_agreement_pairs(cand, all_sigs, id_col, jaccard_threshold)
+    return DocDedupState(
+        sigs=cache.checkpoint(all_sigs),
+        assign=_quotient_merge(state.assign, new_sigs, pairs, id_col),
+    )
 
-    # contract new evidence onto prior cluster labels (quotient graph):
-    # known endpoints map to their cluster_id, new ids to themselves
-    amap = state.assign
+
+def _quotient_merge(
+    assign: DataFrame, new_sigs: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared incremental-clustering tail (minhash AND simhash paths):
+    contract the batch's new pair evidence onto prior cluster labels
+    (known endpoints map to their cluster_id, new ids to themselves), run
+    CC on that batch-sized quotient graph, and relabel both prior and new
+    ids.  Returns the checkpointed new assignment."""
+    from relationextractionpipeline_spark.operators import canonicalize
+
     q_edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .join(
-            amap.select(F.col(id_col).alias("src"),
-                        F.col("cluster_id").alias("src_c")),
+            assign.select(F.col(id_col).alias("src"),
+                          F.col("cluster_id").alias("src_c")),
             "src", "left",
         )
         .join(
-            amap.select(F.col(id_col).alias("dst"),
-                        F.col("cluster_id").alias("dst_c")),
+            assign.select(F.col(id_col).alias("dst"),
+                          F.col("cluster_id").alias("dst_c")),
             "dst", "left",
         )
         .select(
@@ -634,10 +654,130 @@ def merge_doc_batch(
     # prior ids follow their (possibly merged) component label; genuinely
     # new ids (not yet in assign — the distinction matters on replay after
     # a partial state write) get their quotient label or stay singletons
-    updated = relabel(state.assign, "cluster_id")
-    new_ids = new_sigs.select(id_col).join(amap, id_col, "left_anti")
+    updated = relabel(assign, "cluster_id")
+    new_ids = new_sigs.select(id_col).join(assign, id_col, "left_anti")
     added = relabel(new_ids, id_col)
-    return DocDedupState(
+    return cache.checkpoint(updated.unionByName(added))
+
+
+class SimHashDedupState(NamedTuple):
+    """Persistable simhash near-dup state: ``sigs`` — (id, simhash) for
+    every document ever seen; ``assign`` — (id, cluster_id) component
+    labels.  Same contract as DocDedupState (anti-join replay idempotence,
+    TableIO round-trip)."""
+
+    sigs: DataFrame
+    assign: DataFrame
+
+
+def simhash_dedup_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> SimHashDedupState:
+    """Bootstrap simhash cluster state from a batch corpus — same
+    fingerprints, chunk banding, and hamming verification as
+    ``near_dup_pairs_simhash``, so the assignment equals the batch
+    operator's clustering of its pairs."""
+    sigs = cache.checkpoint(
+        sketches.with_simhash(
+            df.select(id_col, text_col), text_col, shingle_k=shingle_k,
+            mode="word",
+        ).select(id_col, "simhash")
+    )
+    pairs = _simhash_pairs_from_sigs(sigs, sigs, id_col, max_hamming,
+                                     max_bucket, symmetric=True)
+    assign = cache.checkpoint(
+        clusters_from_pairs(df, pairs, id_col).select(id_col, "cluster_id")
+    )
+    return SimHashDedupState(sigs=sigs, assign=assign)
+
+
+def _simhash_pairs_from_sigs(
+    probe_sigs: DataFrame,
+    all_sigs: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    max_bucket: int,
+    symmetric: bool,
+) -> DataFrame:
+    """Chunk-banded candidate join + hamming verify over precomputed
+    (id, simhash) tables.  ``symmetric=True`` is the batch self-join
+    (id_a < id_b); ``symmetric=False`` probes new fingerprints against the
+    union (normalized to least/greatest so edges stay canonical).  The
+    bucket cap counts the UNION side — the population a hot chunk value
+    actually gathers — matching the batch operator's policy."""
+    chunks_all = cache.track(_simhash_chunks(all_sigs, id_col))
+    capped = cache.track(
+        chunks_all.join(
+            chunks_all.groupBy("chunk_idx", "chunk_val").count(),
+            ["chunk_idx", "chunk_val"],
+        ).where(F.col("count") <= max_bucket).drop("count")
+    )
+    if symmetric:
+        probe = capped
+    else:
+        # no cap pre-join needed on the probe side: the equi-join against
+        # the capped union below already drops probes in dropped buckets
+        probe = _simhash_chunks(probe_sigs, id_col)
+    a = probe.select("chunk_idx", "chunk_val", F.col("_id").alias("id_a"),
+                     F.col("simhash").alias("sim_a"))
+    b = capped.select("chunk_idx", "chunk_val", F.col("_id").alias("id_b"),
+                      F.col("simhash").alias("sim_b"))
+    joined = a.join(b, ["chunk_idx", "chunk_val"])
+    if symmetric:
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = joined.where(F.col("id_a") != F.col("id_b")).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("sim_a"),
+            F.col("sim_b"),
+        )
+    return (
+        joined.withColumn(
+            "hamming", sketches.hamming64(F.col("sim_a"), F.col("sim_b"))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def merge_simhash_batch(
+    state: SimHashDedupState,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> SimHashDedupState:
+    """Merge a batch of new documents into a simhash cluster state WITHOUT
+    re-clustering history — the simhash analog of ``merge_doc_batch``:
+    new fingerprints probe the union's chunk buckets (candidate join
+    scales with the batch), verified pairs contract onto prior labels, CC
+    runs on the quotient.  Exactness argument and replay idempotence are
+    shared with the minhash path (module comment above DocDedupState;
+    ``_quotient_merge``)."""
+    new_rows = cache.checkpoint(
+        new_df.select(id_col, text_col).join(
+            state.sigs.select(id_col), id_col, "left_anti"
+        )
+    )
+    new_sigs = cache.checkpoint(
+        sketches.with_simhash(
+            new_rows, text_col, shingle_k=shingle_k, mode="word"
+        ).select(id_col, "simhash")
+    )
+    all_sigs = state.sigs.unionByName(new_sigs)
+    pairs = _simhash_pairs_from_sigs(
+        new_sigs, all_sigs, id_col, max_hamming, max_bucket, symmetric=False
+    )
+    return SimHashDedupState(
         sigs=cache.checkpoint(all_sigs),
-        assign=cache.checkpoint(updated.unionByName(added)),
+        assign=_quotient_merge(state.assign, new_sigs, pairs, id_col),
     )

@@ -997,6 +997,60 @@ def dedup_clusters(
     return _publish(out, dst)
 
 
+def simhash_clusters(sf_dir: str, max_hamming: int = 8) -> str:
+    """Sequential replica of the simhash clustering path
+    (dedup.simhash_dedup_state semantics over the full corpus): 4×16-bit
+    chunk-banded candidate pairs → hamming(xor) ≤ max_hamming → union-find
+    transitive closure, min-doc_id component labels, singletons
+    self-labeled.  Reads the ``doc_sketches`` fingerprints (whose build
+    asserts no chunk bucket exceeds the operator's max_bucket cap at gate
+    scale).  Gates q_dedup_simhash_incr: incremental merge ≡ one-shot
+    clustering is the exactness claim."""
+    adir = aux_dir(sf_dir)
+    dst = os.path.join(adir, f"simhash_clusters_h{max_hamming}.parquet")
+    if os.path.exists(dst):
+        return dst
+    sketch_paths = doc_sketches(sf_dir)
+    sh = pd.read_parquet(sketch_paths["simhash"])
+    buckets: Dict[tuple, List[int]] = {}
+    for doc_id, fp in zip(sh["doc_id"], sh["simhash"]):
+        for c in range(4):
+            key = (c, (int(fp) >> (16 * c)) & 0xFFFF)
+            buckets.setdefault(key, []).append(int(doc_id))
+    fp_of = dict(zip((int(i) for i in sh["doc_id"]), (int(f) for f in sh["simhash"])))
+    cand = set()
+    for members in buckets.values():
+        uniq = sorted(set(members))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                cand.add((uniq[i], uniq[j]))
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    mask = (1 << 64) - 1
+    for a, b in sorted(cand):
+        if bin((fp_of[a] ^ fp_of[b]) & mask).count("1") <= max_hamming:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    doc_ids = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"]
+    out = pd.DataFrame(
+        {
+            "doc_id": doc_ids.astype("int64"),
+            "cluster_id": [find(int(d)) for d in doc_ids],
+        }
+    )
+    return _publish(out, dst)
+
+
 def semantic_clusters(
     sf_dir: str,
     threshold: float = 0.25,
@@ -1068,7 +1122,9 @@ def semantic_clusters(
     return _publish(out, dst)
 
 
-def bpe_aux(sf_dir: str, n_merges: int = 60) -> Dict[str, str]:
+def bpe_aux(
+    sf_dir: str, n_merges: int = 60, batch_size: int = 1
+) -> Dict[str, str]:
     """Sequential BPE replica (operators/bpe.train_bpe_seq — the SHARED
     algorithm definition) over the documents word counts: the learned merge
     table plus per-document token statistics under it.
@@ -1078,12 +1134,15 @@ def bpe_aux(sf_dir: str, n_merges: int = 60) -> Dict[str, str]:
     against this single-threaded run — same counts, same (count desc, left,
     right) tie-break, so any divergence is distribution machinery, not the
     rule.  ``q_bpe_tokens`` then gates the broadcast/mapInPandas application
-    plumbing.  Filenames are parameter-suffixed (merge count) so a default
-    change can never serve stale merges."""
+    plumbing.  Filenames are parameter-suffixed (merge count + batch size)
+    so a default change can never serve stale merges.  ``batch_size`` feeds
+    the SHARED ``select_merge_batch`` rule — the replica stays the same
+    algorithm as the distributed trainer by construction."""
     adir = aux_dir(sf_dir)
+    suffix = f"_b{batch_size}" if batch_size != 1 else ""
     out = {
-        "merges": os.path.join(adir, f"bpe_merges_m{n_merges}.parquet"),
-        "tokens": os.path.join(adir, f"bpe_tokens_m{n_merges}.parquet"),
+        "merges": os.path.join(adir, f"bpe_merges_m{n_merges}{suffix}.parquet"),
+        "tokens": os.path.join(adir, f"bpe_tokens_m{n_merges}{suffix}.parquet"),
     }
     if all(os.path.exists(p) for p in out.values()):
         return out
@@ -1096,7 +1155,7 @@ def bpe_aux(sf_dir: str, n_merges: int = 60) -> Dict[str, str]:
     for t in docs["text"]:
         for w in (t or "").lower().split():
             freqs[w] = freqs.get(w, 0) + 1
-    merges = bpe.train_bpe_seq(freqs, n_merges)
+    merges = bpe.train_bpe_seq(freqs, n_merges, batch_size=batch_size)
     merges_pdf = pd.DataFrame(
         merges, columns=["rank", "left", "right", "merged", "pair_count"]
     )
@@ -1130,12 +1189,13 @@ def bpe_aux(sf_dir: str, n_merges: int = 60) -> Dict[str, str]:
     return out
 
 
-def bpe_vocab_aux(sf_dir: str, n_merges: int = 60) -> str:
+def bpe_vocab_aux(sf_dir: str, n_merges: int = 60, batch_size: int = 1) -> str:
     """Sequential subword-vocabulary replica for q_bpe_vocab: encode each
     distinct word once with the sequential trainer's merges, weight by
     corpus frequency, sum per token."""
     adir = aux_dir(sf_dir)
-    dst = os.path.join(adir, f"bpe_vocab_m{n_merges}.parquet")
+    suffix = f"_b{batch_size}" if batch_size != 1 else ""
+    dst = os.path.join(adir, f"bpe_vocab_m{n_merges}{suffix}.parquet")
     if os.path.exists(dst):
         return dst
     from relationextractionpipeline_spark.operators import bpe
@@ -1148,7 +1208,8 @@ def bpe_vocab_aux(sf_dir: str, n_merges: int = 60) -> str:
         for w in (t or "").lower().split():
             freqs[w] = freqs.get(w, 0) + 1
     ranks = {
-        (m[1], m[2]): m[0] for m in bpe.train_bpe_seq(freqs, n_merges)
+        (m[1], m[2]): m[0]
+        for m in bpe.train_bpe_seq(freqs, n_merges, batch_size=batch_size)
     }
     vocab: Dict[str, int] = {}
     for w, f in freqs.items():

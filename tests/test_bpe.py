@@ -135,3 +135,68 @@ def test_bpe_vocab_matches_sequential(spark):
     assert sum(got.values()) == sum(
         len(bpe.encode_word(w, ranks)) * f for w, f in freqs.items()
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched training (batch_size > 1)
+# ---------------------------------------------------------------------------
+
+
+def test_batched_seq_equals_classic_when_batch_is_1():
+    assert bpe.train_bpe_seq(SENNRICH_FREQS, 8) == bpe.train_bpe_seq(
+        SENNRICH_FREQS, 8, batch_size=1
+    )
+
+
+def test_batch_selection_is_symbol_disjoint():
+    cands = [
+        ("e", "s", 9), ("s", "t", 9), ("es", "t", 8), ("l", "o", 7),
+        ("o", "w", 7), ("a", "b", 6), ("c", "d", 5), ("ab", "x", 4),
+    ]
+    batch = bpe.select_merge_batch(cands, 5)
+    # greedy order respected; (s,t) skipped (s touched), (es,t) skipped
+    # (t touched via nothing? no — t untouched until (s,t) REJECTED, but
+    # es touched), (o,w) skipped (o touched), (ab,x) skipped (ab == a+b
+    # merged symbol of an accepted pair)
+    assert batch == [("e", "s", 9), ("l", "o", 7), ("a", "b", 6), ("c", "d", 5)]
+    touched = set()
+    for left, right, _ in batch:
+        assert left not in touched and right not in touched
+        assert left + right not in touched
+        touched.update((left, right, left + right))
+
+
+def test_batch_fold_equals_sequential_rule_folds(spark):
+    rules = [("a", "b"), ("c", "d")]
+    # no empty word: word tables come from a whitespace split, which never
+    # emits "" (initial_symbols_col is only defined over that domain)
+    words = ["abcd", "cabd", "aabb", "acdb", "a", "abab", "cdcd"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    out = df.select(
+        bpe._merge_fold_batch(
+            bpe.initial_symbols_col(F.col("word")), rules
+        ).alias("s")
+    ).collect()
+    for row, word in zip(out, words):
+        sym = bpe.initial_symbols(word)
+        for left, right in rules:
+            sym = bpe._apply_merge_seq(sym, left, right)
+        assert tuple(row["s"]) == sym
+
+
+def test_distributed_batched_training_equals_sequential(spark):
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest widest",
+        "newest newest newest widest widest",
+        "the low bar and the newest bar",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = {r["word"]: r["freq"] for r in bpe.word_counts(docs).collect()}
+    for bs in (3, 8):
+        expect = bpe.train_bpe_seq(wc, 13, batch_size=bs)
+        got = bpe.train_bpe(docs, 13, checkpoint_every=6, batch_size=bs)
+        assert [tuple(r) for r in got.itertuples(index=False)] == expect

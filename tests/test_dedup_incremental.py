@@ -114,3 +114,42 @@ def test_streaming_neardup_matches_batch(spark, corpus, tmp_path):
         r.doc_id for r in batch_surv.collect()
     }
     cache.release_all(checkpoints=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash incremental variant (dedup.simhash_dedup_state / merge_simhash_batch)
+# ---------------------------------------------------------------------------
+
+SH_PARAMS = {"max_hamming": 8}
+
+
+def _batch_simhash_assign(corpus):
+    pairs = dedup.near_dup_pairs_simhash(corpus, **SH_PARAMS).select(
+        "id_a", "id_b"
+    )
+    return _assign(
+        dedup.clusters_from_pairs(corpus, pairs).select("doc_id", "cluster_id")
+    )
+
+
+def test_simhash_incremental_equals_batch_both_split_orders(spark, corpus):
+    want = _batch_simhash_assign(corpus)
+    for flip in (0, 1):
+        a = corpus.where(F.pmod(F.col("doc_id"), 2) == flip)
+        b = corpus.where(F.pmod(F.col("doc_id"), 2) == 1 - flip)
+        state = dedup.simhash_dedup_state(a, **SH_PARAMS)
+        state = dedup.merge_simhash_batch(state, b, **SH_PARAMS)
+        assert _assign(state.assign) == want
+    cache.release_all(checkpoints=True)
+
+
+def test_simhash_merge_replay_is_idempotent(spark, corpus):
+    a = corpus.where(F.col("doc_id") % 2 == 0)
+    b = corpus.where(F.col("doc_id") % 2 == 1)
+    state = dedup.simhash_dedup_state(a, **SH_PARAMS)
+    state = dedup.merge_simhash_batch(state, b, **SH_PARAMS)
+    once = _assign(state.assign)
+    replayed = dedup.merge_simhash_batch(state, b, **SH_PARAMS)
+    assert _assign(replayed.assign) == once
+    assert replayed.sigs.count() == state.sigs.count()
+    cache.release_all(checkpoints=True)
