@@ -84,6 +84,49 @@ _TRANSE_PARAMS = {"dim": 16, "n_iter": 10, "lr": 0.1, "margin": 1.0}
 # write + scan instead, operators/sinks.py)
 _TRANSE_MEMO: dict = {}
 
+# same memo discipline for the DistMult model (the second head of the
+# KG-completion family — shared harness, trilinear score)
+_DISTMULT_MEMO: dict = {}
+
+# canonical fact-table memo shared by both KG-embedding models: the
+# edges → fact_table derivation runs the full pipeline, so run it once
+# per sf_dir and let each model train from the same frame
+_KGFACTS_MEMO: dict = {}
+
+
+def _kg_facts(spark: SparkSession, sf_dir: str):
+    from relationextractionpipeline_spark.operators import kgembed
+
+    key = os.path.normpath(sf_dir)
+    if key not in _KGFACTS_MEMO:
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        graph = pipeline.materialize_graph(run)
+        _KGFACTS_MEMO[key] = kgembed.fact_table(graph["edges"]).toPandas()
+    return spark.createDataFrame(_KGFACTS_MEMO[key])
+
+
+def _distmult_trained(spark: SparkSession, sf_dir: str):
+    """Train (or fetch the memoized) DistMult model for ``sf_dir``;
+    returns (ent_emb, rel_emb, facts) as DataFrames.  Same 80% 'transe'
+    hash split as TransE so both models share one held-out protocol."""
+    from relationextractionpipeline_spark.operators import kgembed
+
+    key = (os.path.normpath(sf_dir), tuple(sorted(_TRANSE_PARAMS.items())))
+    if key not in _DISTMULT_MEMO:
+        facts = _kg_facts(spark, sf_dir)
+        train = facts.where(~kgembed.is_test_fact())
+        res = kgembed.train_distmult(train, **_TRANSE_PARAMS)
+        _DISTMULT_MEMO[key] = (
+            res["ent_emb"].toPandas(),
+            res["rel_emb"].toPandas(),
+        )
+    ent, rel = _DISTMULT_MEMO[key]
+    return (
+        spark.createDataFrame(ent),
+        spark.createDataFrame(rel),
+        _kg_facts(spark, sf_dir),
+    )
+
 
 def _transe_trained(spark: SparkSession, sf_dir: str):
     """Train (or fetch the memoized) TransE model for ``sf_dir``; returns
@@ -92,9 +135,7 @@ def _transe_trained(spark: SparkSession, sf_dir: str):
 
     key = (os.path.normpath(sf_dir), tuple(sorted(_TRANSE_PARAMS.items())))
     if key not in _TRANSE_MEMO:
-        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
-        graph = pipeline.materialize_graph(run)
-        facts = kgembed.fact_table(graph["edges"])
+        facts = _kg_facts(spark, sf_dir)
         # held-out protocol: train on the 80% split, leave kg_linkpred's
         # hash-selected 20% unseen (eval filters against ALL facts)
         train = facts.where(~kgembed.is_test_fact())
@@ -102,13 +143,12 @@ def _transe_trained(spark: SparkSession, sf_dir: str):
         _TRANSE_MEMO[key] = (
             res["ent_emb"].toPandas(),
             res["rel_emb"].toPandas(),
-            facts.toPandas(),
         )
-    ent, rel, fpdf = _TRANSE_MEMO[key]
+    ent, rel = _TRANSE_MEMO[key]
     return (
         spark.createDataFrame(ent),
         spark.createDataFrame(rel),
-        spark.createDataFrame(fpdf),
+        _kg_facts(spark, sf_dir),
     )
 
 
@@ -1134,6 +1174,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_linkpred_mrr"] = kg_linkpred_mrr
+
+    def kg_distmult(spark, sf_dir):
+        """Distributed DistMult KG-embedding training (operators/kgembed.
+        train_distmult — Yang et al. 2015): the second model of the
+        KG-completion family, sharing TransE's entire dataflow harness
+        (deterministic negatives, role-stack joins, int64 gradient
+        shuffles, checkpointed iteration) with a trilinear score
+        ψ = Σ_j h·r·t over 1e-4-quantized parameters so triple products
+        stay inside int64.  Same 80% train split as kg_transe.  Oracle: a
+        sequential numpy run of the same math contract
+        (oracle_mat.distmult_aux) — bit-equal by the fixed-point
+        discipline."""
+        if _small_scale(sf_dir):
+            oracle_mat.distmult_aux(_scale_for(sf_dir), **_TRANSE_PARAMS)
+        ent, rel, _facts = _distmult_trained(spark, sf_dir)
+        return ent.select(
+            F.lit("ent").alias("kind"), "id", "j", "w"
+        ).unionByName(
+            rel.select(F.lit("rel").alias("kind"), "id", "j", "w")
+        )
+
+    q["kg_distmult"] = kg_distmult
+
+    def kg_linkpred_distmult(spark, sf_dir):
+        """Filtered link-prediction over the trained DistMult model
+        (operators/kgembed.distmult_prediction_ranks): same held-out
+        20%, same filtered protocol and entity-id tie-break as
+        kg_linkpred, but candidates rank by the trilinear score
+        DESCENDING in exact integer 1e-12 units — so the two models'
+        MRRs compare on identical test facts.  Full SQL oracle re-derives
+        the ranks relationally from the sequentially-trained table."""
+        if _small_scale(sf_dir):
+            oracle_mat.distmult_aux(_scale_for(sf_dir), **_TRANSE_PARAMS)
+        ent, rel, facts = _distmult_trained(spark, sf_dir)
+        from relationextractionpipeline_spark.operators import kgembed
+
+        return kgembed.distmult_prediction_ranks(facts, ent, rel, test_mod=5)
+
+    q["kg_linkpred_distmult"] = kg_linkpred_distmult
+
+    def kg_entity_neighbors(spark, sf_dir):
+        """Embedding-space entity retrieval (operators/kgembed.
+        entity_neighbors): for the 20 highest-degree canonical entities
+        (degree over the DISTINCT canonical fact set, ties by entity id),
+        the top-5 nearest OTHER entities under the trained TransE model —
+        exact-integer squared L2 in 1e-12 units, self excluded, neighbor-id
+        tie-break.  The query set is broadcast and scoring is linear in
+        the entity table (the brute-force-baseline shape); corpus-scale
+        expansion routes through operators/similarity's ANN family.
+        Oracle: the same degree head + distance ranking in SQL over the
+        sequentially-trained transe_aux table."""
+        from relationextractionpipeline_spark.operators import kgembed
+
+        if _small_scale(sf_dir):
+            oracle_mat.transe_aux(_scale_for(sf_dir), **_TRANSE_PARAMS)
+        ent, _rel, facts = _transe_trained(spark, sf_dir)
+        ends = facts.select(F.col("s").alias("entity")).unionByName(
+            facts.select(F.col("o").alias("entity"))
+        )
+        hot = (
+            ends.groupBy("entity")
+            .agg(F.count("*").alias("_deg"))
+            .orderBy(F.desc("_deg"), F.asc("entity"))
+            .limit(20)
+            .select("entity")
+        )
+        return kgembed.entity_neighbors(ent, hot, k=5)
+
+    q["kg_entity_neighbors"] = kg_entity_neighbors
 
     def kg_role_stats(spark, sf_dir):
         """Per-role corpus profile of the transcripts input (turn counts,
@@ -2648,6 +2757,76 @@ def oracle_sql() -> dict[str, str]:
                             WHERE f.e <> f.o
                               AND (f.d < td.dt
                                    OR (f.d = td.dt AND f.e < f.o))
+                       ))::BIGINT AS rank
+                FROM filt f JOIN td USING (fid)
+                GROUP BY 1, 2, 3
+            )
+            SELECT s, p, o, rank,
+                   round(1.0::DOUBLE / rank, 6) AS inv_rank,
+                   rank <= 10 AS hit10
+            FROM r
+    """
+
+    # DistMult variant of the rank re-derivation: same facts/test CTEs,
+    # 1e-4-quantized embeddings (round() at scale 0 is HALF_UP away from
+    # zero in DuckDB, Spark, and the numpy replica alike — integer-scale
+    # ties are exactly representable doubles, so the three agree), score
+    # ψ = Σ_j h·r·e in exact 1e-12 int units, rank DESC, id tie-break.
+    distmult_linkpred_sql = f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS p,
+                       ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            facts AS (SELECT DISTINCT s, p, o FROM e),
+            emb AS (
+                SELECT kind, id, j, w
+                FROM read_parquet('{os.path.join(small, oracle_mat.distmult_filename())}')
+            ),
+            test AS (
+                SELECT s, p, o,
+                       s || chr(31) || p || chr(31) || o AS fid
+                FROM facts
+                WHERE ('0x' || substr(md5(
+                          s || chr(31) || p || chr(31) || o
+                          || ':transe-split'), 1, 8))::BIGINT % 5 = 0
+            ),
+            hr AS (
+                SELECT t.fid, t.s, t.p, t.o, eh.j,
+                       CAST(round(eh.w * 10000) AS BIGINT)
+                       * CAST(round(er.w * 10000) AS BIGINT) AS hri
+                FROM test t
+                JOIN emb eh ON eh.kind = 'ent' AND eh.id = t.s
+                JOIN emb er ON er.kind = 'rel' AND er.id = t.p
+                           AND er.j = eh.j
+            ),
+            cand AS (
+                SELECT hr.fid, hr.s, hr.p, hr.o, ec.id AS e,
+                       sum(hr.hri * CAST(round(ec.w * 10000) AS BIGINT)) AS psi
+                FROM hr JOIN emb ec ON ec.kind = 'ent' AND ec.j = hr.j
+                GROUP BY 1, 2, 3, 4, 5
+            ),
+            filt AS (
+                SELECT c.* FROM cand c
+                LEFT JOIN facts k
+                  ON k.s = c.s AND k.p = c.p AND k.o = c.e
+                WHERE k.s IS NULL OR c.e = c.o
+            ),
+            td AS (SELECT fid, psi AS pt FROM filt WHERE e = o),
+            r AS (
+                SELECT f.s, f.p, f.o,
+                       (1 + count(*) FILTER (
+                            WHERE f.e <> f.o
+                              AND (f.psi > td.pt
+                                   OR (f.psi = td.pt AND f.e < f.o))
                        ))::BIGINT AS rank
                 FROM filt f JOIN td USING (fid)
                 GROUP BY 1, 2, 3
@@ -4433,6 +4612,59 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{os.path.join(small, oracle_mat.transe_filename())}')
         """,
         "kg_linkpred": linkpred_sql,
+        "kg_distmult": f"""
+            SELECT kind, id, j, w
+            FROM read_parquet('{os.path.join(small, oracle_mat.distmult_filename())}')
+        """,
+        "kg_linkpred_distmult": distmult_linkpred_sql,
+        "kg_entity_neighbors": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS p,
+                       ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            facts AS (SELECT DISTINCT s, p, o FROM e),
+            ends AS (
+                SELECT s AS entity FROM facts
+                UNION ALL
+                SELECT o FROM facts
+            ),
+            hot AS (
+                SELECT entity FROM ends GROUP BY entity
+                ORDER BY count(*) DESC, entity ASC LIMIT 20
+            ),
+            emb AS (
+                SELECT id, j, CAST(round(w * 1000000) AS BIGINT) AS wi
+                FROM read_parquet('{os.path.join(small, oracle_mat.transe_filename())}')
+                WHERE kind = 'ent'
+            ),
+            d AS (
+                SELECT h.entity, en.id AS neighbor,
+                       CAST(sum((eq.wi - en.wi) * (eq.wi - en.wi))
+                            AS BIGINT) AS d_sq
+                FROM hot h
+                JOIN emb eq ON eq.id = h.entity
+                JOIN emb en ON en.j = eq.j AND en.id <> h.entity
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT entity, neighbor, d_sq,
+                       row_number() OVER (
+                           PARTITION BY entity
+                           ORDER BY d_sq ASC, neighbor ASC
+                       ) AS rank
+                FROM d
+            )
+            SELECT entity, neighbor, rank, d_sq FROM r WHERE rank <= 5
+        """,
         "kg_linkpred_mrr": f"""
             SELECT count(*) AS n_test,
                    round(avg(1.0::DOUBLE / rank), 6) AS mrr,

@@ -373,6 +373,178 @@ def train_transe(
     }
 
 
+def train_distmult(
+    facts: DataFrame,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "distmult",
+) -> Dict[str, object]:
+    """Train DistMult embeddings (Yang et al. 2015, "Embedding Entities
+    and Relations for Learning and Inference in Knowledge Bases") over a
+    ``(s, p, o)`` fact table — the second model of the KG-completion
+    family, sharing train_transe's entire dataflow harness (deterministic
+    negatives, role stack, parameter-table joins, checkpointed iteration)
+    with a TRILINEAR score ψ(f) = Σ_j h_j·r_j·t_j (higher = better) in
+    place of TransE's translation distance.  Margin ranking loss:
+    a fact violates when ``margin − ψ(pos) + ψ(neg) > 0``; gradients for a
+    violating fact are ``∂h = r(n−t)``, ``∂r = h(n−t)``, ``∂t = −h·r``,
+    ``∂n = +h·r``.
+
+    Fixed-point contract (the TransE int64 discipline adapted to a triple
+    product): round-6 parameters are QUANTIZED to exact integer 1e-4
+    units (``round(w·1e4)`` — deterministic, elementwise, part of the
+    algorithm spec shared with :func:`distmult_train_numpy`); per-dim
+    triple products are then int64 in 1e-12 units (|h·r·t| ≤ 1e4·8e4·1e4
+    = 8e12, dim-summed ≤ ~1.3e14), the margin test compares int64
+    exactly, and gradient terms (pair products, 1e-8 units, ≤ 1.6e9 per
+    fact) sum in int64 — shuffle order cannot perturb a bit.  The only
+    float steps are elementwise on bit-identical inputs (g = gsum·1e-8 /
+    n_facts; round-6 update; entity renorm).  Magnitude headroom |w| ≤ 8
+    is asserted by the sequential replica.  Entities are unit-normalized
+    per round (as in TransE); relations are unconstrained (DistMult's
+    standard setup).
+    """
+    from . import cache
+
+    f, eidx, n_ent = _facts_with_negatives(facts, salt)
+    roles = f.select(
+        "fid",
+        F.expr(
+            "stack(4, 'h', s, 'r', p, 't', o, 'n', t2) AS (role, pid)"
+        ),
+    ).select("fid", "role", "pid")
+    roles.persist()
+    try:
+        n_facts = roles.count() // 4
+        if n_facts == 0:
+            raise ValueError("cannot train on an empty fact table")
+        rels = facts.select(F.col("p").alias("id")).distinct()
+        init_scale = 6.0 / float(np.sqrt(dim))
+        ent_emb = cache.checkpoint(
+            normalize_unit(
+                init_embeddings(
+                    eidx.select(F.col("ent").alias("id")),
+                    "id", dim, init_scale, salt + "-ent",
+                )
+            )
+        )
+        rel_emb = cache.checkpoint(
+            init_embeddings(rels, "id", dim, init_scale, salt + "-rel")
+        )
+        n_rel = rel_emb.count() // int(dim)
+
+        is_ent_role = F.col("role").isin("h", "t", "n")
+        margin_int = int(round(float(margin) * 1e12))  # 1e-12 units
+        for _ in range(int(n_iter)):
+            per = (
+                roles.where(is_ent_role)
+                .join(ent_emb, F.col("pid") == F.col("id"))
+                .unionByName(
+                    roles.where(F.col("role") == "r").join(
+                        rel_emb, F.col("pid") == F.col("id")
+                    )
+                )
+                .select(
+                    "fid",
+                    "role",
+                    "j",
+                    # 1e-4-unit quantized view — the triple-product
+                    # headroom bound (module docstring)
+                    F.round(F.col("w") * F.lit(1e4)).cast("long").alias("wi"),
+                )
+            )
+            # per-(fact, dim) quantized role values feed BOTH the margin
+            # test and the gradient terms — persist so the role join runs
+            # once per iteration
+            piv = per.groupBy("fid", "j").agg(
+                F.max(F.when(F.col("role") == "h", F.col("wi"))).alias("h"),
+                F.max(F.when(F.col("role") == "r", F.col("wi"))).alias("r"),
+                F.max(F.when(F.col("role") == "t", F.col("wi"))).alias("t"),
+                F.max(F.when(F.col("role") == "n", F.col("wi"))).alias("n"),
+            )
+            piv.persist()
+            viol = (
+                piv.groupBy("fid")
+                .agg(
+                    F.sum(
+                        F.col("h") * F.col("r") * F.col("t")
+                    ).alias("psip"),
+                    F.sum(
+                        F.col("h") * F.col("r") * F.col("n")
+                    ).alias("psin"),
+                )
+                .where(
+                    F.lit(margin_int) - F.col("psip") + F.col("psin") > 0
+                )
+                .select("fid")
+            )
+            # gradient terms per (fact, role, dim), 1e-8 units
+            contrib = (
+                piv.join(viol, "fid")
+                .select(
+                    "fid",
+                    "j",
+                    F.explode(
+                        F.create_map(
+                            F.lit("h"), F.col("r") * (F.col("n") - F.col("t")),
+                            F.lit("r"), F.col("h") * (F.col("n") - F.col("t")),
+                            F.lit("t"), -F.col("h") * F.col("r"),
+                            F.lit("n"), F.col("h") * F.col("r"),
+                        )
+                    ).alias("role", "g_term"),
+                )
+                .join(roles, ["fid", "role"])
+            )
+
+            def _grads(rows: DataFrame) -> DataFrame:
+                # exact integer gradient sum → ONE deterministic float
+                # conversion: g = gsum · 1e-8 / n_facts
+                return rows.groupBy(
+                    F.col("pid").alias("id"), "j"
+                ).agg(
+                    (
+                        F.sum("g_term").cast("double")
+                        * F.lit(1e-8)
+                        / F.lit(float(n_facts))
+                    ).alias("_g")
+                )
+
+            def _update(emb: DataFrame, grads: DataFrame) -> DataFrame:
+                return emb.join(grads, ["id", "j"], "left").select(
+                    "id",
+                    "j",
+                    F.round(
+                        F.col("w")
+                        - F.lit(float(lr)) * F.coalesce("_g", F.lit(0.0)),
+                        6,
+                    ).alias("w"),
+                )
+
+            new_ent = cache.checkpoint(
+                normalize_unit(
+                    _update(ent_emb, _grads(contrib.where(is_ent_role)))
+                )
+            )
+            new_rel = cache.checkpoint(
+                _update(rel_emb, _grads(contrib.where(F.col("role") == "r")))
+            )
+            piv.unpersist()
+            cache.free_checkpoint(ent_emb)
+            cache.free_checkpoint(rel_emb)
+            ent_emb, rel_emb = new_ent, new_rel
+    finally:
+        roles.unpersist()
+    return {
+        "ent_emb": ent_emb,
+        "rel_emb": rel_emb,
+        "n_entities": n_ent,
+        "n_relations": n_rel,
+        "n_facts": n_facts,
+    }
+
+
 def link_prediction_ranks(
     facts: DataFrame,
     ent_emb: DataFrame,
@@ -466,6 +638,148 @@ def link_prediction_ranks(
     )
 
 
+def distmult_prediction_ranks(
+    facts: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    test_mod: int = 5,
+    salt: str = "transe",
+) -> DataFrame:
+    """Filtered link-prediction ranks under the DistMult score: the true
+    tail's 1-based rank among all candidates by ψ = Σ_j h_j·r_j·e_j
+    DESCENDING (higher score = better), computed in exact integer 1e-12
+    units over the 1e-4-quantized embeddings (train_distmult's contract),
+    filtered protocol and deterministic entity-id tie-break as in
+    :func:`link_prediction_ranks`.  ``salt`` names the SPLIT (default:
+    the shared 'transe' holdout, so the two models rank the same test
+    facts and their MRRs compare)."""
+    test = facts.where(is_test_fact(test_mod, salt)).select(
+        "s", "p", "o", fid_col().alias("fid")
+    )
+    q4 = F.round(F.col("w") * F.lit(1e4)).cast("long")
+    hr = (
+        test.join(
+            ent_emb.select(F.col("id").alias("s"), "j", q4.alias("_hi")),
+            "s",
+        )
+        .join(
+            rel_emb.select(F.col("id").alias("p"), "j", q4.alias("_ri")),
+            ["p", "j"],
+        )
+        .select(
+            "fid", "s", "p", "o", "j",
+            (F.col("_hi") * F.col("_ri")).alias("_hri"),  # 1e-8 units
+        )
+    )
+    cand = (
+        hr.join(
+            ent_emb.select(F.col("id").alias("e"), "j", q4.alias("_wi")),
+            "j",
+        )
+        .groupBy("fid", "s", "p", "o", "e")
+        .agg(F.sum(F.col("_hri") * F.col("_wi")).alias("psi"))  # 1e-12
+    )
+    known = facts.select(
+        "s", "p", F.col("o").alias("e"), F.lit(True).alias("_known")
+    )
+    scored = cand.join(known, ["s", "p", "e"], "left").where(
+        F.col("_known").isNull() | (F.col("e") == F.col("o"))
+    )
+    true_psi = scored.where(F.col("e") == F.col("o")).select(
+        "fid", F.col("psi").alias("_pt")
+    )
+    better = (
+        (F.col("psi") > F.col("_pt"))
+        | ((F.col("psi") == F.col("_pt")) & (F.col("e") < F.col("o")))
+    ) & (F.col("e") != F.col("o"))
+    return (
+        scored.join(true_psi, "fid")
+        .groupBy("fid", "s", "p", "o")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(better, 1).otherwise(0))
+            ).cast("long").alias("rank")
+        )
+        .select(
+            "s",
+            "p",
+            "o",
+            "rank",
+            F.round(F.lit(1.0) / F.col("rank"), 6).alias("inv_rank"),
+            (F.col("rank") <= 10).alias("hit10"),
+        )
+    )
+
+
+def entity_neighbors(
+    ent_emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` nearest entities in trained embedding space for each
+    query entity — the retrieval use of a KG-completion model ("which
+    entities does the model place near X?"), joining the KG-embedding
+    family with the similarity-search family.
+
+    ``ent_emb`` is the long-format ``(id, j, w)`` parameter table from
+    :func:`train_transe` / :func:`train_distmult`; ``query_ids`` is a
+    one-column DataFrame ``(entity)`` naming the entities to expand.
+    Distances are exact-integer squared L2 over round-6 parameters
+    (``d = Σ_j (qi_j − wi_j)²`` in 1e-12 units — the module's int64
+    fixed-point contract), so rank comparisons have no float tie
+    ambiguity; ties break by neighbor id ascending, self is excluded.
+    Output: ``(entity, neighbor, rank, d_sq)`` with ``d_sq`` the exact
+    integer distance.  TransE entities are unit-normalized, so this
+    L2 ranking equals the cosine ranking.
+
+    Scale shape: the query set is broadcast and the scoring join is
+    queries × entities on the dimension key — LINEAR in the entity
+    table, the declared-exact brute-force baseline shape
+    (operators/similarity.topk_bruteforce).  Exhaustive expansion of
+    EVERY entity would be all-pairs; at corpus scale route through the
+    banded/celled ANN family (operators/similarity) instead — this
+    operator is for graph-sized query sets (hot entities, a user's
+    watchlist).
+    """
+    from pyspark.sql import Window
+
+    micro = F.round(F.col("w") * F.lit(1e6)).cast("long")
+    q = query_ids.select(F.col(query_ids.columns[0]).alias("entity"))
+    qemb = F.broadcast(
+        q.join(
+            ent_emb.select(
+                F.col("id").alias("entity"), "j", micro.alias("_qi")
+            ),
+            "entity",
+        )
+    )
+    d = (
+        qemb.join(
+            ent_emb.select(
+                F.col("id").alias("neighbor"), "j", micro.alias("_wi")
+            ),
+            "j",
+        )
+        .where(F.col("neighbor") != F.col("entity"))
+        .groupBy("entity", "neighbor")
+        .agg(
+            F.sum(
+                (F.col("_qi") - F.col("_wi"))
+                * (F.col("_qi") - F.col("_wi"))
+            ).alias("d_sq")
+        )
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.asc("d_sq"), F.asc("neighbor")
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select("entity", "neighbor", "rank", "d_sq")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequential replica (shared by sources/oracle_mat.transe_aux and the tests)
 
@@ -504,6 +818,107 @@ def _round_half_up(a: "np.ndarray", ndigits: int) -> "np.ndarray":
         count=flat.size,
     )
     return out.reshape(arr.shape)
+
+
+def distmult_train_numpy(
+    facts_pdf: pd.DataFrame,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "distmult",
+) -> pd.DataFrame:
+    """Single-threaded numpy run of the train_distmult math contract —
+    same init, same deterministic negatives, same 1e-4 quantization,
+    int64 trilinear scores, margin test, gradient sums, round-6 updates,
+    entity renorm.  Returns the long-format (kind, id, j, w) table the
+    kg_distmult oracle reads."""
+    facts_pdf = facts_pdf[["s", "p", "o"]].drop_duplicates()
+    ents = sorted(set(facts_pdf["s"]) | set(facts_pdf["o"]))
+    ents = sorted(ents, key=lambda e: (_md5_bucket(e, salt + "-idx"), e))
+    e_of = {e: i for i, e in enumerate(ents)}
+    rels = sorted(set(facts_pdf["p"]))
+    r_of = {r: i for i, r in enumerate(rels)}
+    n_ent = len(ents)
+    n_facts = len(facts_pdf)
+    if n_facts == 0:
+        raise ValueError("cannot train on an empty fact table")
+
+    s_i = facts_pdf["s"].map(e_of).to_numpy()
+    o_i = facts_pdf["o"].map(e_of).to_numpy()
+    p_i = facts_pdf["p"].map(r_of).to_numpy()
+    t2_i = np.empty(n_facts, dtype="int64")
+    for k, (s, p, o) in enumerate(
+        facts_pdf[["s", "p", "o"]].itertuples(index=False)
+    ):
+        raw = _md5_bucket(f"{s}{SEP}{p}{SEP}{o}", salt + "-neg") % n_ent
+        t2_i[k] = (raw + 1) % n_ent if raw == e_of[o] else raw
+
+    init_scale = 6.0 / float(np.sqrt(dim))
+
+    def init(ids, sub_salt):
+        w = np.empty((len(ids), dim), dtype="float64")
+        for i, ident in enumerate(ids):
+            for j in range(dim):
+                u = _md5_bucket(f"{ident}#{j}", sub_salt)
+                w[i, j] = (u / float(2**32) * 2.0 - 1.0) * init_scale
+        return _round_half_up(w, 6)
+
+    def micro(w):
+        return np.rint(w * 1e6).astype("int64")
+
+    def quant4(w):
+        # the 1e-4-unit quantized view used for scores/gradients — part
+        # of the algorithm spec (train_distmult module contract).  Unlike
+        # TransE's micro() (round-6 params × 1e6 are integer-adjacent, so
+        # rint is safe), w·1e4 hits REAL rounding here: replicate Spark's
+        # F.round (shortest-repr HALF_UP) exactly, ties included.
+        return _round_half_up(w * 1e4, 0).astype("int64")
+
+    def normalize(w):
+        n2 = (micro(w) ** 2).sum(axis=1).astype("float64") * 1e-12
+        return _round_half_up(
+            w / np.sqrt(np.maximum(n2, 1e-12))[:, None], 6
+        )
+
+    margin_int = int(round(float(margin) * 1e12))
+    we = normalize(init(ents, salt + "-ent"))
+    wr = init(rels, salt + "-rel")
+    for _ in range(int(n_iter)):
+        assert np.abs(wr).max() < 8 and np.abs(we).max() < 8, (
+            "parameter magnitude left the documented int64 headroom bound"
+        )
+        e4, r4 = quant4(we), quant4(wr)
+        h = e4[s_i]  # (n_facts, dim), 1e-4 units
+        r = r4[p_i]
+        t = e4[o_i]
+        n = e4[t2_i]
+        psip = (h * r * t).sum(axis=1)  # int64, 1e-12 units — exact
+        psin = (h * r * n).sum(axis=1)
+        v = (margin_int - psip + psin) > 0
+        ge = np.zeros((len(ents), dim), dtype="int64")
+        gr = np.zeros((len(rels), dim), dtype="int64")
+        np.add.at(ge, s_i[v], r[v] * (n[v] - t[v]))   # ∂h, 1e-8 units
+        np.add.at(gr, p_i[v], h[v] * (n[v] - t[v]))   # ∂r
+        np.add.at(ge, o_i[v], -h[v] * r[v])           # ∂t
+        np.add.at(ge, t2_i[v], h[v] * r[v])           # ∂n
+        we = normalize(
+            _round_half_up(
+                we - lr * (ge.astype("float64") * 1e-8 / n_facts), 6
+            )
+        )
+        wr = _round_half_up(
+            wr - lr * (gr.astype("float64") * 1e-8 / n_facts), 6
+        )
+
+    rows = []
+    for i, e in enumerate(ents):
+        for j in range(dim):
+            rows.append(("ent", e, j, we[i, j]))
+    for i, rr in enumerate(rels):
+        for j in range(dim):
+            rows.append(("rel", rr, j, wr[i, j]))
+    return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])
 
 
 def transe_train_numpy(

@@ -290,3 +290,66 @@ def _band_hashes_col(sig_col: str, bands: int):
 def hamming64(col_a, col_b):
     """Native popcount of XOR for SimHash distance (no UDF)."""
     return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def minhash_plan_for_threshold(
+    threshold: float,
+    n_hashes: int = 128,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+    grid: int = 2000,
+) -> dict:
+    """Pick the MinHash-LSH banding ``(bands, rows)`` for a target Jaccard
+    ``threshold`` — the planning step a user otherwise does by hand before
+    every ``lsh_candidate_pairs`` / ``near_dup_clusters`` run.
+
+    Closed-form S-curve analysis (Leskovec/Rajaraman/Ullman, *Mining of
+    Massive Datasets* §3.4 — public textbook material): with ``b`` bands of
+    ``r`` rows, a pair of Jaccard similarity ``s`` becomes a candidate with
+    probability ``P(s) = 1 − (1 − s^r)^b``.  For every factorization
+    ``b·r ≤ n_hashes`` (r ≥ 1, using as many of the ``n_hashes`` signature
+    slots as divide evenly), score the plan by the weighted S-curve error
+    mass
+
+        cost = fp_weight · ∫₀ᵗ P(s) ds  +  fn_weight · ∫ᵗ¹ (1 − P(s)) ds
+
+    (trapezoid on a ``grid``-point s-lattice — deterministic, no RNG) and
+    return the argmin.  ``fp_weight`` > ``fn_weight`` biases toward
+    precision (fewer candidate pairs to verify — cheaper at 100 TB);
+    the reverse biases toward recall (dedup completeness).
+
+    Pure planning arithmetic on the driver — O(d(n_hashes)·grid), no Spark.
+    Returns ``{"bands", "rows", "n_used", "threshold_50", "fp_mass",
+    "fn_mass", "cost"}`` where ``threshold_50 = (1/b)^(1/r)`` is the
+    S-curve midpoint (the classic rule-of-thumb the optimizer replaces).
+
+    Completes the tuner family: nprobe_for_recall / lsh_tables_for_recall /
+    lsh_probes_for_recall (operators/similarity.py) measure recall
+    empirically for ANN; this one is exact for MinHash banding because the
+    candidate probability is closed-form in s.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    s = np.linspace(0.0, 1.0, int(grid) + 1)
+    below = s <= threshold
+    best = None
+    for r in range(1, n_hashes + 1):
+        b = n_hashes // r
+        p = 1.0 - (1.0 - s**r) ** b
+        fp = float(np.trapz(np.where(below, p, 0.0), s))
+        fn = float(np.trapz(np.where(~below, 1.0 - p, 0.0), s))
+        cost = fp_weight * fp + fn_weight * fn
+        plan = {
+            "bands": b,
+            "rows": r,
+            "n_used": b * r,
+            "threshold_50": float((1.0 / b) ** (1.0 / r)),
+            "fp_mass": fp,
+            "fn_mass": fn,
+            "cost": cost,
+        }
+        if best is None or cost < best["cost"] - 1e-15:
+            best = plan
+    return best

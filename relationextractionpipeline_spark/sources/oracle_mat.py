@@ -1348,6 +1348,57 @@ def transe_filename(
     )
 
 
+def distmult_filename(
+    dim: int = 16, n_iter: int = 10, lr: float = 0.1, margin: float = 1.0
+) -> str:
+    """Param-suffixed basename of the distmult_aux parquet (shared with
+    the kg_distmult oracle SQL)."""
+    return (
+        f"distmult_d{int(dim)}i{int(n_iter)}lr{int(lr * 1000)}"
+        f"m{int(margin * 1000)}.parquet"
+    )
+
+
+def distmult_aux(
+    scale: str,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "distmult",
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+) -> str:
+    """Sequential numpy replica of operators/kgembed.train_distmult over
+    the sequential canonical fact set (the transe_aux pattern: same math
+    contract, bit-comparable by the fixed-point discipline).  Trained on
+    the SAME 80% 'transe'-salted hash split as TransE so the two models
+    share one held-out protocol and their eval numbers compare."""
+    from relationextractionpipeline_spark.operators import kgembed
+
+    small = os.path.join(data_dir, testgen.scale_dir(scale))
+    dst = os.path.abspath(
+        os.path.join(small, distmult_filename(dim, n_iter, lr, margin))
+    )
+    if os.path.exists(dst):
+        return dst
+    facts = oracle_facts(scale, data_dir)
+    is_test = facts.apply(
+        lambda r: kgembed._md5_bucket(
+            f"{r['s']}{kgembed.SEP}{r['p']}{kgembed.SEP}{r['o']}",
+            "transe-split",
+        )
+        % 5
+        == 0,
+        axis=1,
+    )
+    emb = kgembed.distmult_train_numpy(
+        facts[~is_test],
+        dim=dim, n_iter=n_iter, lr=lr, margin=margin, salt=salt,
+    )
+    emb["j"] = emb["j"].astype("int32")
+    return _publish(emb, dst)
+
+
 def transe_aux(
     scale: str,
     dim: int = 16,

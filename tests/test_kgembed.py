@@ -167,3 +167,138 @@ def test_fact_table_excludes_unlinked_and_dedups(spark):
     )
     got = sorted(map(tuple, kgembed.fact_table(edges).collect()))
     assert got == [("e1", "p1c", "e2"), ("e3", "p3", "e3")]
+
+
+# ---------------------------------------------------------------------------
+# DistMult (train_distmult / distmult_prediction_ranks)
+# ---------------------------------------------------------------------------
+
+
+def test_distmult_matches_sequential_replica_exactly(spark, toy):
+    """The 1e-4 quantization + int64 trilinear contract makes distributed
+    DistMult training BIT-equal to the numpy replica (quant ties included
+    — both sides round HALF_UP on the same doubles)."""
+    pdf, facts = toy
+    res = kgembed.train_distmult(facts, dim=8, n_iter=5, lr=0.5, margin=1.0)
+    a = _collect_emb(res)
+    b = (
+        kgembed.distmult_train_numpy(pdf, dim=8, n_iter=5, lr=0.5, margin=1.0)
+        .sort_values(["kind", "id", "j"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) == (res["n_entities"] + res["n_relations"]) * 8
+    assert (a["w"].to_numpy() == b["w"].to_numpy()).all()
+
+
+def test_distmult_partition_invariance(spark, toy):
+    _, facts = toy
+    outs = []
+    for nparts in (1, 7):
+        res = kgembed.train_distmult(
+            facts.repartition(nparts), dim=4, n_iter=3, lr=0.5
+        )
+        outs.append(_collect_emb(res))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_distmult_ranks_match_numpy_rescoring(spark, toy):
+    """Distributed filtered ranks equal a numpy re-scoring of the same
+    trained embeddings: ψ DESC, other-true-tail filtering, id tie-break."""
+    pdf, facts = toy
+    res = kgembed.train_distmult(facts, dim=8, n_iter=3, lr=0.5)
+    ent = res["ent_emb"].toPandas()
+    rel = res["rel_emb"].toPandas()
+    got = {
+        (r["s"], r["p"], r["o"]): int(r["rank"])
+        for r in kgembed.distmult_prediction_ranks(
+            facts, res["ent_emb"], res["rel_emb"], test_mod=3, salt="toy"
+        ).collect()
+    }
+    assert got, "test split selected no facts — widen test_mod"
+
+    def q4_table(df):
+        out = {}
+        for i, grp in df.groupby("id"):
+            w = grp.sort_values("j")["w"].to_numpy()
+            out[i] = kgembed._round_half_up(w * 1e4, 0).astype("int64")
+        return out
+
+    e4, r4 = q4_table(ent), q4_table(rel)
+    known = set(map(tuple, pdf[["s", "p", "o"]].itertuples(index=False)))
+    n_checked = 0
+    for (s, p, o), rank in got.items():
+        psi_t = int((e4[s] * r4[p] * e4[o]).sum())
+        better = 0
+        for e in e4:
+            if e == o or (s, p, e) in known:
+                continue
+            psi = int((e4[s] * r4[p] * e4[e]).sum())
+            if psi > psi_t or (psi == psi_t and e < o):
+                better += 1
+        assert rank == 1 + better
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+# ---------------------------------------------------------------------------
+# entity_neighbors (embedding-space retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_entity_neighbors_matches_numpy_bruteforce(spark, toy):
+    """Distributed top-k equals a numpy brute-force over the same trained
+    table: exact-int squared L2, self excluded, neighbor-id tie-break."""
+    pdf, facts = toy
+    res = kgembed.train_transe(facts, dim=8, n_iter=3, lr=0.5)
+    ent = res["ent_emb"].toPandas()
+    queries = ["country0", "country1", "city2_1"]
+    got = (
+        kgembed.entity_neighbors(
+            res["ent_emb"],
+            spark.createDataFrame(pd.DataFrame({"entity": queries})),
+            k=3,
+        )
+        .toPandas()
+        .sort_values(["entity", "rank"])
+        .reset_index(drop=True)
+    )
+    table = {
+        i: kgembed._round_half_up(
+            grp.sort_values("j")["w"].to_numpy() * 1e6, 0
+        ).astype("int64")
+        for i, grp in ent.groupby("id")
+    }
+    for qid in queries:
+        dists = sorted(
+            (int(((table[qid] - w) ** 2).sum()), e)
+            for e, w in table.items()
+            if e != qid
+        )[:3]
+        sub = got[got["entity"] == qid]
+        assert list(sub["neighbor"]) == [e for _, e in dists]
+        assert list(sub["d_sq"]) == [d for d, _ in dists]
+        assert list(sub["rank"]) == [1, 2, 3]
+    assert len(got) == 3 * len(queries)
+
+
+def test_entity_neighbors_excludes_self_and_ranks_exact_ties(spark):
+    """Two neighbors at the IDENTICAL integer distance rank by id."""
+    rows = [
+        ("q", 0, 0.0), ("q", 1, 0.0),
+        ("b", 0, 1.0), ("b", 1, 0.0),
+        ("a", 0, 0.0), ("a", 1, 1.0),   # same |q−a| as |q−b|
+        ("z", 0, 2.0), ("z", 1, 2.0),
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "j", "w"]))
+    got = (
+        kgembed.entity_neighbors(
+            emb,
+            spark.createDataFrame(pd.DataFrame({"entity": ["q"]})),
+            k=2,
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r["neighbor"], r["rank"], r["d_sq"]) for r in got] == [
+        ("a", 1, 10**12), ("b", 2, 10**12)
+    ]

@@ -160,3 +160,73 @@ def test_multiprobe_buckets_distinct_and_extend_base(n_planes, n_probes, seed_ve
         # first perturbation = flip of the single lowest-margin plane
         jmin = int(np.argmin(margins[i]))
         assert int(row[1]) == int(row[0]) ^ (1 << jmin)
+
+
+# ---------------------------------------------------------------------------
+# minhash_plan_for_threshold (S-curve band planner — pure driver arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_plan_midpoint_tracks_threshold():
+    from relationextractionpipeline_spark.operators import sketches
+
+    mids = [
+        sketches.minhash_plan_for_threshold(t, 128)["threshold_50"]
+        for t in (0.3, 0.5, 0.7, 0.9)
+    ]
+    # midpoints are monotone in the target and land near it
+    assert mids == sorted(mids)
+    for t, m in zip((0.3, 0.5, 0.7, 0.9), mids):
+        assert abs(m - t) < 0.1, (t, m)
+
+
+def test_minhash_plan_respects_budget_and_is_deterministic():
+    from relationextractionpipeline_spark.operators import sketches
+
+    p1 = sketches.minhash_plan_for_threshold(0.8, 64)
+    p2 = sketches.minhash_plan_for_threshold(0.8, 64)
+    assert p1 == p2
+    assert p1["bands"] * p1["rows"] == p1["n_used"] <= 64
+    assert p1["bands"] >= 1 and p1["rows"] >= 1
+
+
+def test_minhash_plan_fp_weight_biases_toward_precision():
+    from relationextractionpipeline_spark.operators import sketches
+
+    neutral = sketches.minhash_plan_for_threshold(0.8, 128)
+    precise = sketches.minhash_plan_for_threshold(0.8, 128, fp_weight=5.0)
+    assert precise["fp_mass"] <= neutral["fp_mass"]
+    assert precise["threshold_50"] >= neutral["threshold_50"]
+
+
+def test_minhash_plan_matches_empirical_candidate_rate():
+    """The closed-form P(s) the planner integrates is the TRUE banding
+    probability: empirical agreement of real MinHash signatures on pairs
+    of known Jaccard similarity matches 1−(1−s^r)^b."""
+    from relationextractionpipeline_spark.operators import sketches
+
+    plan = sketches.minhash_plan_for_threshold(0.5, 32)
+    b, r = plan["bands"], plan["rows"]
+    n = b * r
+    import zlib
+
+    hits = 0
+    trials = 300
+    # pairs of exact Jaccard 0.5: A = base[:50], B = base[:30]+base[50:60]
+    # → |A∩B| = 30, |A∪B| = 60
+    for i in range(trials):
+        base = [f"tok{i}_{j}" for j in range(60)]
+        a_set, b_set = set(base[:50]), set(base[:30]) | set(base[50:60])
+        ai = [zlib.crc32(f"{x}:{i}".encode()) for x in a_set]
+        bi = [zlib.crc32(f"{x}:{i}".encode()) for x in b_set]
+        sa = sketches.minhash_signature(ai, n, seed=7 + i)
+        sb = sketches.minhash_signature(bi, n, seed=7 + i)
+        if any(
+            sa[k * r:(k + 1) * r] == sb[k * r:(k + 1) * r]
+            for k in range(b)
+        ):
+            hits += 1
+    s = 30 / 60
+    p_expect = 1 - (1 - s**r) ** b
+    p_got = hits / trials
+    assert abs(p_got - p_expect) < 0.12, (p_got, p_expect, s, b, r)
