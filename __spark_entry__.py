@@ -128,6 +128,31 @@ def _distmult_trained(spark: SparkSession, sf_dir: str):
     )
 
 
+_COMPLEX_MEMO: dict = {}
+
+
+def _complex_trained(spark: SparkSession, sf_dir: str):
+    """Train (or fetch the memoized) ComplEx model for ``sf_dir`` — same
+    80% 'transe' hash split as the other two models."""
+    from relationextractionpipeline_spark.operators import kgembed
+
+    key = (os.path.normpath(sf_dir), tuple(sorted(_TRANSE_PARAMS.items())))
+    if key not in _COMPLEX_MEMO:
+        facts = _kg_facts(spark, sf_dir)
+        train = facts.where(~kgembed.is_test_fact())
+        res = kgembed.train_complex(train, **_TRANSE_PARAMS)
+        _COMPLEX_MEMO[key] = (
+            res["ent_emb"].toPandas(),
+            res["rel_emb"].toPandas(),
+        )
+    ent, rel = _COMPLEX_MEMO[key]
+    return (
+        spark.createDataFrame(ent),
+        spark.createDataFrame(rel),
+        _kg_facts(spark, sf_dir),
+    )
+
+
 def _transe_trained(spark: SparkSession, sf_dir: str):
     """Train (or fetch the memoized) TransE model for ``sf_dir``; returns
     (ent_emb, rel_emb, facts) as DataFrames."""
@@ -1053,6 +1078,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_motif"] = kg_motif
 
+    def kg_motif_anchor(spark, sf_dir):
+        """Constant-anchored motif (operators/motif.find with bound
+        constants): ONE-WAY pairs under the hottest predicate —
+        ``(x)-['P']->(y); !(y)-['P']->(x)`` with P the most frequent
+        predicate of the distinct canonical edge set (ties by pred asc).
+        The quoted constant compiles to an equality filter AHEAD of the
+        joins, so the pattern scans only P's edge subset instead of
+        shuffling the full edge set — the filter-pushdown story for
+        anchored graph queries; the negated constant term is a LEFT ANTI
+        on the same filtered subset (the asymmetry mining query: which
+        x→y lack the reciprocal edge).  The anchor is a one-row driver
+        lookup (a parameter, not data).  Full SQL oracle re-derives the
+        anchor and the anti-joined pair set."""
+        from relationextractionpipeline_spark.operators import motif
+
+        graph = _canonical_graph(spark, sf_dir)
+        edges = (
+            graph["edges"]
+            .where(
+                F.col("subj_canonical").isNotNull()
+                & F.col("obj_canonical").isNotNull()
+            )
+            .select(
+                F.col("subj_canonical").alias("src"),
+                F.coalesce("pred_canonical", "pred").alias("pred"),
+                F.col("obj_canonical").alias("dst"),
+            )
+        )
+        hot = (
+            edges.distinct()
+            .groupBy("pred")
+            .agg(F.count("*").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("pred"))
+            .limit(1)
+            .collect()[0]["pred"]
+        )
+        anchored = hot.replace("'", "")  # generated preds never contain '
+        m = motif.find(
+            edges, f"(x)-['{anchored}']->(y); !(y)-['{anchored}']->(x)"
+        )
+        return m.select("x", "y").withColumn("anchor_pred", F.lit(hot))
+
+    q["kg_motif_anchor"] = kg_motif_anchor
+
     def kg_ntriples(spark, sf_dir):
         """RDF N-Triples export (operators/sinks.ntriples): one fact line
         per distinct resolved canonical triple on md5-minted IRIs, plus
@@ -1213,6 +1282,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kgembed.distmult_prediction_ranks(facts, ent, rel, test_mod=5)
 
     q["kg_linkpred_distmult"] = kg_linkpred_distmult
+
+    def kg_complex(spark, sf_dir):
+        """Distributed ComplEx KG-embedding training (operators/kgembed.
+        train_complex — Trouillon et al. 2016): third model of the
+        KG-completion family, completing the expressiveness ladder
+        (TransE translational, DistMult symmetric bilinear, ComplEx
+        complex bilinear — the one that models ASYMMETRIC relations).
+        Complex vectors stored as 2·dim long-format rows; score
+        Re⟨h,r,conj(t)⟩ in exact int64 1e-12 units over 1e-4-quantized
+        params.  Same 80% split.  Oracle: a sequential numpy run of the
+        same contract (oracle_mat.complex_aux) — bit-equal."""
+        if _small_scale(sf_dir):
+            oracle_mat.complex_aux(_scale_for(sf_dir), **_TRANSE_PARAMS)
+        ent, rel, _facts = _complex_trained(spark, sf_dir)
+        return ent.select(
+            F.lit("ent").alias("kind"), "id", "j", "w"
+        ).unionByName(
+            rel.select(F.lit("rel").alias("kind"), "id", "j", "w")
+        )
+
+    q["kg_complex"] = kg_complex
+
+    def kg_linkpred_complex(spark, sf_dir):
+        """Filtered link-prediction over the trained ComplEx model
+        (operators/kgembed.complex_prediction_ranks): same held-out 20%,
+        filtered protocol, and id tie-break as the other two models;
+        candidates rank by Re⟨h,r,conj(e)⟩ DESC in exact 1e-12 int units
+        via the factored coefficient join (u, v per component — the
+        DistMult join shape).  Full SQL oracle re-derives the ranks from
+        the sequentially-trained table."""
+        if _small_scale(sf_dir):
+            oracle_mat.complex_aux(_scale_for(sf_dir), **_TRANSE_PARAMS)
+        ent, rel, facts = _complex_trained(spark, sf_dir)
+        from relationextractionpipeline_spark.operators import kgembed
+
+        return kgembed.complex_prediction_ranks(
+            facts, ent, rel, dim=_TRANSE_PARAMS["dim"], test_mod=5
+        )
+
+    q["kg_linkpred_complex"] = kg_linkpred_complex
 
     def kg_entity_neighbors(spark, sf_dir):
         """Embedding-space entity retrieval (operators/kgembed.
@@ -2567,7 +2676,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # compositions) — instead of whatever happened to be defined first.
     # Every entry, in any position, stays locally verified by
     # tools/check_parity.py over the same comparison.
-    first = [n for n in q if n.startswith("kg_")] + ["q_sft_pairs"]
+    # kg_* variants deferred from the 50-slot driver gate to keep the
+    # flagship training-data operators in the driver's sample: each is a
+    # close sibling of a gated query (two of four context-link scorer
+    # variants, the non-PMI co-occurrence rollup, the hourly rollup, the
+    # corpus profile, and the two-hop traversal that kg_bfs/kg_motif
+    # cover).  ALL remain verified by tools/check_parity.py every round.
+    defer = {
+        "kg_links_ctx_df",
+        "kg_links_ctx_tdf",
+        "kg_cooccurrence",
+        "kg_triples_hourly",
+        "kg_role_stats",
+        "kg_two_hop",
+    }
+    first = [
+        n for n in q if n.startswith("kg_") and n not in defer
+    ] + ["q_sft_pairs"]
     extras = [
         "q_dedup_clusters_incr",
         "q_dedup_simhash_incr",
@@ -2812,6 +2937,89 @@ def oracle_sql() -> dict[str, str]:
                 SELECT hr.fid, hr.s, hr.p, hr.o, ec.id AS e,
                        sum(hr.hri * CAST(round(ec.w * 10000) AS BIGINT)) AS psi
                 FROM hr JOIN emb ec ON ec.kind = 'ent' AND ec.j = hr.j
+                GROUP BY 1, 2, 3, 4, 5
+            ),
+            filt AS (
+                SELECT c.* FROM cand c
+                LEFT JOIN facts k
+                  ON k.s = c.s AND k.p = c.p AND k.o = c.e
+                WHERE k.s IS NULL OR c.e = c.o
+            ),
+            td AS (SELECT fid, psi AS pt FROM filt WHERE e = o),
+            r AS (
+                SELECT f.s, f.p, f.o,
+                       (1 + count(*) FILTER (
+                            WHERE f.e <> f.o
+                              AND (f.psi > td.pt
+                                   OR (f.psi = td.pt AND f.e < f.o))
+                       ))::BIGINT AS rank
+                FROM filt f JOIN td USING (fid)
+                GROUP BY 1, 2, 3
+            )
+            SELECT s, p, o, rank,
+                   round(1.0::DOUBLE / rank, 6) AS inv_rank,
+                   rank <= 10 AS hit10
+            FROM r
+    """
+
+    # ComplEx variant: the h/r slots pivot into per-component (hr, hi, rr,
+    # ri), which factor into ONE coefficient per 2·dim slot
+    # (u = hr·rr − hi·ri at j = m, v = hi·rr + hr·ri at j = m + dim) so the
+    # candidate scoring join is the DistMult shape; ψ DESC, id tie-break.
+    _cdim = _TRANSE_PARAMS["dim"]
+    complex_linkpred_sql = f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS p,
+                       ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            facts AS (SELECT DISTINCT s, p, o FROM e),
+            emb AS (
+                SELECT kind, id, j, w
+                FROM read_parquet('{os.path.join(small, oracle_mat.complex_filename())}')
+            ),
+            test AS (
+                SELECT s, p, o,
+                       s || chr(31) || p || chr(31) || o AS fid
+                FROM facts
+                WHERE ('0x' || substr(md5(
+                          s || chr(31) || p || chr(31) || o
+                          || ':transe-split'), 1, 8))::BIGINT % 5 = 0
+            ),
+            slots AS (
+                SELECT t.fid, t.s, t.p, t.o, eh.j,
+                       CAST(round(eh.w * 10000) AS BIGINT) AS hq,
+                       CAST(round(er.w * 10000) AS BIGINT) AS rq
+                FROM test t
+                JOIN emb eh ON eh.kind = 'ent' AND eh.id = t.s
+                JOIN emb er ON er.kind = 'rel' AND er.id = t.p
+                           AND er.j = eh.j
+            ),
+            piv AS (
+                SELECT fid, s, p, o, j % {_cdim} AS m,
+                       max(hq) FILTER (WHERE j < {_cdim}) AS hr,
+                       max(hq) FILTER (WHERE j >= {_cdim}) AS hi,
+                       max(rq) FILTER (WHERE j < {_cdim}) AS rr,
+                       max(rq) FILTER (WHERE j >= {_cdim}) AS ri
+                FROM slots GROUP BY 1, 2, 3, 4, 5
+            ),
+            coef AS (
+                SELECT fid, s, p, o, m AS j, hr*rr - hi*ri AS c FROM piv
+                UNION ALL
+                SELECT fid, s, p, o, m + {_cdim}, hi*rr + hr*ri FROM piv
+            ),
+            cand AS (
+                SELECT cf.fid, cf.s, cf.p, cf.o, ec.id AS e,
+                       sum(cf.c * CAST(round(ec.w * 10000) AS BIGINT)) AS psi
+                FROM coef cf JOIN emb ec ON ec.kind = 'ent' AND ec.j = cf.j
                 GROUP BY 1, 2, 3, 4, 5
             ),
             filt AS (
@@ -4420,6 +4628,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT p, count(*) AS n_open_chains
             FROM m GROUP BY p
         """,
+        "kg_motif_anchor": f"""
+            WITH e AS (
+                SELECT DISTINCT ks.canonical_id AS src,
+                       coalesce(pc.pred_canonical, t.pred) AS pred,
+                       ko.canonical_id AS dst
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            hot AS (
+                SELECT pred FROM e GROUP BY pred
+                ORDER BY count(*) DESC, pred ASC LIMIT 1
+            ),
+            m AS (
+                SELECT DISTINCT a.src AS x, a.dst AS y
+                FROM e a JOIN hot h ON a.pred = h.pred
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM e z JOIN hot h2 ON z.pred = h2.pred
+                    WHERE z.src = a.dst AND z.dst = a.src
+                )
+            )
+            SELECT x, y, (SELECT pred FROM hot) AS anchor_pred FROM m
+        """,
         # N-Triples: md5-minted IRIs + escaped rdfs:labels; chr(92) is the
         # backslash (spelled numerically so SQL-literal escaping can't
         # diverge between engines)
@@ -4617,6 +4854,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{os.path.join(small, oracle_mat.distmult_filename())}')
         """,
         "kg_linkpred_distmult": distmult_linkpred_sql,
+        "kg_complex": f"""
+            SELECT kind, id, j, w
+            FROM read_parquet('{os.path.join(small, oracle_mat.complex_filename())}')
+        """,
+        "kg_linkpred_complex": complex_linkpred_sql,
         "kg_entity_neighbors": f"""
             WITH e AS (
                 SELECT coalesce(pc.pred_canonical, t.pred) AS p,

@@ -1,4 +1,9 @@
-"""Distributed KG-embedding training (TransE) + link-prediction eval.
+"""Distributed KG-embedding training (TransE / DistMult / ComplEx) +
+link-prediction eval — an expressiveness ladder of three models on ONE
+dataflow harness: TransE (translational), DistMult (symmetric bilinear),
+ComplEx (complex bilinear — models asymmetric relations), all sharing
+the deterministic-negative / role-stack / int64-fixed-point discipline
+documented below for TransE.
 
 The KB-completion stage that follows canonicalization in a modern KG
 pipeline: learn a vector per canonical entity and per canonical predicate
@@ -545,6 +550,205 @@ def train_distmult(
     }
 
 
+def train_complex(
+    facts: DataFrame,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "complex",
+) -> Dict[str, object]:
+    """Train ComplEx embeddings (Trouillon et al. 2016, "Complex
+    Embeddings for Simple Link Prediction") — the third model of the
+    KG-completion family, completing the expressiveness ladder: TransE is
+    translational, DistMult is a SYMMETRIC bilinear form (it provably
+    cannot rank ``(a,p,b)`` above ``(b,p,a)``), ComplEx scores with the
+    real part of a complex trilinear product and models ASYMMETRIC
+    relations.  Same dataflow harness as the other two (deterministic
+    negatives, role stack, int64 gradient shuffles, checkpointed
+    iteration).
+
+    Representation: each id's embedding is a complex vector of ``dim``
+    dims stored as ``2·dim`` long-format rows — ``j < dim`` real parts,
+    ``j ≥ dim`` imaginary parts.  Score (real part of ⟨h, r, conj(t)⟩):
+
+        ψ = Σ_m  hr·rr·tr + hi·rr·ti + hr·ri·ti − hi·ri·tr
+
+    over component index ``m = j mod dim``.  Margin ranking loss as in
+    DistMult; gradients of ``−ψ(pos) + ψ(neg)`` per component:
+
+        ∂hr = rr·(nr−tr) + ri·(ni−ti)    ∂hi = rr·(ni−ti) − ri·(nr−tr)
+        ∂rr = hr·(nr−tr) + hi·(ni−ti)    ∂ri = hr·(ni−ti) − hi·(nr−tr)
+        ∂tr = −(hr·rr − hi·ri)           ∂ti = −(hi·rr + hr·ri)
+        ∂nr = +(hr·rr − hi·ri)           ∂ni = +(hi·rr + hr·ri)
+
+    Fixed point: DistMult's discipline verbatim — params quantized to
+    exact 1e-4 units, per-component triple products int64 in 1e-12 units
+    (4 terms × dim ≤ ~5e14), gradient terms pair-product sums in 1e-8
+    units — so the distributed run is bit-equal to
+    :func:`complex_train_numpy`.  Entities unit-normalized over the full
+    2·dim vector (the determinism-friendly analog of Trouillon's L2
+    regularizer); relations unconstrained.
+    """
+    from . import cache
+
+    f, eidx, n_ent = _facts_with_negatives(facts, salt)
+    roles = f.select(
+        "fid",
+        F.expr(
+            "stack(4, 'h', s, 'r', p, 't', o, 'n', t2) AS (role, pid)"
+        ),
+    ).select("fid", "role", "pid")
+    roles.persist()
+    try:
+        n_facts = roles.count() // 4
+        if n_facts == 0:
+            raise ValueError("cannot train on an empty fact table")
+        rels = facts.select(F.col("p").alias("id")).distinct()
+        d2 = 2 * int(dim)
+        init_scale = 6.0 / float(np.sqrt(dim))
+        ent_emb = cache.checkpoint(
+            normalize_unit(
+                init_embeddings(
+                    eidx.select(F.col("ent").alias("id")),
+                    "id", d2, init_scale, salt + "-ent",
+                )
+            )
+        )
+        rel_emb = cache.checkpoint(
+            init_embeddings(rels, "id", d2, init_scale, salt + "-rel")
+        )
+        n_rel = rel_emb.count() // d2
+
+        is_ent_role = F.col("role").isin("h", "t", "n")
+        margin_int = int(round(float(margin) * 1e12))  # 1e-12 units
+        re_ = F.col("j") < dim  # real-part rows of the 2·dim layout
+        for _ in range(int(n_iter)):
+            per = (
+                roles.where(is_ent_role)
+                .join(ent_emb, F.col("pid") == F.col("id"))
+                .unionByName(
+                    roles.where(F.col("role") == "r").join(
+                        rel_emb, F.col("pid") == F.col("id")
+                    )
+                )
+                .select(
+                    "fid",
+                    "role",
+                    "j",
+                    F.round(F.col("w") * F.lit(1e4)).cast("long").alias("wi"),
+                )
+            )
+
+            def part(role, real):  # noqa: B023 — rebuilt per iteration
+                cond = (F.col("role") == role) & (re_ if real else ~re_)
+                return F.max(F.when(cond, F.col("wi")))
+
+            # per-(fact, component) pivot: 8 quantized values feed both
+            # the margin test and the gradient terms
+            piv = per.groupBy(
+                "fid", F.pmod(F.col("j"), F.lit(int(dim))).alias("m")
+            ).agg(
+                part("h", True).alias("hr"), part("h", False).alias("hi"),
+                part("r", True).alias("rr"), part("r", False).alias("ri"),
+                part("t", True).alias("tr"), part("t", False).alias("ti"),
+                part("n", True).alias("nr"), part("n", False).alias("ni"),
+            )
+            piv.persist()
+            hr, hi = F.col("hr"), F.col("hi")
+            rr, ri = F.col("rr"), F.col("ri")
+            tr, ti = F.col("tr"), F.col("ti")
+            nr, ni = F.col("nr"), F.col("ni")
+            psi = lambda er, ei: (  # noqa: E731 — Re⟨h, r, conj(e)⟩
+                hr * rr * er + hi * rr * ei + hr * ri * ei - hi * ri * er
+            )
+            viol = (
+                piv.groupBy("fid")
+                .agg(
+                    F.sum(psi(tr, ti)).alias("psip"),
+                    F.sum(psi(nr, ni)).alias("psin"),
+                )
+                .where(
+                    F.lit(margin_int) - F.col("psip") + F.col("psin") > 0
+                )
+                .select("fid")
+            )
+            # gradient terms per (fact, role-component, component index m),
+            # 1e-8 units; map keys encode role:part and resolve to the
+            # long-layout slot j = m (+dim for imaginary)
+            contrib = (
+                piv.join(viol, "fid")
+                .select(
+                    "fid",
+                    "m",
+                    F.explode(
+                        F.create_map(
+                            F.lit("h:r"), rr * (nr - tr) + ri * (ni - ti),
+                            F.lit("h:i"), rr * (ni - ti) - ri * (nr - tr),
+                            F.lit("r:r"), hr * (nr - tr) + hi * (ni - ti),
+                            F.lit("r:i"), hr * (ni - ti) - hi * (nr - tr),
+                            F.lit("t:r"), -(hr * rr - hi * ri),
+                            F.lit("t:i"), -(hi * rr + hr * ri),
+                            F.lit("n:r"), hr * rr - hi * ri,
+                            F.lit("n:i"), hi * rr + hr * ri,
+                        )
+                    ).alias("rc", "g_term"),
+                )
+                .select(
+                    "fid",
+                    F.substring("rc", 1, 1).alias("role"),
+                    F.when(F.substring("rc", 3, 1) == "i",
+                           F.col("m") + dim).otherwise(F.col("m")).alias("j"),
+                    "g_term",
+                )
+                .join(roles, ["fid", "role"])
+            )
+
+            def _grads(rows: DataFrame) -> DataFrame:
+                return rows.groupBy(
+                    F.col("pid").alias("id"), "j"
+                ).agg(
+                    (
+                        F.sum("g_term").cast("double")
+                        * F.lit(1e-8)
+                        / F.lit(float(n_facts))
+                    ).alias("_g")
+                )
+
+            def _update(emb: DataFrame, grads: DataFrame) -> DataFrame:
+                return emb.join(grads, ["id", "j"], "left").select(
+                    "id",
+                    "j",
+                    F.round(
+                        F.col("w")
+                        - F.lit(float(lr)) * F.coalesce("_g", F.lit(0.0)),
+                        6,
+                    ).alias("w"),
+                )
+
+            new_ent = cache.checkpoint(
+                normalize_unit(
+                    _update(ent_emb, _grads(contrib.where(is_ent_role)))
+                )
+            )
+            new_rel = cache.checkpoint(
+                _update(rel_emb, _grads(contrib.where(F.col("role") == "r")))
+            )
+            piv.unpersist()
+            cache.free_checkpoint(ent_emb)
+            cache.free_checkpoint(rel_emb)
+            ent_emb, rel_emb = new_ent, new_rel
+    finally:
+        roles.unpersist()
+    return {
+        "ent_emb": ent_emb,
+        "rel_emb": rel_emb,
+        "n_entities": n_ent,
+        "n_relations": n_rel,
+        "n_facts": n_facts,
+    }
+
+
 def link_prediction_ranks(
     facts: DataFrame,
     ent_emb: DataFrame,
@@ -678,6 +882,102 @@ def distmult_prediction_ranks(
         )
         .groupBy("fid", "s", "p", "o", "e")
         .agg(F.sum(F.col("_hri") * F.col("_wi")).alias("psi"))  # 1e-12
+    )
+    known = facts.select(
+        "s", "p", F.col("o").alias("e"), F.lit(True).alias("_known")
+    )
+    scored = cand.join(known, ["s", "p", "e"], "left").where(
+        F.col("_known").isNull() | (F.col("e") == F.col("o"))
+    )
+    true_psi = scored.where(F.col("e") == F.col("o")).select(
+        "fid", F.col("psi").alias("_pt")
+    )
+    better = (
+        (F.col("psi") > F.col("_pt"))
+        | ((F.col("psi") == F.col("_pt")) & (F.col("e") < F.col("o")))
+    ) & (F.col("e") != F.col("o"))
+    return (
+        scored.join(true_psi, "fid")
+        .groupBy("fid", "s", "p", "o")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(better, 1).otherwise(0))
+            ).cast("long").alias("rank")
+        )
+        .select(
+            "s",
+            "p",
+            "o",
+            "rank",
+            F.round(F.lit(1.0) / F.col("rank"), 6).alias("inv_rank"),
+            (F.col("rank") <= 10).alias("hit10"),
+        )
+    )
+
+
+def complex_prediction_ranks(
+    facts: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    dim: int = 16,
+    test_mod: int = 5,
+    salt: str = "transe",
+) -> DataFrame:
+    """Filtered link-prediction ranks under the ComplEx score
+    ψ = Re⟨h, r, conj(e)⟩ DESCENDING — same filtered protocol, split,
+    and id tie-break as the other two models, so all three MRRs compare
+    on identical test facts.
+
+    The candidate join stays the DistMult shape by factoring the score:
+    ψ = Σ_m er·(hr·rr − hi·ri) + ei·(hi·rr + hr·ri) — so the per-fact
+    (h, r) pivot emits ONE coefficient per long-layout slot ``j``
+    (``u = hr·rr − hi·ri`` at ``j = m``, ``v = hi·rr + hr·ri`` at
+    ``j = m + dim``, 1e-8 units) and candidates join on ``j`` exactly as
+    in :func:`distmult_prediction_ranks` — coefficients ≤ ~1.3e10, per-j
+    products ≤ ~1e15, 2·dim-summed ≤ ~3.3e16: inside int64."""
+    test = facts.where(is_test_fact(test_mod, salt)).select(
+        "s", "p", "o", fid_col().alias("fid")
+    )
+    q4 = F.round(F.col("w") * F.lit(1e4)).cast("long")
+    re_ = F.col("j") < dim
+    piv = (
+        test.join(
+            ent_emb.select(F.col("id").alias("s"), "j", q4.alias("_h")),
+            "s",
+        )
+        .join(
+            rel_emb.select(F.col("id").alias("p"), "j", q4.alias("_r")),
+            ["p", "j"],
+        )
+        .groupBy(
+            "fid", "s", "p", "o",
+            F.pmod(F.col("j"), F.lit(int(dim))).alias("m"),
+        )
+        .agg(
+            F.max(F.when(re_, F.col("_h"))).alias("hr"),
+            F.max(F.when(~re_, F.col("_h"))).alias("hi"),
+            F.max(F.when(re_, F.col("_r"))).alias("rr"),
+            F.max(F.when(~re_, F.col("_r"))).alias("ri"),
+        )
+    )
+    u = F.col("hr") * F.col("rr") - F.col("hi") * F.col("ri")
+    v = F.col("hi") * F.col("rr") + F.col("hr") * F.col("ri")
+    coef = piv.select(
+        "fid", "s", "p", "o", F.col("m").alias("j"), u.alias("_c")
+    ).unionByName(
+        piv.select(
+            "fid", "s", "p", "o",
+            (F.col("m") + dim).alias("j"), v.alias("_c"),
+        )
+    )
+    cand = (
+        coef.join(
+            ent_emb.select(F.col("id").alias("e"), "j", q4.alias("_wi")),
+            "j",
+        )
+        .groupBy("fid", "s", "p", "o", "e")
+        .agg(F.sum(F.col("_c") * F.col("_wi")).alias("psi"))  # 1e-12
     )
     known = facts.select(
         "s", "p", F.col("o").alias("e"), F.lit(True).alias("_known")
@@ -917,6 +1217,123 @@ def distmult_train_numpy(
             rows.append(("ent", e, j, we[i, j]))
     for i, rr in enumerate(rels):
         for j in range(dim):
+            rows.append(("rel", rr, j, wr[i, j]))
+    return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])
+
+
+def complex_train_numpy(
+    facts_pdf: pd.DataFrame,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "complex",
+) -> pd.DataFrame:
+    """Single-threaded numpy run of the train_complex math contract —
+    same init over the 2·dim long layout, same deterministic negatives,
+    1e-4 quantization, int64 Re⟨h,r,conj(t)⟩ scores, margin test,
+    gradient sums, round-6 updates, full-vector entity renorm.  Returns
+    the long-format (kind, id, j, w) table the kg_complex oracle reads."""
+    facts_pdf = facts_pdf[["s", "p", "o"]].drop_duplicates()
+    ents = sorted(set(facts_pdf["s"]) | set(facts_pdf["o"]))
+    ents = sorted(ents, key=lambda e: (_md5_bucket(e, salt + "-idx"), e))
+    e_of = {e: i for i, e in enumerate(ents)}
+    rels = sorted(set(facts_pdf["p"]))
+    r_of = {r: i for i, r in enumerate(rels)}
+    n_ent = len(ents)
+    n_facts = len(facts_pdf)
+    if n_facts == 0:
+        raise ValueError("cannot train on an empty fact table")
+
+    s_i = facts_pdf["s"].map(e_of).to_numpy()
+    o_i = facts_pdf["o"].map(e_of).to_numpy()
+    p_i = facts_pdf["p"].map(r_of).to_numpy()
+    t2_i = np.empty(n_facts, dtype="int64")
+    for k, (s, p, o) in enumerate(
+        facts_pdf[["s", "p", "o"]].itertuples(index=False)
+    ):
+        raw = _md5_bucket(f"{s}{SEP}{p}{SEP}{o}", salt + "-neg") % n_ent
+        t2_i[k] = (raw + 1) % n_ent if raw == e_of[o] else raw
+
+    d2 = 2 * dim
+    init_scale = 6.0 / float(np.sqrt(dim))
+
+    def init(ids, sub_salt):
+        w = np.empty((len(ids), d2), dtype="float64")
+        for i, ident in enumerate(ids):
+            for j in range(d2):
+                u = _md5_bucket(f"{ident}#{j}", sub_salt)
+                w[i, j] = (u / float(2**32) * 2.0 - 1.0) * init_scale
+        return _round_half_up(w, 6)
+
+    def micro(w):
+        return np.rint(w * 1e6).astype("int64")
+
+    def quant4(w):
+        # same HALF_UP replication note as distmult_train_numpy
+        return _round_half_up(w * 1e4, 0).astype("int64")
+
+    def normalize(w):
+        n2 = (micro(w) ** 2).sum(axis=1).astype("float64") * 1e-12
+        return _round_half_up(
+            w / np.sqrt(np.maximum(n2, 1e-12))[:, None], 6
+        )
+
+    margin_int = int(round(float(margin) * 1e12))
+    we = normalize(init(ents, salt + "-ent"))
+    wr = init(rels, salt + "-rel")
+    for _ in range(int(n_iter)):
+        assert np.abs(wr).max() < 8 and np.abs(we).max() < 8, (
+            "parameter magnitude left the documented int64 headroom bound"
+        )
+        e4, r4 = quant4(we), quant4(wr)
+        h, r = e4[s_i], r4[p_i]
+        t, n = e4[o_i], e4[t2_i]
+        hr_, hi_ = h[:, :dim], h[:, dim:]
+        rr_, ri_ = r[:, :dim], r[:, dim:]
+        tr_, ti_ = t[:, :dim], t[:, dim:]
+        nr_, ni_ = n[:, :dim], n[:, dim:]
+        psip = (
+            hr_ * rr_ * tr_ + hi_ * rr_ * ti_
+            + hr_ * ri_ * ti_ - hi_ * ri_ * tr_
+        ).sum(axis=1)
+        psin = (
+            hr_ * rr_ * nr_ + hi_ * rr_ * ni_
+            + hr_ * ri_ * ni_ - hi_ * ri_ * nr_
+        ).sum(axis=1)
+        v = (margin_int - psip + psin) > 0
+        dr, di = nr_[v] - tr_[v], ni_[v] - ti_[v]  # (nv, dim), 1e-4 units
+        g_h = np.concatenate(  # ∂hr | ∂hi, 1e-8 units
+            [rr_[v] * dr + ri_[v] * di, rr_[v] * di - ri_[v] * dr], axis=1
+        )
+        g_r = np.concatenate(
+            [hr_[v] * dr + hi_[v] * di, hr_[v] * di - hi_[v] * dr], axis=1
+        )
+        ur = hr_[v] * rr_[v] - hi_[v] * ri_[v]
+        ui = hi_[v] * rr_[v] + hr_[v] * ri_[v]
+        g_t = np.concatenate([-ur, -ui], axis=1)
+        g_n = np.concatenate([ur, ui], axis=1)
+        ge = np.zeros((n_ent, d2), dtype="int64")
+        gr = np.zeros((len(rels), d2), dtype="int64")
+        np.add.at(ge, s_i[v], g_h)
+        np.add.at(gr, p_i[v], g_r)
+        np.add.at(ge, o_i[v], g_t)
+        np.add.at(ge, t2_i[v], g_n)
+        we = normalize(
+            _round_half_up(
+                we - lr * (ge.astype("float64") * 1e-8 / n_facts), 6
+            )
+        )
+        wr = _round_half_up(
+            wr - lr * (gr.astype("float64") * 1e-8 / n_facts), 6
+        )
+
+    rows = []
+    for i, e in enumerate(ents):
+        for j in range(d2):
+            rows.append(("ent", e, j, we[i, j]))
+    for i, rr in enumerate(rels):
+        for j in range(d2):
             rows.append(("rel", rr, j, wr[i, j]))
     return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])
 

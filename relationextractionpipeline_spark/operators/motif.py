@@ -17,6 +17,10 @@ Semantics (documented precisely so the DuckDB oracle can replay them):
 * Node variables bind to entity ids, edge variables to predicate
   strings.  One variable may not name both a node and an edge.
 * Anonymous elements ``()`` / ``[]`` match anything and bind nothing.
+* Single-quoted slots are BOUND CONSTANTS — ``(a)-['located.in']->(b)``
+  or ``(a)-[p]->('Berlin')`` — compiled to equality filters ahead of the
+  projection, so Catalyst pushes them into the parquet scan and a
+  constant-anchored pattern joins only the matching edge subset.
 * The result is the set of DISTINCT assignments of the named variables
   satisfying every positive term and excluded by every negated term —
   one column per named variable.
@@ -43,21 +47,35 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+_SLOT = r"\w*|'[^']*'"
 _TERM_RE = re.compile(
-    r"^(?P<neg>!?)\((?P<src>\w*)\)-\[(?P<edge>\w*)\]->\((?P<dst>\w*)\)$"
+    rf"^\s*(?P<neg>!?)\s*\(\s*(?P<src>{_SLOT})\s*\)\s*-\s*"
+    rf"\[\s*(?P<edge>{_SLOT})\s*\]\s*->\s*\(\s*(?P<dst>{_SLOT})\s*\)\s*$"
 )
+
+
+def _is_const(slot: str) -> bool:
+    return slot.startswith("'")
+
+
+def _const_value(slot: str) -> str:
+    return slot[1:-1]
 
 
 @dataclass(frozen=True)
 class MotifTerm:
-    src: str  # "" = anonymous
+    src: str  # "" = anonymous; "'lit'" = bound constant; else a variable
     edge: str
     dst: str
     negated: bool
 
     @property
     def named_vars(self) -> tuple[str, ...]:
-        return tuple(v for v in (self.src, self.edge, self.dst) if v)
+        return tuple(
+            v
+            for v in (self.src, self.edge, self.dst)
+            if v and not _is_const(v)
+        )
 
 
 def parse_motif(pattern: str) -> list[MotifTerm]:
@@ -72,7 +90,7 @@ def parse_motif(pattern: str) -> list[MotifTerm]:
         raw = raw.strip()
         if not raw:
             continue
-        m = _TERM_RE.match(re.sub(r"\s+", "", raw))
+        m = _TERM_RE.match(raw)
         if not m:
             raise ValueError(f"unparseable motif term: {raw!r}")
         terms.append(
@@ -85,8 +103,10 @@ def parse_motif(pattern: str) -> list[MotifTerm]:
         )
     if not terms:
         raise ValueError("empty motif pattern")
-    node_vars = {t.src for t in terms} | {t.dst for t in terms}
-    edge_vars = {t.edge for t in terms}
+    node_vars = {
+        v for t in terms for v in (t.src, t.dst) if not _is_const(v)
+    }
+    edge_vars = {t.edge for t in terms if not _is_const(t.edge)}
     clash = (node_vars & edge_vars) - {""}
     if clash:
         raise ValueError(f"variables used as both node and edge: {sorted(clash)}")
@@ -104,17 +124,29 @@ def _project_term(edges: DataFrame, term: MotifTerm) -> DataFrame:
     self-loops before projecting.
     """
     df = edges
-    if term.src and term.src == term.dst:
+    # constants compile to filters BEFORE the projection/join — Catalyst
+    # pushes them into the scan, so a constant-predicate pattern never
+    # shuffles the full edge set
+    for slot, col in ((term.src, "src"), (term.edge, "pred"), (term.dst, "dst")):
+        if slot and _is_const(slot):
+            df = df.where(F.col(col) == F.lit(_const_value(slot)))
+    if (
+        term.src
+        and term.src == term.dst
+        and not _is_const(term.src)
+    ):
         df = df.where(F.col("src") == F.col("dst"))
     cols = []
     seen: set[str] = set()
     for var, col in ((term.src, "src"), (term.edge, "pred"), (term.dst, "dst")):
-        if var and var not in seen:
+        if var and not _is_const(var) and var not in seen:
             cols.append(F.col(col).alias(var))
             seen.add(var)
     if not cols:
-        raise ValueError("motif term binds no variables: fully-anonymous terms "
-                         "are either trivially true or dead weight — remove it")
+        raise ValueError(
+            "motif term binds no variables: anonymous/constant-only terms "
+            "are either trivially true or dead weight — remove it"
+        )
     return df.select(*cols).distinct()
 
 

@@ -1399,6 +1399,56 @@ def distmult_aux(
     return _publish(emb, dst)
 
 
+def complex_filename(
+    dim: int = 16, n_iter: int = 10, lr: float = 0.1, margin: float = 1.0
+) -> str:
+    """Param-suffixed basename of the complex_aux parquet (shared with
+    the kg_complex oracle SQL)."""
+    return (
+        f"complex_d{int(dim)}i{int(n_iter)}lr{int(lr * 1000)}"
+        f"m{int(margin * 1000)}.parquet"
+    )
+
+
+def complex_aux(
+    scale: str,
+    dim: int = 16,
+    n_iter: int = 10,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    salt: str = "complex",
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+) -> str:
+    """Sequential numpy replica of operators/kgembed.train_complex over
+    the sequential canonical fact set (the transe_aux pattern).  Trained
+    on the SAME 80% 'transe'-salted hash split as the other two models so
+    all three share one held-out protocol."""
+    from relationextractionpipeline_spark.operators import kgembed
+
+    small = os.path.join(data_dir, testgen.scale_dir(scale))
+    dst = os.path.abspath(
+        os.path.join(small, complex_filename(dim, n_iter, lr, margin))
+    )
+    if os.path.exists(dst):
+        return dst
+    facts = oracle_facts(scale, data_dir)
+    is_test = facts.apply(
+        lambda r: kgembed._md5_bucket(
+            f"{r['s']}{kgembed.SEP}{r['p']}{kgembed.SEP}{r['o']}",
+            "transe-split",
+        )
+        % 5
+        == 0,
+        axis=1,
+    )
+    emb = kgembed.complex_train_numpy(
+        facts[~is_test],
+        dim=dim, n_iter=n_iter, lr=lr, margin=margin, salt=salt,
+    )
+    emb["j"] = emb["j"].astype("int32")
+    return _publish(emb, dst)
+
+
 def transe_aux(
     scale: str,
     dim: int = 16,

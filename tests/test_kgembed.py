@@ -302,3 +302,145 @@ def test_entity_neighbors_excludes_self_and_ranks_exact_ties(spark):
     assert [(r["neighbor"], r["rank"], r["d_sq"]) for r in got] == [
         ("a", 1, 10**12), ("b", 2, 10**12)
     ]
+
+
+# ---------------------------------------------------------------------------
+# ComplEx (train_complex / complex_prediction_ranks)
+# ---------------------------------------------------------------------------
+
+
+def test_complex_matches_sequential_replica_exactly(spark, toy):
+    """The 2·dim long layout + int64 Re⟨h,r,conj(t)⟩ contract makes
+    distributed ComplEx training BIT-equal to the numpy replica."""
+    pdf, facts = toy
+    res = kgembed.train_complex(facts, dim=4, n_iter=5, lr=0.5, margin=1.0)
+    a = _collect_emb(res)
+    b = (
+        kgembed.complex_train_numpy(pdf, dim=4, n_iter=5, lr=0.5, margin=1.0)
+        .sort_values(["kind", "id", "j"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) == (res["n_entities"] + res["n_relations"]) * 8
+    assert (a["w"].to_numpy() == b["w"].to_numpy()).all()
+
+
+def test_complex_partition_invariance(spark, toy):
+    _, facts = toy
+    outs = []
+    for nparts in (1, 7):
+        res = kgembed.train_complex(
+            facts.repartition(nparts), dim=2, n_iter=3, lr=0.5
+        )
+        outs.append(_collect_emb(res))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_complex_models_asymmetry(spark):
+    """The capability DistMult provably lacks: on a purely ANTISYMMETRIC
+    relation (a→b present, b→a absent), trained ComplEx separates
+    ψ(a,p,b) from ψ(b,p,a); DistMult CANNOT (its score is symmetric in
+    (h,t) — equal by construction at every iteration)."""
+    rows = [(f"n{i}", "next", f"n{(i+1) % 6}") for i in range(6)]
+    pdf = pd.DataFrame(rows, columns=["s", "p", "o"])
+    facts = spark.createDataFrame(pdf)
+
+    def psi_table(train_fn, score):
+        emb = train_fn(pdf, dim=4, n_iter=8, lr=0.5)
+        ent = {
+            i: kgembed._round_half_up(
+                g.sort_values("j")["w"].to_numpy() * 1e4, 0
+            ).astype("int64")
+            for i, g in emb[emb["kind"] == "ent"].groupby("id")
+        }
+        rel = {
+            i: kgembed._round_half_up(
+                g.sort_values("j")["w"].to_numpy() * 1e4, 0
+            ).astype("int64")
+            for i, g in emb[emb["kind"] == "rel"].groupby("id")
+        }
+        return ent, rel, score
+
+    def dm_score(h, r, t):
+        return int((h * r * t).sum())
+
+    def cx_score(h, r, t):
+        d = len(h) // 2
+        hr, hi = h[:d], h[d:]
+        rr, ri = r[:d], r[d:]
+        tr, ti = t[:d], t[d:]
+        return int(
+            (hr * rr * tr + hi * rr * ti + hr * ri * ti - hi * ri * tr).sum()
+        )
+
+    ent, rel, score = psi_table(kgembed.distmult_train_numpy, dm_score)
+    dm_gaps = [
+        score(ent[f"n{i}"], rel["next"], ent[f"n{(i+1)%6}"])
+        - score(ent[f"n{(i+1)%6}"], rel["next"], ent[f"n{i}"])
+        for i in range(6)
+    ]
+    assert all(g == 0 for g in dm_gaps)  # symmetric by construction
+
+    ent, rel, score = psi_table(kgembed.complex_train_numpy, cx_score)
+    cx_gaps = [
+        score(ent[f"n{i}"], rel["next"], ent[f"n{(i+1)%6}"])
+        - score(ent[f"n{(i+1)%6}"], rel["next"], ent[f"n{i}"])
+        for i in range(6)
+    ]
+    assert any(g != 0 for g in cx_gaps)
+    assert sum(1 for g in cx_gaps if g > 0) >= 4  # forward mostly wins
+
+    # spark training agrees with the replica used above (cheap re-check
+    # at the same tiny config)
+    res = kgembed.train_complex(facts, dim=4, n_iter=8, lr=0.5)
+    a = _collect_emb(res)
+    b = (
+        kgembed.complex_train_numpy(pdf, dim=4, n_iter=8, lr=0.5)
+        .sort_values(["kind", "id", "j"])
+        .reset_index(drop=True)
+    )
+    assert (a["w"].to_numpy() == b["w"].to_numpy()).all()
+
+
+def test_complex_ranks_match_numpy_rescoring(spark, toy):
+    """Distributed filtered ranks equal a numpy re-scoring of the same
+    trained embeddings: ψ DESC, other-true-tail filtering, id tie-break."""
+    pdf, facts = toy
+    res = kgembed.train_complex(facts, dim=4, n_iter=3, lr=0.5)
+    ent = res["ent_emb"].toPandas()
+    got = {
+        (r["s"], r["p"], r["o"]): int(r["rank"])
+        for r in kgembed.complex_prediction_ranks(
+            facts, res["ent_emb"], res["rel_emb"],
+            dim=4, test_mod=3, salt="toy",
+        ).collect()
+    }
+    assert got, "test split selected no facts — widen test_mod"
+    rel = res["rel_emb"].toPandas()
+
+    def q4_table(df):
+        return {
+            i: kgembed._round_half_up(
+                g.sort_values("j")["w"].to_numpy() * 1e4, 0
+            ).astype("int64")
+            for i, g in df.groupby("id")
+        }
+
+    def cx(h, r, t, d=4):
+        hr, hi, rr, ri = h[:d], h[d:], r[:d], r[d:]
+        return int(
+            (hr * rr * t[:d] + hi * rr * t[d:]
+             + hr * ri * t[d:] - hi * ri * t[:d]).sum()
+        )
+
+    e4, r4 = q4_table(ent), q4_table(rel)
+    known = set(map(tuple, pdf[["s", "p", "o"]].itertuples(index=False)))
+    for (s, p, o), rank in got.items():
+        psi_t = cx(e4[s], r4[p], e4[o])
+        better = 0
+        for e in e4:
+            if e == o or (s, p, e) in known:
+                continue
+            psi = cx(e4[s], r4[p], e4[e])
+            if psi > psi_t or (psi == psi_t and e < o):
+                better += 1
+        assert rank == 1 + better

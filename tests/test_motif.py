@@ -113,3 +113,47 @@ def test_compiled_plan_has_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bound constants ('lit' slots)
+# ---------------------------------------------------------------------------
+
+
+def test_constant_predicate_filters_edges(spark):
+    out = motif.find(_edges(spark, GRAPH), "(x)-['likes']->(y)")
+    assert set(out.columns) == {"x", "y"}
+    assert _rows(out) == {("a", "b"), ("d", "d")}
+
+
+def test_constant_node_anchors_pattern(spark):
+    # chains that END at c
+    out = motif.find(_edges(spark, GRAPH), "(x)-[]->(y); (y)-[]->('c')")
+    assert _rows(out.select("x", "y")) == {("a", "b"), ("c", "a")}
+
+
+def test_constant_in_negation(spark):
+    # pairs (x,y) adjacent where x does NOT 'like' y
+    out = motif.find(
+        _edges(spark, GRAPH), "(x)-[]->(y); !(x)-['likes']->(y)"
+    )
+    got = _rows(out)
+    assert ("a", "b") not in got and ("d", "d") not in got
+    assert ("b", "c") in got and ("c", "a") in got
+
+
+def test_constant_with_spaces_and_dots(spark):
+    rows = [("a", "located in.x", "b"), ("a", "other", "c")]
+    out = motif.find(_edges(spark, rows), "(x)-['located in.x']->(y)")
+    assert _rows(out) == {("a", "b")}
+
+
+def test_constant_only_term_raises(spark):
+    with pytest.raises(ValueError):
+        motif.find(_edges(spark, GRAPH), "('a')-['likes']->('b')")
+
+
+def test_constant_does_not_claim_variable_namespace():
+    # a constant spelled like a variable elsewhere is fine — no clash
+    terms = motif.parse_motif("(a)-['a']->(b)")
+    assert terms[0].named_vars == ("a", "b")
