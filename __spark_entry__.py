@@ -2043,6 +2043,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pred_cardinality"] = kg_pred_cardinality
 
+    def kg_metapaths(spark, sf_dir):
+        """2-hop typed metapath census over the DISTINCT canonical fact
+        set: for every ordered predicate pair (pred1, pred2), the number
+        of length-2 paths s -pred1-> mid -pred2-> o plus the count of
+        distinct bridging entities.  Computed WITHOUT enumerating paths:
+        per-(mid, pred) in/out-degree aggregates join on mid and the path
+        count is sum(n_in * n_out) — the degree-product identity keeps hub
+        entities linear (a degree-d hub contributes d aggregate rows, never
+        d² path rows), so unlike the degree-capped kg_two_hop this census
+        stays EXACT at 10^12-turn scale (operators/graphalgs.
+        metapath_census).  Two groupBys + one equi-join, every shuffle
+        keyed on canonical entity strings."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        facts = edges.select(
+            F.col("subj_canonical").alias("s"),
+            "pred",
+            F.col("obj_canonical").alias("o"),
+        ).distinct()
+        return graphalgs.metapath_census(facts)
+
+    q["kg_metapaths"] = kg_metapaths
+
+    def kg_type_rollup(spark, sf_dir):
+        """FIGER type-lattice rollup of the canonical entity table: every
+        canonical entity counts under each ANCESTOR of each linked path
+        type ('/person/engineer' contributes to '/person/engineer' AND
+        '/person') — the type-coverage profile an ontology mapping is
+        validated against.  Path→ancestors expands natively (split +
+        transform + explode, no UDF); non-path types ('none') are
+        excluded.  One explode + one distinct-aggregate; lattice depth
+        bounds the expansion factor (FIGER paths: ≤2)."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        entities, _edges = canonicalize.canonicalize(run["triples"], run["links"])
+        typed = entities.select(
+            "canonical_id", F.explode("types").alias("figer")
+        ).where(F.col("figer").startswith("/"))
+        parts = F.split(F.expr("substring(figer, 2)"), "/")
+        nodes = typed.select(
+            "canonical_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(parts)),
+                    lambda i: F.concat(
+                        F.lit("/"), F.array_join(F.slice(parts, F.lit(1), i), "/")
+                    ),
+                )
+            ).alias("type_node"),
+        )
+        return nodes.groupBy("type_node").agg(
+            F.countDistinct("canonical_id").alias("n_entities")
+        )
+
+    q["kg_type_rollup"] = kg_type_rollup
+
     def q_dedup_simhash(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.doc_sketches(sf_dir)
@@ -2689,6 +2755,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_hourly",
         "kg_role_stats",
         "kg_two_hop",
+        # round 5: deferred so kg_metapaths/kg_type_rollup fit in the window
+        # without evicting the flagship training-data extras — each is a
+        # close sibling of a still-gated query (kg_motif anchors the motif
+        # machinery; kg_linkpred + kg_linkpred_distmult gate the linkpred
+        # protocol, kg_complex the ComplEx embedding itself)
+        "kg_motif_anchor",
+        "kg_linkpred_complex",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -3591,6 +3664,85 @@ def oracle_sql() -> dict[str, str]:
                          END)::BIGINT AS est,
                    e.n_exact::BIGINT AS n_exact
             FROM fin f JOIN ex e USING (pred)
+        """,
+        "kg_metapaths": f"""
+            WITH facts AS (
+                SELECT DISTINCT ks.canonical_id AS s, t.pred,
+                       ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+            ),
+            indeg AS (
+                SELECT o AS mid, pred AS pred1, count(*) AS n_in
+                FROM facts GROUP BY 1, 2
+            ),
+            outdeg AS (
+                SELECT s AS mid, pred AS pred2, count(*) AS n_out
+                FROM facts GROUP BY 1, 2
+            )
+            SELECT i.pred1, o.pred2,
+                   sum(i.n_in * o.n_out)::BIGINT AS n_paths,
+                   count(DISTINCT i.mid)::BIGINT AS n_mids
+            FROM indeg i JOIN outdeg o USING (mid)
+            GROUP BY 1, 2
+        """,
+        "kg_type_rollup": f"""
+            WITH best AS (
+                SELECT surface, url AS kb_url FROM (
+                    SELECT surface, url,
+                           row_number() OVER (
+                               PARTITION BY surface
+                               ORDER BY prior DESC, url ASC
+                           ) AS rn
+                    FROM read_parquet('{small}/entity_kb.parquet')
+                ) WHERE rn = 1
+            ),
+            linked AS (
+                SELECT DISTINCT mr.surface,
+                       coalesce(
+                           b.kb_url,
+                           '{not_in_wiki}' || replace(mr.surface, ' ', '_')
+                       ) AS url
+                FROM read_parquet('{mrows}') mr
+                LEFT JOIN best b USING (surface)
+            ),
+            refs AS (
+                SELECT DISTINCT
+                       CASE WHEN l.url LIKE '%notInWiki%'
+                            THEN replace(l.surface, ' ', '_')
+                            ELSE regexp_extract(l.url, '([^/]+)$', 1)
+                       END AS ent_key,
+                       coalesce(nullif(f.figer_type, ''), 'none') AS figer
+                FROM linked l
+                LEFT JOIN read_parquet('{small}/figer_map.parquet') f
+                  ON f.url = l.url
+            ),
+            typed AS (
+                SELECT DISTINCT k.canonical_id, r.figer
+                FROM refs r
+                JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') k
+                  USING (ent_key)
+                WHERE r.figer LIKE '/%'
+            ),
+            expanded AS (
+                SELECT canonical_id,
+                       '/' || array_to_string(
+                           (string_split(substring(figer, 2), '/'))[1:i], '/'
+                       ) AS type_node
+                FROM (
+                    SELECT canonical_id, figer,
+                           unnest(generate_series(
+                               1, len(string_split(substring(figer, 2), '/'))
+                           )) AS i
+                    FROM typed
+                )
+            )
+            SELECT type_node,
+                   count(DISTINCT canonical_id)::BIGINT AS n_entities
+            FROM expanded GROUP BY type_node
         """,
         "q_dedup_convs": f"""
             WITH docs AS (

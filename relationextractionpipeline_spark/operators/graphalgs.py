@@ -481,3 +481,50 @@ def hits(
         F.round("hub", round_to).alias("hub"),
         F.round("authority", round_to).alias("authority"),
     )
+
+
+def metapath_census(
+    facts: DataFrame,
+    src: str = "s",
+    pred: str = "pred",
+    dst: str = "o",
+) -> DataFrame:
+    """2-hop typed metapath census: for every ordered predicate pair
+    (pred1, pred2) the number of length-2 paths x -pred1-> mid -pred2-> y
+    over the given fact set, plus the count of distinct bridging ``mid``
+    entities.
+
+    Computed WITHOUT enumerating paths, via the degree-product identity
+
+        paths(p1, p2) = Σ_mid  in_deg(mid, p1) · out_deg(mid, p2)
+
+    so a degree-d hub contributes d aggregate rows instead of d² path
+    rows — the census stays EXACT where a self-join enumeration (see the
+    degree-capped two-hop operator in __spark_entry__) must cap or
+    sample.  Two keyed groupBys + one equi-join on ``mid``; the join's
+    per-key fan-out is bounded by the predicate vocabulary of one
+    entity, never by its degree.  Callers wanting distinct-path
+    semantics should pass a DISTINCT fact set (paths reusing one fact as
+    both hops — self-loops — are counted, the standard census
+    convention).
+
+    No reference analog (the reference stops at triple emission);
+    beyond-reference KG-analytics surface.
+    """
+    f = facts.select(
+        F.col(src).alias("_s"), F.col(pred).alias("_p"), F.col(dst).alias("_d")
+    ).where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    indeg = f.groupBy(
+        F.col("_d").alias("mid"), F.col("_p").alias("pred1")
+    ).agg(F.count("*").alias("n_in"))
+    outdeg = f.groupBy(
+        F.col("_s").alias("mid"), F.col("_p").alias("pred2")
+    ).agg(F.count("*").alias("n_out"))
+    return (
+        indeg.join(outdeg, "mid")
+        .groupBy("pred1", "pred2")
+        .agg(
+            F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"),
+            F.countDistinct("mid").alias("n_mids"),
+        )
+    )

@@ -364,3 +364,58 @@ def test_hits_partition_invariant(spark):
     b = sorted(map(tuple, graphalgs.hits(df.repartition(5)).collect()))
     cache.release_all(checkpoints=True)
     assert a == b
+
+
+# --- metapath census --------------------------------------------------------
+
+FACTS = [
+    # hub 'h' with mixed predicate fan-in/out, a self-loop, parallel preds
+    ("a", "p1", "h"), ("b", "p1", "h"), ("c", "p2", "h"),
+    ("h", "p1", "x"), ("h", "p3", "y"), ("h", "p3", "z"),
+    ("x", "p2", "y"), ("y", "p2", "y"),  # self-loop at y
+    ("a", "p3", "b"), ("b", "p2", "c"),
+]
+
+
+def _brute_metapaths(facts):
+    """Quadratic path enumeration — the semantics the census must match."""
+    from collections import defaultdict
+
+    paths = defaultdict(int)
+    mids = defaultdict(set)
+    for s1, p1, o1 in facts:
+        for s2, p2, o2 in facts:
+            if o1 == s2:
+                paths[(p1, p2)] += 1
+                mids[(p1, p2)].add(o1)
+    return {k: (v, len(mids[k])) for k, v in paths.items()}
+
+
+def test_metapath_census_matches_enumeration(spark):
+    df = spark.createDataFrame(FACTS, "s string, pred string, o string")
+    got = {
+        (r["pred1"], r["pred2"]): (r["n_paths"], r["n_mids"])
+        for r in graphalgs.metapath_census(df).collect()
+    }
+    assert got == _brute_metapaths(FACTS)
+
+
+def test_metapath_census_counts_self_loop_both_hops(spark):
+    # one self-loop fact is a valid 2-hop path reusing itself (census
+    # convention, documented): paths(p,p) = 1 via mid=y
+    df = spark.createDataFrame(
+        [("y", "p", "y")], "s string, pred string, o string"
+    )
+    [row] = graphalgs.metapath_census(df).collect()
+    assert (row["pred1"], row["pred2"], row["n_paths"], row["n_mids"]) == (
+        "p", "p", 1, 1
+    )
+
+
+def test_metapath_census_partition_invariant(spark):
+    df = spark.createDataFrame(FACTS, "s string, pred string, o string")
+    a = sorted(map(tuple, graphalgs.metapath_census(df).collect()))
+    b = sorted(
+        map(tuple, graphalgs.metapath_census(df.repartition(7, "pred")).collect())
+    )
+    assert a == b
