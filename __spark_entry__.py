@@ -2109,6 +2109,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_type_rollup"] = kg_type_rollup
 
+    def kg_align(spark, sf_dir):
+        """Structure-based entity-alignment candidates over the canonical
+        graph: entity pairs sharing ≥2 typed-neighborhood features
+        (dir, pred, other), ranked by neighborhood Jaccard — the
+        complementary signal to canonicalization's surface-LSH evidence
+        (two nodes in the same graph position but with disjoint surfaces
+        are merge candidates surface clustering can never see).  Feature-
+        keyed self-join, the LSH bucket-join skeleton; opt-in df-cap for
+        hub neighbors at scale (operators/canonicalize.
+        structural_align_candidates)."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        facts = edges.select(
+            F.col("subj_canonical").alias("s"),
+            F.col("pred").alias("p"),
+            F.col("obj_canonical").alias("o"),
+        )
+        return canonicalize.structural_align_candidates(facts, min_shared=2)
+
+    q["kg_align"] = kg_align
+
     def q_dedup_simhash(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.doc_sketches(sf_dir)
@@ -2762,6 +2787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # protocol, kg_complex the ComplEx embedding itself)
         "kg_motif_anchor",
         "kg_linkpred_complex",
+        # round 5: kg_align takes this slot — kg_linkpred still gates the
+        # full rank protocol kg_linkpred_mrr aggregates
+        "kg_linkpred_mrr",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -3664,6 +3692,43 @@ def oracle_sql() -> dict[str, str]:
                          END)::BIGINT AS est,
                    e.n_exact::BIGINT AS n_exact
             FROM fin f JOIN ex e USING (pred)
+        """,
+        "kg_align": f"""
+            WITH facts AS (
+                SELECT DISTINCT ks.canonical_id AS s, t.pred AS p,
+                       ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+            ),
+            feats AS (
+                SELECT DISTINCT ent, feat FROM (
+                    SELECT s AS ent,
+                           'out' || chr(31) || p || chr(31) || o AS feat
+                    FROM facts
+                    UNION ALL
+                    SELECT o AS ent,
+                           'in' || chr(31) || p || chr(31) || s AS feat
+                    FROM facts
+                )
+            ),
+            deg AS (SELECT ent, count(*) AS n FROM feats GROUP BY ent),
+            pairs AS (
+                SELECT fa.ent AS a, fb.ent AS b, count(*) AS n_shared
+                FROM feats fa JOIN feats fb USING (feat)
+                WHERE fa.ent < fb.ent
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            )
+            SELECT p.a, p.b, p.n_shared::BIGINT AS n_shared,
+                   da.n::BIGINT AS n_a, db.n::BIGINT AS n_b,
+                   round(p.n_shared / (da.n + db.n - p.n_shared), 6)
+                       AS jaccard
+            FROM pairs p
+            JOIN deg da ON da.ent = p.a
+            JOIN deg db ON db.ent = p.b
         """,
         "kg_metapaths": f"""
             WITH facts AS (

@@ -704,3 +704,107 @@ def canonicalize(
         )
     )
     return entities, edges
+
+
+def structural_align_candidates(
+    facts: DataFrame,
+    src: str = "s",
+    pred: str = "p",
+    dst: str = "o",
+    min_shared: int = 2,
+    min_jaccard: float = 0.0,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Structure-based entity-alignment candidates: pairs of (canonical)
+    entities ranked by Jaccard similarity of their typed neighborhoods.
+
+    Canonicalization above clusters on SURFACE evidence (shared URL,
+    near-duplicate strings — :func:`candidate_pairs_for_entities`); this
+    operator supplies the complementary STRUCTURAL signal: two nodes that
+    share no surface text but occupy the same position in the graph
+    (same predicates to the same neighbors) are alignment candidates —
+    the classic instance-matching signal (PARIS, Suchanek et al. 2012;
+    no reference analog — the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77).
+
+    A neighborhood feature is the string ``dir + US + pred + US + other``
+    (US = unit separator, U+001F) over the DISTINCT fact set, so
+    multiplicity is not evidence.  For every entity pair sharing ≥
+    ``min_shared`` features:
+
+        jaccard = |F(a) ∩ F(b)| / (|F(a)| + |F(b)| − |F(a) ∩ F(b)|)
+
+    Output: (a, b, n_shared, n_a, n_b, jaccard), a < b.
+
+    Distributed shape: feature-keyed self-join (the same bucket-join
+    skeleton as LSH candidate pairing) + two dimension-sized degree
+    joins; no all-pairs product.  A feature's pair fan-out is
+    C(df, 2) — hub neighbors (an entity everything links to) are the
+    skew hazard at 100 TB.  ``max_df`` drops features with df >
+    ``max_df`` from the PAIRING index only (degrees keep full counts),
+    the same recall-only trade as the n-gram dedup df-cap
+    (operators/dedup.py) — opt-in, default exact, per the round-4
+    advisor convention.  The feature table is persisted for its three
+    consumers and registered with operators/cache for caller-scoped
+    release.
+    """
+    f = facts.select(
+        F.col(src).alias("_s"), F.col(pred).alias("_p"), F.col(dst).alias("_d")
+    ).where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    sep = "\x1f"
+    feats = (
+        f.select(
+            F.col("_s").alias("ent"),
+            F.concat_ws(sep, F.lit("out"), F.col("_p"), F.col("_d")).alias(
+                "feat"
+            ),
+        )
+        .unionByName(
+            f.select(
+                F.col("_d").alias("ent"),
+                F.concat_ws(sep, F.lit("in"), F.col("_p"), F.col("_s")).alias(
+                    "feat"
+                ),
+            )
+        )
+        .distinct()
+    )
+    feats = cache.track(feats)
+    deg = feats.groupBy("ent").agg(F.count(F.lit(1)).alias("n"))
+    index = feats
+    if max_df is not None:
+        hot = (
+            feats.groupBy("feat")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > F.lit(int(max_df)))
+            .select("feat")
+        )
+        index = feats.join(F.broadcast(hot), "feat", "left_anti")
+    a_side = index.select(F.col("ent").alias("a"), "feat")
+    b_side = index.select(F.col("ent").alias("b"), "feat")
+    pairs = (
+        a_side.join(b_side, "feat")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    return (
+        pairs.join(
+            deg.select(F.col("ent").alias("a"), F.col("n").alias("n_a")), "a"
+        )
+        .join(deg.select(F.col("ent").alias("b"), F.col("n").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(min_jaccard)))
+    )

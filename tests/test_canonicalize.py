@@ -143,3 +143,99 @@ def test_graph_edges_have_pred_ids(graph):
     _run, g = graph
     assert g["edges"].where(F.col("pred_id").isNull()).count() == 0
     assert g["predicates"].count() > 0
+
+
+# --- structural alignment candidates ---------------------------------------
+
+ALIGN_FACTS = [
+    # bot_a and bot_b occupy the same neighborhood (2 shared out-features,
+    # 1 shared in-feature); hub 'log' is a neighbor of everything
+    ("bot_a", "writes", "log"), ("bot_b", "writes", "log"),
+    ("bot_a", "calls", "api"), ("bot_b", "calls", "api"),
+    ("user", "runs", "bot_a"), ("user", "runs", "bot_b"),
+    ("bot_a", "calls", "db"),  # asymmetric extra feature
+    ("other", "writes", "log"),
+    ("log", "rotates", "log"),  # self-loop
+]
+
+
+def _brute_align(facts, min_shared=1, max_df=None):
+    from collections import defaultdict
+    from itertools import combinations
+
+    feats = defaultdict(set)
+    for s, p, o in facts:
+        feats[s].add(("out", p, o))
+        feats[o].add(("in", p, s))
+    df = defaultdict(int)
+    for fs in feats.values():
+        for f in fs:
+            df[f] += 1
+    out = {}
+    for a, b in combinations(sorted(feats), 2):
+        shared = feats[a] & feats[b]
+        if max_df is not None:
+            shared = {f for f in shared if df[f] <= max_df}
+        if len(shared) >= min_shared:
+            n_a, n_b = len(feats[a]), len(feats[b])
+            j = round(len(shared) / (n_a + n_b - len(shared)), 6)
+            out[(a, b)] = (len(shared), n_a, n_b, j)
+    return out
+
+
+def test_structural_align_matches_enumeration(spark):
+    df = spark.createDataFrame(ALIGN_FACTS, "s string, p string, o string")
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in canonicalize.structural_align_candidates(
+            df, min_shared=1
+        ).collect()
+    }
+    assert got == _brute_align(ALIGN_FACTS, min_shared=1)
+    assert got[("bot_a", "bot_b")][0] == 3  # 2 out + 1 in shared features
+
+
+def test_structural_align_min_shared_filters(spark):
+    df = spark.createDataFrame(ALIGN_FACTS, "s string, p string, o string")
+    got = {
+        (r["a"], r["b"])
+        for r in canonicalize.structural_align_candidates(
+            df, min_shared=2
+        ).collect()
+    }
+    assert got == set(_brute_align(ALIGN_FACTS, min_shared=2))
+    assert ("bot_a", "bot_b") in got
+
+
+def test_structural_align_max_df_drops_hub_features_recall_only(spark):
+    # the (out, writes, log) feature has df=3 — capping at 2 removes it
+    # from PAIRING (recall-only) while degrees keep full counts
+    df = spark.createDataFrame(ALIGN_FACTS, "s string, p string, o string")
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in canonicalize.structural_align_candidates(
+            df, min_shared=1, max_df=2
+        ).collect()
+    }
+    assert got == _brute_align(ALIGN_FACTS, min_shared=1, max_df=2)
+    # hub-only pairs disappear entirely under the cap
+    assert ("bot_a", "other") not in got
+
+
+def test_structural_align_partition_invariant(spark):
+    from relationextractionpipeline_spark.operators import cache
+
+    df = spark.createDataFrame(ALIGN_FACTS, "s string, p string, o string")
+    a = sorted(
+        map(tuple, canonicalize.structural_align_candidates(df).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            canonicalize.structural_align_candidates(
+                df.repartition(7, "p")
+            ).collect(),
+        )
+    )
+    cache.release_all()
+    assert a == b
