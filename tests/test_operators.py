@@ -746,3 +746,51 @@ def test_c4_rules(spark):
     e = out[4]
     assert e["n_lines_kept"] == 0 and e["c4_text"] == ""
     assert not e["pass_c4"]
+
+
+def test_choose_ann_selects_cheapest_variant_meeting_target(spark, emb):
+    """The one-call planner: asking for recall >= X returns a variant whose
+    MEASURED recall meets X, the knob the per-variant tuner picked, and
+    the cheapest stated cost proxy among the qualifying variants."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.choose_ann(
+        emb, qs, target_recall=0.6, k=5, n_clusters=8, n_planes=3,
+        probe_planes=4,
+    )
+    assert out["variant"] in {"ivf", "lsh_multi", "lsh_probe"}
+    assert out["recall"] >= 0.6
+    assert set(out["candidates"]) == {"ivf", "lsh_multi", "lsh_probe"}
+    # chosen variant is min-cost among those meeting the target
+    ok = {
+        n: c for n, c in out["candidates"].items() if c["recall"] >= 0.6
+    }
+    assert out["variant"] in ok
+    assert all(out["cost"] <= c["cost"] + 1e-9 for c in ok.values())
+    # params echo the tuned knob of the chosen variant
+    if out["variant"] == "ivf":
+        assert out["params"]["nprobe"] <= 8
+    spark.catalog.clearCache()
+
+
+def test_choose_ann_falls_back_to_brute_force(spark, emb):
+    """An unreachable target gets the honest answer: exact search at cost
+    1.0, with every tuner's ceiling recall still reported."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.choose_ann(
+        emb, qs, target_recall=1.01, k=5, n_clusters=8, n_planes=3,
+        probe_planes=4,
+    )
+    assert out["variant"] == "brute_force"
+    assert out["recall"] == 1.0 and out["cost"] == 1.0
+    assert all(
+        c["recall"] < 1.01 for c in out["candidates"].values()
+    )
+    spark.catalog.clearCache()
