@@ -178,6 +178,25 @@ def main() -> None:
          "eagerly at construction; the plan reads the final checkpointed "
          "label scan, lineage O(1) — history never re-clusters",
          entrymod.queries()["q_dedup_clusters_incr"](spark, SF)),
+        ("Metapath census — degree-product identity: two map-side-combined "
+         "per-(mid, pred) aggregates, ONE equi-join on mid, final "
+         "dimension-sized (pred1, pred2) aggregate; hubs contribute degree "
+         "rows, never degree² path rows",
+         __import__("relationextractionpipeline_spark.operators.graphalgs",
+                    fromlist=["graphalgs"]).metapath_census(
+             run["triples"].select(
+                 F.col("subj").alias("s"), "pred",
+                 F.col("obj").alias("o")).distinct())),
+        ("Structural alignment candidates — feature-keyed self-join (the "
+         "LSH bucket-join skeleton) over the persisted distinct "
+         "(entity, feature) table; degree joins are aggregates of the SAME "
+         "cached table, no CartesianProduct anywhere",
+         __import__(
+             "relationextractionpipeline_spark.operators.canonicalize",
+             fromlist=["canonicalize"]).structural_align_candidates(
+             run["triples"].select(
+                 F.col("subj").alias("s"), F.col("pred").alias("p"),
+                 F.col("obj").alias("o")))),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
