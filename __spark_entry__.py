@@ -1114,9 +1114,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(1)
             .collect()[0]["pred"]
         )
-        anchored = hot.replace("'", "")  # generated preds never contain '
+        # The pred is interpolated into the motif pattern: a quote would
+        # make the filter diverge from the reported anchor_pred / oracle,
+        # a ';' would split the pattern — assert the data assumption
+        # instead of silently rewriting it.
+        assert "'" not in hot and ";" not in hot, (
+            f"anchor predicate {hot!r} cannot be safely interpolated "
+            "into a motif pattern"
+        )
         m = motif.find(
-            edges, f"(x)-['{anchored}']->(y); !(y)-['{anchored}']->(x)"
+            edges, f"(x)-['{hot}']->(y); !(y)-['{hot}']->(x)"
         )
         return m.select("x", "y").withColumn("anchor_pred", F.lit(hot))
 
@@ -2790,6 +2797,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: kg_align takes this slot — kg_linkpred still gates the
         # full rank protocol kg_linkpred_mrr aggregates
         "kg_linkpred_mrr",
+        # round 5 fix: first(44) + extras(8) was 52 — two entries past the
+        # 50-slot window, silently dropping q_dedup_minhash/q_sample_dsir
+        # from the driver gate.  Defer two more close siblings:
+        # kg_pagerank + kg_ppr still gate the PageRank machinery
+        # (weighted differs only in the edge-weight column), and
+        # kg_links_ctx gates the context scorer (typed is the third of
+        # four ctx variants, two already deferred above).
+        "kg_pagerank_weighted",
+        "kg_links_ctx_typed",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer

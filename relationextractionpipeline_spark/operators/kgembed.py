@@ -214,6 +214,75 @@ def _facts_with_negatives(facts: DataFrame, salt: str) -> tuple:
     return f, eidx, n_ent
 
 
+def _grad_means(rows: DataFrame, n_facts: int, unit: float) -> DataFrame:
+    """Exact integer gradient sum → ONE deterministic float conversion
+    ``g = gsum · unit / n_facts`` — the shuffle-order-proof step shared
+    verbatim by all three trainers.  ``unit`` is the fixed-point scale of
+    the ``g_term`` column (1e-6 for TransE's squared-distance gradients,
+    1e-8 for the DistMult/ComplEx pair products)."""
+    return rows.groupBy(F.col("pid").alias("id"), "j").agg(
+        (
+            F.sum("g_term").cast("double")
+            * F.lit(float(unit))
+            / F.lit(float(n_facts))
+        ).alias("_g")
+    )
+
+
+def _sgd_step(emb: DataFrame, grads: DataFrame, lr: float) -> DataFrame:
+    """Round-6 parameter update ``w ← round(w − lr·g, 6)`` — elementwise
+    on bit-identical inputs, so deterministic; one implementation keeps
+    the three trainers' fixed-point contract in lockstep with the numpy
+    replicas by construction."""
+    return emb.join(grads, ["id", "j"], "left").select(
+        "id",
+        "j",
+        F.round(
+            F.col("w") - F.lit(float(lr)) * F.coalesce("_g", F.lit(0.0)),
+            6,
+        ).alias("w"),
+    )
+
+
+def _rotate_params(
+    cache,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    contrib: DataFrame,
+    n_facts: int,
+    lr: float,
+    unit: float,
+    scratch: DataFrame,
+) -> tuple:
+    """One per-iteration parameter rotation, shared by the trainers:
+    gradient means → round-6 update (entities renormalized) → checkpoint
+    the new tables (lineage truncation), then unpersist the iteration's
+    ``scratch`` frame and free the superseded parameter blocks."""
+    is_ent_role = F.col("role").isin("h", "t", "n")
+    new_ent = cache.checkpoint(
+        normalize_unit(
+            _sgd_step(
+                ent_emb,
+                _grad_means(contrib.where(is_ent_role), n_facts, unit),
+                lr,
+            )
+        )
+    )
+    new_rel = cache.checkpoint(
+        _sgd_step(
+            rel_emb,
+            _grad_means(
+                contrib.where(F.col("role") == "r"), n_facts, unit
+            ),
+            lr,
+        )
+    )
+    scratch.unpersist()
+    cache.free_checkpoint(ent_emb)
+    cache.free_checkpoint(rel_emb)
+    return new_ent, new_rel
+
+
 def train_transe(
     facts: DataFrame,
     dim: int = 16,
@@ -331,42 +400,9 @@ def train_transe(
                 )
             )
 
-            def _grads(rows: DataFrame) -> DataFrame:
-                # exact integer gradient sum → ONE deterministic float
-                # conversion: g = gsum · 1e-6 / n_facts
-                return rows.groupBy(
-                    F.col("pid").alias("id"), "j"
-                ).agg(
-                    (
-                        F.sum("g_term").cast("double")
-                        * F.lit(1e-6)
-                        / F.lit(float(n_facts))
-                    ).alias("_g")
-                )
-
-            def _update(emb: DataFrame, grads: DataFrame) -> DataFrame:
-                return emb.join(grads, ["id", "j"], "left").select(
-                    "id",
-                    "j",
-                    F.round(
-                        F.col("w")
-                        - F.lit(float(lr)) * F.coalesce("_g", F.lit(0.0)),
-                        6,
-                    ).alias("w"),
-                )
-
-            new_ent = cache.checkpoint(
-                normalize_unit(
-                    _update(ent_emb, _grads(contrib.where(is_ent_role)))
-                )
+            ent_emb, rel_emb = _rotate_params(
+                cache, ent_emb, rel_emb, contrib, n_facts, lr, 1e-6, diffs
             )
-            new_rel = cache.checkpoint(
-                _update(rel_emb, _grads(contrib.where(F.col("role") == "r")))
-            )
-            diffs.unpersist()
-            cache.free_checkpoint(ent_emb)
-            cache.free_checkpoint(rel_emb)
-            ent_emb, rel_emb = new_ent, new_rel
     finally:
         roles.unpersist()
     return {
@@ -503,42 +539,9 @@ def train_distmult(
                 .join(roles, ["fid", "role"])
             )
 
-            def _grads(rows: DataFrame) -> DataFrame:
-                # exact integer gradient sum → ONE deterministic float
-                # conversion: g = gsum · 1e-8 / n_facts
-                return rows.groupBy(
-                    F.col("pid").alias("id"), "j"
-                ).agg(
-                    (
-                        F.sum("g_term").cast("double")
-                        * F.lit(1e-8)
-                        / F.lit(float(n_facts))
-                    ).alias("_g")
-                )
-
-            def _update(emb: DataFrame, grads: DataFrame) -> DataFrame:
-                return emb.join(grads, ["id", "j"], "left").select(
-                    "id",
-                    "j",
-                    F.round(
-                        F.col("w")
-                        - F.lit(float(lr)) * F.coalesce("_g", F.lit(0.0)),
-                        6,
-                    ).alias("w"),
-                )
-
-            new_ent = cache.checkpoint(
-                normalize_unit(
-                    _update(ent_emb, _grads(contrib.where(is_ent_role)))
-                )
+            ent_emb, rel_emb = _rotate_params(
+                cache, ent_emb, rel_emb, contrib, n_facts, lr, 1e-8, piv
             )
-            new_rel = cache.checkpoint(
-                _update(rel_emb, _grads(contrib.where(F.col("role") == "r")))
-            )
-            piv.unpersist()
-            cache.free_checkpoint(ent_emb)
-            cache.free_checkpoint(rel_emb)
-            ent_emb, rel_emb = new_ent, new_rel
     finally:
         roles.unpersist()
     return {
@@ -704,40 +707,9 @@ def train_complex(
                 .join(roles, ["fid", "role"])
             )
 
-            def _grads(rows: DataFrame) -> DataFrame:
-                return rows.groupBy(
-                    F.col("pid").alias("id"), "j"
-                ).agg(
-                    (
-                        F.sum("g_term").cast("double")
-                        * F.lit(1e-8)
-                        / F.lit(float(n_facts))
-                    ).alias("_g")
-                )
-
-            def _update(emb: DataFrame, grads: DataFrame) -> DataFrame:
-                return emb.join(grads, ["id", "j"], "left").select(
-                    "id",
-                    "j",
-                    F.round(
-                        F.col("w")
-                        - F.lit(float(lr)) * F.coalesce("_g", F.lit(0.0)),
-                        6,
-                    ).alias("w"),
-                )
-
-            new_ent = cache.checkpoint(
-                normalize_unit(
-                    _update(ent_emb, _grads(contrib.where(is_ent_role)))
-                )
+            ent_emb, rel_emb = _rotate_params(
+                cache, ent_emb, rel_emb, contrib, n_facts, lr, 1e-8, piv
             )
-            new_rel = cache.checkpoint(
-                _update(rel_emb, _grads(contrib.where(F.col("role") == "r")))
-            )
-            piv.unpersist()
-            cache.free_checkpoint(ent_emb)
-            cache.free_checkpoint(rel_emb)
-            ent_emb, rel_emb = new_ent, new_rel
     finally:
         roles.unpersist()
     return {
@@ -842,6 +814,47 @@ def link_prediction_ranks(
     )
 
 
+def _filtered_ranks_desc(facts: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared filtered-protocol rank tail for the DESCENDING-score models
+    (DistMult / ComplEx): drop known-true candidates other than the test
+    tail, 1-based rank of the true tail by ``psi`` DESC with the
+    deterministic entity-id tie-break, emit (s, p, o, rank, inv_rank,
+    hit10).  ``cand`` carries one row per (fid, s, p, o, e) with the
+    integer-exact score column ``psi``.  One implementation so the two
+    models' MRRs stay comparable by construction."""
+    known = facts.select(
+        "s", "p", F.col("o").alias("e"), F.lit(True).alias("_known")
+    )
+    scored = cand.join(known, ["s", "p", "e"], "left").where(
+        F.col("_known").isNull() | (F.col("e") == F.col("o"))
+    )
+    true_psi = scored.where(F.col("e") == F.col("o")).select(
+        "fid", F.col("psi").alias("_pt")
+    )
+    better = (
+        (F.col("psi") > F.col("_pt"))
+        | ((F.col("psi") == F.col("_pt")) & (F.col("e") < F.col("o")))
+    ) & (F.col("e") != F.col("o"))
+    return (
+        scored.join(true_psi, "fid")
+        .groupBy("fid", "s", "p", "o")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(better, 1).otherwise(0))
+            ).cast("long").alias("rank")
+        )
+        .select(
+            "s",
+            "p",
+            "o",
+            "rank",
+            F.round(F.lit(1.0) / F.col("rank"), 6).alias("inv_rank"),
+            (F.col("rank") <= 10).alias("hit10"),
+        )
+    )
+
+
 def distmult_prediction_ranks(
     facts: DataFrame,
     ent_emb: DataFrame,
@@ -883,37 +896,7 @@ def distmult_prediction_ranks(
         .groupBy("fid", "s", "p", "o", "e")
         .agg(F.sum(F.col("_hri") * F.col("_wi")).alias("psi"))  # 1e-12
     )
-    known = facts.select(
-        "s", "p", F.col("o").alias("e"), F.lit(True).alias("_known")
-    )
-    scored = cand.join(known, ["s", "p", "e"], "left").where(
-        F.col("_known").isNull() | (F.col("e") == F.col("o"))
-    )
-    true_psi = scored.where(F.col("e") == F.col("o")).select(
-        "fid", F.col("psi").alias("_pt")
-    )
-    better = (
-        (F.col("psi") > F.col("_pt"))
-        | ((F.col("psi") == F.col("_pt")) & (F.col("e") < F.col("o")))
-    ) & (F.col("e") != F.col("o"))
-    return (
-        scored.join(true_psi, "fid")
-        .groupBy("fid", "s", "p", "o")
-        .agg(
-            (
-                F.lit(1)
-                + F.sum(F.when(better, 1).otherwise(0))
-            ).cast("long").alias("rank")
-        )
-        .select(
-            "s",
-            "p",
-            "o",
-            "rank",
-            F.round(F.lit(1.0) / F.col("rank"), 6).alias("inv_rank"),
-            (F.col("rank") <= 10).alias("hit10"),
-        )
-    )
+    return _filtered_ranks_desc(facts, cand)
 
 
 def complex_prediction_ranks(
@@ -979,37 +962,7 @@ def complex_prediction_ranks(
         .groupBy("fid", "s", "p", "o", "e")
         .agg(F.sum(F.col("_c") * F.col("_wi")).alias("psi"))  # 1e-12
     )
-    known = facts.select(
-        "s", "p", F.col("o").alias("e"), F.lit(True).alias("_known")
-    )
-    scored = cand.join(known, ["s", "p", "e"], "left").where(
-        F.col("_known").isNull() | (F.col("e") == F.col("o"))
-    )
-    true_psi = scored.where(F.col("e") == F.col("o")).select(
-        "fid", F.col("psi").alias("_pt")
-    )
-    better = (
-        (F.col("psi") > F.col("_pt"))
-        | ((F.col("psi") == F.col("_pt")) & (F.col("e") < F.col("o")))
-    ) & (F.col("e") != F.col("o"))
-    return (
-        scored.join(true_psi, "fid")
-        .groupBy("fid", "s", "p", "o")
-        .agg(
-            (
-                F.lit(1)
-                + F.sum(F.when(better, 1).otherwise(0))
-            ).cast("long").alias("rank")
-        )
-        .select(
-            "s",
-            "p",
-            "o",
-            "rank",
-            F.round(F.lit(1.0) / F.col("rank"), 6).alias("inv_rank"),
-            (F.col("rank") <= 10).alias("hit10"),
-        )
-    )
+    return _filtered_ranks_desc(facts, cand)
 
 
 def entity_neighbors(
@@ -1120,6 +1073,88 @@ def _round_half_up(a: "np.ndarray", ndigits: int) -> "np.ndarray":
     return out.reshape(arr.shape)
 
 
+def _np_fact_index(facts_pdf: pd.DataFrame, salt: str) -> tuple:
+    """Shared prologue of the three numpy replicas: dedup the fact frame,
+    order entities by ``(md5 bucket, id)`` (shuffle_deterministic's
+    order), build the id maps and the deterministic corrupted-tail
+    indices — ONE implementation so the split / negative-sampling
+    conventions cannot drift between models.  Returns
+    ``(ents, rels, s_i, p_i, o_i, t2_i)``."""
+    facts_pdf = facts_pdf[["s", "p", "o"]].drop_duplicates()
+    ents = sorted(set(facts_pdf["s"]) | set(facts_pdf["o"]))
+    ents = sorted(ents, key=lambda e: (_md5_bucket(e, salt + "-idx"), e))
+    e_of = {e: i for i, e in enumerate(ents)}
+    rels = sorted(set(facts_pdf["p"]))
+    r_of = {r: i for i, r in enumerate(rels)}
+    n_ent = len(ents)
+    n_facts = len(facts_pdf)
+    if n_facts == 0:
+        raise ValueError("cannot train on an empty fact table")
+    s_i = facts_pdf["s"].map(e_of).to_numpy()
+    o_i = facts_pdf["o"].map(e_of).to_numpy()
+    p_i = facts_pdf["p"].map(r_of).to_numpy()
+    t2_i = np.empty(n_facts, dtype="int64")
+    for k, (s, p, o) in enumerate(
+        facts_pdf[["s", "p", "o"]].itertuples(index=False)
+    ):
+        raw = _md5_bucket(f"{s}{SEP}{p}{SEP}{o}", salt + "-neg") % n_ent
+        t2_i[k] = (raw + 1) % n_ent if raw == e_of[o] else raw
+    return ents, rels, s_i, p_i, o_i, t2_i
+
+
+def _np_init(ids, width: int, init_scale: float, sub_salt: str):
+    """init_embeddings replica: md5-uniform in ±init_scale, round-6."""
+    w = np.empty((len(ids), width), dtype="float64")
+    for i, ident in enumerate(ids):
+        for j in range(width):
+            u = _md5_bucket(f"{ident}#{j}", sub_salt)
+            w[i, j] = (u / float(2**32) * 2.0 - 1.0) * init_scale
+    return _round_half_up(w, 6)
+
+
+def _np_micro(w):
+    """Exact integer count of 1e-6 units of a round-6 parameter
+    (integer-adjacent, so ``rint`` is safe)."""
+    return np.rint(w * 1e6).astype("int64")
+
+
+def _np_quant4(w):
+    """The 1e-4-unit quantized view used for DistMult/ComplEx scores and
+    gradients — part of the algorithm spec (train_distmult contract).
+    Unlike :func:`_np_micro` (integer-adjacent, rint-safe), ``w·1e4``
+    hits REAL rounding: replicate Spark's ``F.round`` (shortest-repr
+    HALF_UP) exactly, ties included."""
+    return _round_half_up(w * 1e4, 0).astype("int64")
+
+
+def _np_normalize(w):
+    """normalize_unit replica: unit-norm over the micro view, round-6."""
+    n2 = (_np_micro(w) ** 2).sum(axis=1).astype("float64") * 1e-12
+    return _round_half_up(
+        w / np.sqrt(np.maximum(n2, 1e-12))[:, None], 6
+    )
+
+
+def _np_sgd_step(w, g, unit: float, lr: float, n_facts: int):
+    """:func:`_sgd_step` replica: ``w ← round(w − lr·gsum·unit/n_facts,
+    6)`` — the one float conversion of an exact integer gradient sum."""
+    return _round_half_up(
+        w - lr * (g.astype("float64") * float(unit) / n_facts), 6
+    )
+
+
+def _np_emit(ents, rels, we, wr, width: int) -> pd.DataFrame:
+    """Long-format ``(kind, id, j, w)`` parameter table the oracles read."""
+    rows = []
+    for i, e in enumerate(ents):
+        for j in range(width):
+            rows.append(("ent", e, j, we[i, j]))
+    for i, r in enumerate(rels):
+        for j in range(width):
+            rows.append(("rel", r, j, wr[i, j]))
+    return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])
+
+
 def distmult_train_numpy(
     facts_pdf: pd.DataFrame,
     dim: int = 16,
@@ -1133,62 +1168,17 @@ def distmult_train_numpy(
     int64 trilinear scores, margin test, gradient sums, round-6 updates,
     entity renorm.  Returns the long-format (kind, id, j, w) table the
     kg_distmult oracle reads."""
-    facts_pdf = facts_pdf[["s", "p", "o"]].drop_duplicates()
-    ents = sorted(set(facts_pdf["s"]) | set(facts_pdf["o"]))
-    ents = sorted(ents, key=lambda e: (_md5_bucket(e, salt + "-idx"), e))
-    e_of = {e: i for i, e in enumerate(ents)}
-    rels = sorted(set(facts_pdf["p"]))
-    r_of = {r: i for i, r in enumerate(rels)}
-    n_ent = len(ents)
-    n_facts = len(facts_pdf)
-    if n_facts == 0:
-        raise ValueError("cannot train on an empty fact table")
-
-    s_i = facts_pdf["s"].map(e_of).to_numpy()
-    o_i = facts_pdf["o"].map(e_of).to_numpy()
-    p_i = facts_pdf["p"].map(r_of).to_numpy()
-    t2_i = np.empty(n_facts, dtype="int64")
-    for k, (s, p, o) in enumerate(
-        facts_pdf[["s", "p", "o"]].itertuples(index=False)
-    ):
-        raw = _md5_bucket(f"{s}{SEP}{p}{SEP}{o}", salt + "-neg") % n_ent
-        t2_i[k] = (raw + 1) % n_ent if raw == e_of[o] else raw
-
+    ents, rels, s_i, p_i, o_i, t2_i = _np_fact_index(facts_pdf, salt)
+    n_facts = len(s_i)
     init_scale = 6.0 / float(np.sqrt(dim))
-
-    def init(ids, sub_salt):
-        w = np.empty((len(ids), dim), dtype="float64")
-        for i, ident in enumerate(ids):
-            for j in range(dim):
-                u = _md5_bucket(f"{ident}#{j}", sub_salt)
-                w[i, j] = (u / float(2**32) * 2.0 - 1.0) * init_scale
-        return _round_half_up(w, 6)
-
-    def micro(w):
-        return np.rint(w * 1e6).astype("int64")
-
-    def quant4(w):
-        # the 1e-4-unit quantized view used for scores/gradients — part
-        # of the algorithm spec (train_distmult module contract).  Unlike
-        # TransE's micro() (round-6 params × 1e6 are integer-adjacent, so
-        # rint is safe), w·1e4 hits REAL rounding here: replicate Spark's
-        # F.round (shortest-repr HALF_UP) exactly, ties included.
-        return _round_half_up(w * 1e4, 0).astype("int64")
-
-    def normalize(w):
-        n2 = (micro(w) ** 2).sum(axis=1).astype("float64") * 1e-12
-        return _round_half_up(
-            w / np.sqrt(np.maximum(n2, 1e-12))[:, None], 6
-        )
-
     margin_int = int(round(float(margin) * 1e12))
-    we = normalize(init(ents, salt + "-ent"))
-    wr = init(rels, salt + "-rel")
+    we = _np_normalize(_np_init(ents, dim, init_scale, salt + "-ent"))
+    wr = _np_init(rels, dim, init_scale, salt + "-rel")
     for _ in range(int(n_iter)):
         assert np.abs(wr).max() < 8 and np.abs(we).max() < 8, (
             "parameter magnitude left the documented int64 headroom bound"
         )
-        e4, r4 = quant4(we), quant4(wr)
+        e4, r4 = _np_quant4(we), _np_quant4(wr)
         h = e4[s_i]  # (n_facts, dim), 1e-4 units
         r = r4[p_i]
         t = e4[o_i]
@@ -1202,23 +1192,9 @@ def distmult_train_numpy(
         np.add.at(gr, p_i[v], h[v] * (n[v] - t[v]))   # ∂r
         np.add.at(ge, o_i[v], -h[v] * r[v])           # ∂t
         np.add.at(ge, t2_i[v], h[v] * r[v])           # ∂n
-        we = normalize(
-            _round_half_up(
-                we - lr * (ge.astype("float64") * 1e-8 / n_facts), 6
-            )
-        )
-        wr = _round_half_up(
-            wr - lr * (gr.astype("float64") * 1e-8 / n_facts), 6
-        )
-
-    rows = []
-    for i, e in enumerate(ents):
-        for j in range(dim):
-            rows.append(("ent", e, j, we[i, j]))
-    for i, rr in enumerate(rels):
-        for j in range(dim):
-            rows.append(("rel", rr, j, wr[i, j]))
-    return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])
+        we = _np_normalize(_np_sgd_step(we, ge, 1e-8, lr, n_facts))
+        wr = _np_sgd_step(wr, gr, 1e-8, lr, n_facts)
+    return _np_emit(ents, rels, we, wr, dim)
 
 
 def complex_train_numpy(
@@ -1234,59 +1210,19 @@ def complex_train_numpy(
     1e-4 quantization, int64 Re⟨h,r,conj(t)⟩ scores, margin test,
     gradient sums, round-6 updates, full-vector entity renorm.  Returns
     the long-format (kind, id, j, w) table the kg_complex oracle reads."""
-    facts_pdf = facts_pdf[["s", "p", "o"]].drop_duplicates()
-    ents = sorted(set(facts_pdf["s"]) | set(facts_pdf["o"]))
-    ents = sorted(ents, key=lambda e: (_md5_bucket(e, salt + "-idx"), e))
-    e_of = {e: i for i, e in enumerate(ents)}
-    rels = sorted(set(facts_pdf["p"]))
-    r_of = {r: i for i, r in enumerate(rels)}
+    ents, rels, s_i, p_i, o_i, t2_i = _np_fact_index(facts_pdf, salt)
     n_ent = len(ents)
-    n_facts = len(facts_pdf)
-    if n_facts == 0:
-        raise ValueError("cannot train on an empty fact table")
-
-    s_i = facts_pdf["s"].map(e_of).to_numpy()
-    o_i = facts_pdf["o"].map(e_of).to_numpy()
-    p_i = facts_pdf["p"].map(r_of).to_numpy()
-    t2_i = np.empty(n_facts, dtype="int64")
-    for k, (s, p, o) in enumerate(
-        facts_pdf[["s", "p", "o"]].itertuples(index=False)
-    ):
-        raw = _md5_bucket(f"{s}{SEP}{p}{SEP}{o}", salt + "-neg") % n_ent
-        t2_i[k] = (raw + 1) % n_ent if raw == e_of[o] else raw
-
+    n_facts = len(s_i)
     d2 = 2 * dim
     init_scale = 6.0 / float(np.sqrt(dim))
-
-    def init(ids, sub_salt):
-        w = np.empty((len(ids), d2), dtype="float64")
-        for i, ident in enumerate(ids):
-            for j in range(d2):
-                u = _md5_bucket(f"{ident}#{j}", sub_salt)
-                w[i, j] = (u / float(2**32) * 2.0 - 1.0) * init_scale
-        return _round_half_up(w, 6)
-
-    def micro(w):
-        return np.rint(w * 1e6).astype("int64")
-
-    def quant4(w):
-        # same HALF_UP replication note as distmult_train_numpy
-        return _round_half_up(w * 1e4, 0).astype("int64")
-
-    def normalize(w):
-        n2 = (micro(w) ** 2).sum(axis=1).astype("float64") * 1e-12
-        return _round_half_up(
-            w / np.sqrt(np.maximum(n2, 1e-12))[:, None], 6
-        )
-
     margin_int = int(round(float(margin) * 1e12))
-    we = normalize(init(ents, salt + "-ent"))
-    wr = init(rels, salt + "-rel")
+    we = _np_normalize(_np_init(ents, d2, init_scale, salt + "-ent"))
+    wr = _np_init(rels, d2, init_scale, salt + "-rel")
     for _ in range(int(n_iter)):
         assert np.abs(wr).max() < 8 and np.abs(we).max() < 8, (
             "parameter magnitude left the documented int64 headroom bound"
         )
-        e4, r4 = quant4(we), quant4(wr)
+        e4, r4 = _np_quant4(we), _np_quant4(wr)
         h, r = e4[s_i], r4[p_i]
         t, n = e4[o_i], e4[t2_i]
         hr_, hi_ = h[:, :dim], h[:, dim:]
@@ -1319,23 +1255,9 @@ def complex_train_numpy(
         np.add.at(gr, p_i[v], g_r)
         np.add.at(ge, o_i[v], g_t)
         np.add.at(ge, t2_i[v], g_n)
-        we = normalize(
-            _round_half_up(
-                we - lr * (ge.astype("float64") * 1e-8 / n_facts), 6
-            )
-        )
-        wr = _round_half_up(
-            wr - lr * (gr.astype("float64") * 1e-8 / n_facts), 6
-        )
-
-    rows = []
-    for i, e in enumerate(ents):
-        for j in range(d2):
-            rows.append(("ent", e, j, we[i, j]))
-    for i, rr in enumerate(rels):
-        for j in range(d2):
-            rows.append(("rel", rr, j, wr[i, j]))
-    return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])
+        we = _np_normalize(_np_sgd_step(we, ge, 1e-8, lr, n_facts))
+        wr = _np_sgd_step(wr, gr, 1e-8, lr, n_facts)
+    return _np_emit(ents, rels, we, wr, d2)
 
 
 def transe_train_numpy(
@@ -1350,53 +1272,14 @@ def transe_train_numpy(
     pandas fact frame with columns (s, p, o).  Returns the long-format
     parameter table (kind, id, j, w) the kg_transe oracle reads — 'ent'
     rows unit-normalized, all values round-6."""
-    facts_pdf = facts_pdf[["s", "p", "o"]].drop_duplicates()
-    ents = sorted(set(facts_pdf["s"]) | set(facts_pdf["o"]))
-    # shuffle_deterministic order: sort by (hash_bucket(key, salt), key)
-    ents = sorted(ents, key=lambda e: (_md5_bucket(e, salt + "-idx"), e))
-    e_of = {e: i for i, e in enumerate(ents)}
-    rels = sorted(set(facts_pdf["p"]))
-    r_of = {r: i for i, r in enumerate(rels)}
-    n_ent, n_rel = len(ents), len(rels)
-    n_facts = len(facts_pdf)
-    if n_facts == 0:
-        raise ValueError("cannot train on an empty fact table")
-
-    s_i = facts_pdf["s"].map(e_of).to_numpy()
-    o_i = facts_pdf["o"].map(e_of).to_numpy()
-    p_i = facts_pdf["p"].map(r_of).to_numpy()
-    t2_i = np.empty(n_facts, dtype="int64")
-    for k, (s, p, o) in enumerate(
-        facts_pdf[["s", "p", "o"]].itertuples(index=False)
-    ):
-        raw = _md5_bucket(f"{s}{SEP}{p}{SEP}{o}", salt + "-neg") % n_ent
-        t2_i[k] = (raw + 1) % n_ent if raw == e_of[o] else raw
-
+    ents, rels, s_i, p_i, o_i, t2_i = _np_fact_index(facts_pdf, salt)
+    n_facts = len(s_i)
     init_scale = 6.0 / float(np.sqrt(dim))
-
-    def init(ids, sub_salt):
-        w = np.empty((len(ids), dim), dtype="float64")
-        for i, ident in enumerate(ids):
-            for j in range(dim):
-                u = _md5_bucket(f"{ident}#{j}", sub_salt)
-                w[i, j] = (u / float(2**32) * 2.0 - 1.0) * init_scale
-        return _round_half_up(w, 6)
-
-    def micro(w):
-        # exact integer count of 1e-6 units of a round-6 parameter
-        return np.rint(w * 1e6).astype("int64")
-
-    def normalize(w):
-        n2 = (micro(w) ** 2).sum(axis=1).astype("float64") * 1e-12
-        return _round_half_up(
-            w / np.sqrt(np.maximum(n2, 1e-12))[:, None], 6
-        )
-
     margin_int = int(round(float(margin) * 1e12))
-    we = normalize(init(ents, salt + "-ent"))
-    wr = init(rels, salt + "-rel")
+    we = _np_normalize(_np_init(ents, dim, init_scale, salt + "-ent"))
+    wr = _np_init(rels, dim, init_scale, salt + "-rel")
     for _ in range(int(n_iter)):
-        wei, wri = micro(we), micro(wr)
+        wei, wri = _np_micro(we), _np_micro(wr)
         dp_j = wei[s_i] + wri[p_i] - wei[o_i]  # int64, 1e-6 units
         dn_j = wei[s_i] + wri[p_i] - wei[t2_i]
         dpi = (dp_j * dp_j).sum(axis=1)  # int64, 1e-12 units — exact
@@ -1408,20 +1291,6 @@ def transe_train_numpy(
         np.add.at(gr, p_i[v], 2 * (dp_j[v] - dn_j[v]))
         np.add.at(ge, o_i[v], -2 * dp_j[v])
         np.add.at(ge, t2_i[v], 2 * dn_j[v])
-        we = normalize(
-            _round_half_up(
-                we - lr * (ge.astype("float64") * 1e-6 / n_facts), 6
-            )
-        )
-        wr = _round_half_up(
-            wr - lr * (gr.astype("float64") * 1e-6 / n_facts), 6
-        )
-
-    rows = []
-    for i, e in enumerate(ents):
-        for j in range(dim):
-            rows.append(("ent", e, j, we[i, j]))
-    for i, r in enumerate(rels):
-        for j in range(dim):
-            rows.append(("rel", r, j, wr[i, j]))
-    return pd.DataFrame(rows, columns=["kind", "id", "j", "w"])
+        we = _np_normalize(_np_sgd_step(we, ge, 1e-6, lr, n_facts))
+        wr = _np_sgd_step(wr, gr, 1e-6, lr, n_facts)
+    return _np_emit(ents, rels, we, wr, dim)

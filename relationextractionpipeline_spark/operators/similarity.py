@@ -707,6 +707,7 @@ def nprobe_for_recall(
     n_clusters: int = 16,
     dim: int = 64,
     sample_queries: int = 50,
+    _harness=None,
 ) -> dict:
     """Map "I need recall ≥ X" to an IVF ``nprobe`` by measurement — the
     recall-targeted tuning surface: hand-tuned ANN defaults silently decay as
@@ -721,9 +722,13 @@ def nprobe_for_recall(
     + a few cell-pruned passes over the corpus — run it once per corpus
     version, then pin the returned nprobe in the production job.
 
+    ``_harness`` (internal) lets ``choose_ann`` hand all three tuners ONE
+    pre-built ``_recall_harness`` so the exact baseline — the expensive
+    pass — is paid once, not per tuner.
+
     Returns {"nprobe", "recall", "curve": {nprobe: recall, ...}}.
     """
-    qsample, _sets, _recall = _recall_harness(
+    qsample, _sets, _recall = _harness or _recall_harness(
         corpus, queries, k, id_col, vec_col, query_id_col, sample_queries
     )
     curve: dict = {}
@@ -754,6 +759,7 @@ def lsh_tables_for_recall(
     max_tables: int = 32,
     dim: int = 64,
     sample_queries: int = 50,
+    _harness=None,
 ) -> dict:
     """The multi-table-LSH counterpart of ``nprobe_for_recall``: walk the
     table count L upward (1, 2, 4, …) at fixed ``n_planes``, measuring
@@ -765,7 +771,7 @@ def lsh_tables_for_recall(
 
     Returns {"n_tables", "recall", "curve": {L: recall, ...}}.
     """
-    qsample, _sets, _recall = _recall_harness(
+    qsample, _sets, _recall = _harness or _recall_harness(
         corpus, queries, k, id_col, vec_col, query_id_col, sample_queries
     )
     curve: dict = {}
@@ -795,6 +801,7 @@ def lsh_probes_for_recall(
     n_planes: int = 6,
     dim: int = 64,
     sample_queries: int = 50,
+    _harness=None,
 ) -> dict:
     """The multi-probe counterpart of ``nprobe_for_recall`` /
     ``lsh_tables_for_recall`` — completes the recall-targeted tuning
@@ -810,7 +817,7 @@ def lsh_probes_for_recall(
 
     Returns {"n_probes", "recall", "curve": {n_probes: recall, ...}}.
     """
-    qsample, _sets, _recall = _recall_harness(
+    qsample, _sets, _recall = _harness or _recall_harness(
         corpus, queries, k, id_col, vec_col, query_id_col, sample_queries
     )
     masks, _ = _probe_flip_sets(n_planes)
@@ -851,7 +858,9 @@ def choose_ann(
     count), completing the recall-targeted tuning surface.
 
     Runs all three tuners against one shared protocol (deterministic
-    query sample, one exact baseline each), keeps the variants whose
+    query sample, ONE exact baseline built here and handed to all three
+    — the brute-force pass is the expensive step, so it is paid once,
+    not per tuner), keeps the variants whose
     measured recall meets the target, and returns the one with the
     lowest expected scan fraction per query — the uniform-hash cost
     proxies, stated so the choice is auditable:
@@ -867,9 +876,12 @@ def choose_ann(
     corpus version; pin the returned params in the production job —
     measurement, not guesswork, per the round-3 verdict's tuning gap.
     """
+    harness = _recall_harness(
+        corpus, queries, k, id_col, vec_col, query_id_col, sample_queries
+    )
     kw = dict(k=k, id_col=id_col, vec_col=vec_col,
               query_id_col=query_id_col, dim=dim,
-              sample_queries=sample_queries)
+              sample_queries=sample_queries, _harness=harness)
     ivf = nprobe_for_recall(
         corpus, queries, target_recall, n_clusters=n_clusters, **kw
     )
