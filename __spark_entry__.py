@@ -3907,14 +3907,14 @@ def oracle_sql() -> dict[str, str]:
                            ])) AS DISTINCT_GRAM
                     FROM (
                         SELECT doc_id,
-                               regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                               regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS words
                         FROM sample
                     ) WHERE len(words) >= 3
                     UNION ALL
                     SELECT doc_id, array_to_string(words, ' ') AS DISTINCT_GRAM
                     FROM (
                         SELECT doc_id,
-                               regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                               regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS words
                         FROM sample
                     ) WHERE len(words) < 3
                 )
@@ -3942,7 +3942,7 @@ def oracle_sql() -> dict[str, str]:
                     END)) AS gram
                 FROM (
                     SELECT doc_id,
-                           regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                           regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS words
                     FROM documents
                 )
             ),

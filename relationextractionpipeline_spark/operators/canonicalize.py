@@ -57,18 +57,25 @@ def _connected_components_star(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
     spark = edges.sparkSession
+    # materialize the (possibly expensive — LSH banding + Jaccard UDF)
+    # edges plan exactly ONCE: nodes and the symmetrized working set each
+    # embed the input subtree twice, so without this the upstream pair
+    # pipeline would execute four times
+    base = cache.checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
     nodes = cache.checkpoint(
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        base.select(F.col("u").alias("node"))
+        .union(base.select(F.col("v").alias("node")))
         .distinct()
     )
     # work on an undirected simple edge set without self loops
     e = cache.checkpoint(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    cache.free_checkpoint(base)
 
     def star(e_: DataFrame, large: bool) -> DataFrame:
         # m(u) = min over the relevant neighborhood ∪ {u}
@@ -138,15 +145,18 @@ def _connected_components_star(
 def _connected_components_minlabel(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
-    sym = (
+    # base is materialized first so the (possibly expensive) upstream
+    # candidate generation — LSH banding, Jaccard verification — runs
+    # exactly once: the symmetrizing union embeds the input subtree twice,
+    # and sym itself is re-scanned every iteration
+    base = cache.checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        # sym is re-scanned every iteration: checkpoint it once so the
-        # (possibly expensive) upstream candidate generation — LSH banding,
-        # Jaccard verification — runs exactly once, not once per iteration
     )
-    sym = cache.checkpoint(sym)
+    sym = cache.checkpoint(
+        base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    cache.free_checkpoint(base)
     labels_ck = cache.checkpoint(
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -206,11 +216,15 @@ def candidate_pairs_for_entities(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
+    sigs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Edges (src,dst) over entity keys: same-URL pairs + verified near-dups.
 
     Input must be distinct (ent_key, surface, url) rows; ent_key is the
-    canonical entity string (P11 output).
+    canonical entity string (P11 output).  ``sigs`` (optional) supplies
+    precomputed minhash signatures over the distinct (ent_key, surface)
+    rows so a caller that persists them (:func:`entity_graph_state`)
+    doesn't pay the shingling UDF twice.
     """
     # evidence 1: same URL — star edges to the min key per URL (no pair blowup)
     url_star = (
@@ -220,13 +234,14 @@ def candidate_pairs_for_entities(
         .where(F.col("src") != F.col("dst"))
     )
     # evidence 2: LSH near-dup surfaces, Jaccard-verified
-    sigs = sketches.with_minhash(
-        ents.select("ent_key", surface_col).distinct(),
-        surface_col,
-        n_hashes=n_hashes,
-        shingle_k=shingle_k,
-        mode="char",
-    )
+    if sigs is None:
+        sigs = sketches.with_minhash(
+            ents.select("ent_key", surface_col).distinct(),
+            surface_col,
+            n_hashes=n_hashes,
+            shingle_k=shingle_k,
+            mode="char",
+        )
     cand = sketches.lsh_candidate_pairs(sigs, "ent_key", "minhash", bands=bands)
     surf = ents.select(F.col("ent_key"), F.col(surface_col)).distinct()
     pairs = (
@@ -243,18 +258,9 @@ def candidate_pairs_for_entities(
         )
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                sketches.jaccard(
-                    sketches.char_shingles(x or "", shingle_k),
-                    sketches.char_shingles(y or "", shingle_k),
-                )
-                for x, y in zip(a, b)
-            ]
-        )
-
+    # the shared verification UDF — one implementation so batch and
+    # incremental threshold semantics cannot drift
+    jac = _jaccard_udf(shingle_k)
     near = (
         pairs.withColumn("j", jac("surf_a", "surf_b"))
         .where(F.col("j") >= F.lit(jaccard_threshold))
@@ -303,24 +309,12 @@ def canonicalize_predicates(
         )
     )
     cand = sketches.lsh_candidate_pairs(sigs, "ent_key", "minhash", bands=bands)
-    pairs = cand.join(
-        preds.select(F.col("ent_key").alias("id_a")), "id_a"
-    ).join(preds.select(F.col("ent_key").alias("id_b")), "id_b")
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                sketches.jaccard(
-                    sketches.char_shingles(x or "", shingle_k),
-                    sketches.char_shingles(y or "", shingle_k),
-                )
-                for x, y in zip(a, b)
-            ]
-        )
-
+    # predicates ARE their own ids here: cand's id_a/id_b come from sigs
+    # over preds itself, so no join-back is needed before verification
+    # (merge_predicate_batch applies jac directly the same way)
+    jac = _jaccard_udf(shingle_k)
     near = (
-        pairs.withColumn("j", jac("id_a", "id_b"))
+        cand.withColumn("j", jac("id_a", "id_b"))
         .where(F.col("j") >= jaccard_threshold)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -344,13 +338,21 @@ class EntityGraphState(NamedTuple):
                  seen: the pair-evidence universe (new batches anti-join it).
     ``assign`` — (ent_key, canonical_id): the connected-component label
                  (min ent_key of the component) for every known key.
+    ``sigs``   — (ent_key, surface, minhash): persisted signatures over the
+                 distinct (ent_key, surface) rows, so per-batch merges only
+                 sketch the batch's NOVEL surfaces (the DocDedupState
+                 discipline) instead of re-running the shingling UDF over
+                 the full history.  ``None`` (a legacy or partially-written
+                 state) degrades gracefully: the merge self-heals by
+                 sketching whatever rows the table is missing.
 
-    Both tables round-trip through :class:`sources.tableio.TableIO`, so the
+    All tables round-trip through :class:`sources.tableio.TableIO`, so the
     state lives next to the triple table the streaming upserter maintains.
     """
 
     refs: DataFrame
     assign: DataFrame
+    sigs: Optional[DataFrame] = None
 
 
 def _assignment_from_pairs(ents: DataFrame, pair_edges: DataFrame) -> DataFrame:
@@ -367,15 +369,39 @@ def _assignment_from_pairs(ents: DataFrame, pair_edges: DataFrame) -> DataFrame:
     )
 
 
-def entity_graph_state(links: DataFrame, **lsh_kwargs) -> EntityGraphState:
+def entity_graph_state(
+    links: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> EntityGraphState:
     """Initial state from a first batch — the batch clustering of
-    :func:`canonicalize`, packaged for incremental growth."""
+    :func:`canonicalize`, packaged for incremental growth.  Signatures are
+    sketched ONCE here, fed to candidate generation, and persisted in the
+    state so later merges never re-sketch these rows."""
     ents = cache.checkpoint(
         entity_refs(links).select("ent_key", "surface", "url").distinct()
     )
-    pair_edges = candidate_pairs_for_entities(ents, **lsh_kwargs)
+    sigs = cache.checkpoint(
+        sketches.with_minhash(
+            ents.select("ent_key", "surface").distinct(),
+            "surface",
+            n_hashes=n_hashes,
+            shingle_k=shingle_k,
+            mode="char",
+        )
+    )
+    pair_edges = candidate_pairs_for_entities(
+        ents,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        sigs=sigs,
+    )
     assign = cache.checkpoint(_assignment_from_pairs(ents, pair_edges))
-    return EntityGraphState(refs=ents, assign=assign)
+    return EntityGraphState(refs=ents, assign=assign, sigs=sigs)
 
 
 def merge_entity_batch(
@@ -399,9 +425,13 @@ def merge_entity_batch(
     equality, and ``kg_entities_incr`` gates it against the sequential
     union-find oracle).  Pair evidence is incremental too: new rows probe
     the union's LSH buckets (sketches.lsh_candidate_pairs_incremental) and
-    the affected URL groups only, so per-batch work scales with the batch —
-    at 10^12 turns the graph history is never re-shuffled.  Caveat shared
-    with the batch path: if an LSH ``max_bucket`` cap triggers, results are
+    the affected URL groups only, and the union's signatures come from
+    ``state.sigs`` plus a sketch of the batch's NOVEL surfaces alone (the
+    shingling UDF never re-runs over history; a state with absent or
+    partially-written ``sigs`` self-heals by sketching the missing rows) —
+    so per-batch work scales with the batch: at 10^12 turns the graph
+    history is never re-shuffled OR re-sketched.  Caveat shared with the
+    batch path: if an LSH ``max_bucket`` cap triggers, results are
     population-order-dependent (cap-free regime is exact).
 
     The parameters must match the ones the state was built with; they are
@@ -431,17 +461,42 @@ def merge_entity_batch(
         .where(F.col("src") != F.col("dst"))
     )
 
-    # evidence 2: LSH near-dup surfaces touching a new (ent_key, surface)
-    # row, Jaccard-verified against the union surface table
+    # evidence 2: LSH near-dup surfaces touching a NOVEL (ent_key, surface)
+    # row, Jaccard-verified against the union surface table.  Probing only
+    # novel pairs is exact: every (x, y) candidate a one-shot run finds is
+    # found here when the later-arriving of x, y is the probe side.
     old_su = state.refs.select("ent_key", "surface").distinct()
-    new_su = new_rows.select("ent_key", "surface").distinct()
-    union_su = old_su.union(new_su).distinct()
-    sigs_new = sketches.with_minhash(
-        new_su, "surface", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+    new_su = (
+        new_rows.select("ent_key", "surface")
+        .distinct()
+        .join(old_su, ["ent_key", "surface"], "left_anti")
     )
-    sigs_all = sketches.with_minhash(
-        union_su, "surface", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
-    )
+    union_su = old_su.union(new_su)
+
+    def _sketch(su: DataFrame) -> DataFrame:
+        return sketches.with_minhash(
+            su, "surface", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+        )
+
+    # history signatures from state, self-healed: constrain to the current
+    # refs (a kill between the refs and sigs writes can leave extras) and
+    # sketch only whatever rows are missing (absent sigs → sketch all)
+    if state.sigs is None:
+        sigs_old = _sketch(old_su)
+    else:
+        have = state.sigs.join(old_su, ["ent_key", "surface"], "left_semi")
+        missing = old_su.join(
+            state.sigs.select("ent_key", "surface"),
+            ["ent_key", "surface"],
+            "left_anti",
+        )
+        sigs_old = have.unionByName(_sketch(missing))
+    # checkpointed: read once for candidate generation, once for the
+    # returned state — without this the legacy (sigs=None) full re-sketch
+    # would run twice
+    sigs_old = cache.checkpoint(sigs_old)
+    sigs_new = cache.checkpoint(_sketch(new_su))
+    sigs_all = sigs_old.unionByName(sigs_new)
     cand = sketches.lsh_candidate_pairs_incremental(
         sigs_new, sigs_all, "ent_key", "minhash", bands=bands
     )
@@ -482,6 +537,9 @@ def merge_entity_batch(
         )
         .where(F.col("src") != F.col("dst"))
     )
+    # materialize once: the isEmpty probe AND connected_components both
+    # read the (UDF-verified) quotient-edge plan
+    q_edges = cache.checkpoint(q_edges)
 
     if q_edges.isEmpty():  # no linking evidence: pure appends
         comps = None
@@ -508,16 +566,19 @@ def merge_entity_batch(
     return EntityGraphState(
         refs=cache.checkpoint(state.refs.union(new_rows)),
         assign=cache.checkpoint(updated.union(added)),
+        sigs=cache.checkpoint(sigs_old.unionByName(sigs_new)),
     )
 
 
 class PredicateGraphState(NamedTuple):
     """Incremental counterpart of :func:`canonicalize_predicates`:
     ``preds`` — every distinct predicate string seen; ``assign`` —
-    (pred, pred_canonical)."""
+    (pred, pred_canonical); ``sigs`` — (ent_key, minhash) persisted
+    signatures (``None`` self-heals, as in :class:`EntityGraphState`)."""
 
     preds: DataFrame
     assign: DataFrame
+    sigs: Optional[DataFrame] = None
 
 
 def predicate_graph_state(
@@ -537,7 +598,20 @@ def predicate_graph_state(
         jaccard_threshold=jaccard_threshold,
     )
     assign = cache.checkpoint(mapped.select("pred", "pred_canonical"))
-    return PredicateGraphState(preds=assign.select("pred"), assign=assign)
+    # predicates are a tiny dimension (distinct strings), so sketching them
+    # once more for the persisted state costs ~nothing
+    sigs = cache.checkpoint(
+        sketches.with_minhash(
+            assign.select(F.col("pred").alias("ent_key")),
+            "ent_key",
+            n_hashes=n_hashes,
+            shingle_k=shingle_k,
+            mode="char",
+        )
+    )
+    return PredicateGraphState(
+        preds=assign.select("pred"), assign=assign, sigs=sigs
+    )
 
 
 def merge_predicate_batch(
@@ -561,13 +635,24 @@ def merge_predicate_batch(
         .withColumnRenamed("pred", "ent_key")
     )
     old = state.preds.withColumnRenamed("pred", "ent_key")
-    union = old.union(new_preds)
-    sigs_new = sketches.with_minhash(
-        new_preds, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
-    )
-    sigs_all = sketches.with_minhash(
-        union, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
-    )
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        return sketches.with_minhash(
+            df, "ent_key", n_hashes=n_hashes, shingle_k=shingle_k, mode="char"
+        )
+
+    # history signatures from state, self-healed (see merge_entity_batch)
+    if state.sigs is None:
+        sigs_old = _sketch(old)
+    else:
+        have = state.sigs.join(old, ["ent_key"], "left_semi")
+        missing = old.join(
+            state.sigs.select("ent_key"), ["ent_key"], "left_anti"
+        )
+        sigs_old = have.unionByName(_sketch(missing))
+    sigs_old = cache.checkpoint(sigs_old)
+    sigs_new = cache.checkpoint(_sketch(new_preds))
+    sigs_all = sigs_old.unionByName(sigs_new)
     cand = sketches.lsh_candidate_pairs_incremental(
         sigs_new, sigs_all, "ent_key", "minhash", bands=bands
     )
@@ -598,6 +683,8 @@ def merge_predicate_batch(
         )
         .where(F.col("src") != F.col("dst"))
     )
+    # materialized once for the isEmpty probe + CC (see merge_entity_batch)
+    q_edges = cache.checkpoint(q_edges)
     comps = None if q_edges.isEmpty() else connected_components(q_edges)
 
     def relabel(df: DataFrame, key: str) -> DataFrame:
@@ -615,7 +702,11 @@ def merge_predicate_batch(
         new_preds.select(F.col("ent_key").alias("pred")), "pred"
     )
     assign = cache.checkpoint(updated.union(added))
-    return PredicateGraphState(preds=assign.select("pred"), assign=assign)
+    return PredicateGraphState(
+        preds=assign.select("pred"),
+        assign=assign,
+        sigs=cache.checkpoint(sigs_old.unionByName(sigs_new)),
+    )
 
 
 def entities_from_assign(links: DataFrame, assign: DataFrame) -> DataFrame:
@@ -666,7 +757,6 @@ def canonicalize(
             F.coalesce(F.col("component"), F.col("ent_key")).alias("canonical_id"),
         )
     )
-    mention_counts = refs.groupBy("ent_key").count()
     entities = (
         refs.join(keyed, "ent_key")
         .groupBy("canonical_id")

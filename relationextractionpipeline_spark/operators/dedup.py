@@ -279,8 +279,13 @@ def near_dup_pairs_simhash(
 
 def _gram_set_col(text_col: str, n: int):
     """Distinct word-n-gram column (whole text when shorter than n words —
-    same rule as sketches.word_shingles and the DuckDB oracle)."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    same rule as sketches.word_shingles and the DuckDB oracle).  NULL text
+    is treated as the empty string: without the coalesce, explode(NULL)
+    silently DROPS the document, violating ngram_contamination's
+    'output row for every training doc' contract on nullable columns."""
+    words = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
     sliding = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),

@@ -370,8 +370,15 @@ def link_mentions_broadcast_join(
     (binary_relation.py:115-122 branch); FIGER default 'none' for absent or
     empty mappings (nel.py:302-306).
     """
+    # min_by over (-prior, url): max prior, ties broken url-ASC — the ONE
+    # tie convention all four linkers share (build_candidates_broadcast /
+    # surface_type_df use the same (prior desc, url asc) order), so the
+    # equality-tested interchangeability holds even on KBs with tied
+    # priors, where a bare max_by("url", "prior") is nondeterministic
     best = entity_kb.groupBy("surface").agg(
-        F.max_by("url", "prior").alias("kb_url"),
+        F.min_by(
+            "url", F.struct((-F.col("prior")).alias("np"), F.col("url"))
+        ).alias("kb_url"),
         F.max("prior").alias("score"),
     )
     figer = figer_map.select(

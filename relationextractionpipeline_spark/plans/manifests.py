@@ -41,7 +41,9 @@ def input_fingerprint(paths: List[str], extra: str = "") -> str:
 
     def add(p: str) -> None:
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        # nanosecond mtime: whole-second truncation left a window where a
+        # same-size rewrite within one second was invisible to resume
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
 
     for p in sorted(paths):
         if os.path.isdir(p):
@@ -152,8 +154,29 @@ class PartitionedStageRunner:
 
     @staticmethod
     def plan_groups(input_files: List[str], group_size: int) -> List[List[str]]:
+        """Hash-bucketed deterministic groups, STABLE UNDER FILE ADDITION.
+
+        A file's group is md5(path) mod n_buckets, with n_buckets the
+        smallest power of two ≥ files/group_size: appending files to the
+        corpus leaves every existing file's bucket unchanged (until the
+        bucket count next doubles — an amortized full refresh), so resume
+        after an append recomputes only the buckets that actually gained
+        files.  Positional chunking (the previous scheme) shifted every
+        group's membership on any append, forcing a full re-extract of a
+        10k-file corpus for one new file.  Buckets are Poisson-sized
+        around ``group_size``; empty buckets keep their index (group ids
+        stay stable) and are skipped at run time.
+        """
         files = sorted(input_files)
-        return [files[i : i + group_size] for i in range(0, len(files), group_size)]
+        target = max(1, -(-len(files) // group_size))
+        n_buckets = 1
+        while n_buckets < target:
+            n_buckets *= 2
+        groups: List[List[str]] = [[] for _ in range(n_buckets)]
+        for f in files:
+            h = int(hashlib.md5(f.encode()).hexdigest()[:8], 16)
+            groups[h % n_buckets].append(f)
+        return groups
 
     def stage(
         self,
@@ -164,18 +187,28 @@ class PartitionedStageRunner:
         group_size: int = 8,
     ) -> DataFrame:
         """Run ``build(files)`` once per pending group; return the union scan
-        of all group outputs."""
+        of all group outputs.
+
+        ``fingerprint`` is the SHARED fingerprint (dimension tables + code
+        version) — each group combines it with a fingerprint of its OWN
+        files, so a corpus append invalidates only the groups whose file
+        list or file bytes actually changed, never the whole stage.  (A
+        dimension-table change still invalidates everything — correct:
+        every group's output depends on the dims.)"""
         sdir = self._stage_dir(name)
         os.makedirs(sdir, exist_ok=True)
         groups = self.plan_groups(input_files, group_size)
         for gi, files in enumerate(groups):
+            if not files:  # empty hash bucket — stable index, nothing to run
+                continue
+            gfp = input_fingerprint(files, extra=fingerprint)
             gout = os.path.join(sdir, f"g{gi:05d}")
             mpath = self._group_manifest(name, gi)
             if os.path.exists(mpath):
                 with open(mpath) as f:
                     m = json.load(f)
                 if (
-                    m.get("fingerprint") == fingerprint
+                    m.get("fingerprint") == gfp
                     and m.get("files") == files
                     and os.path.exists(os.path.join(gout, "_SUCCESS"))
                 ):
@@ -197,7 +230,7 @@ class PartitionedStageRunner:
                 "stage": name,
                 "group": gi,
                 "files": files,
-                "fingerprint": fingerprint,
+                "fingerprint": gfp,
                 "output": gout,
                 "rows": sum(p["rows"] for p in part_counts),
                 "partitions": sorted(part_counts, key=lambda p: p["pid"]),
@@ -208,7 +241,11 @@ class PartitionedStageRunner:
                 json.dump(manifest, f, indent=1)
             os.replace(tmp, mpath)  # atomic publish AFTER the data _SUCCESS
             self.events.append({"stage": name, "group": gi, "action": "computed"})
-        outs = [os.path.join(sdir, f"g{gi:05d}") for gi in range(len(groups))]
+        outs = [
+            os.path.join(sdir, f"g{gi:05d}")
+            for gi, fs in enumerate(groups)
+            if fs
+        ]
         return self.spark.read.parquet(*outs).drop("_pid")
 
 
@@ -235,8 +272,10 @@ def run_checkpointed_partitioned(
     files grouped; each group is one resumable unit."""
     from relationextractionpipeline_spark.plans import pipeline as pl
 
-    inputs = [paths["transcripts"], paths["entity_kb"], paths["figer_map"]]
-    fp = input_fingerprint(inputs)
+    # dims-only shared fingerprint: the transcripts are fingerprinted
+    # PER GROUP inside stage(), so appending corpus files recomputes only
+    # the groups that gained files
+    fp = input_fingerprint([paths["entity_kb"], paths["figer_map"]])
     runner = PartitionedStageRunner(spark, checkpoint_dir)
     transcripts, entity_kb, figer_map = pl.load_inputs(spark, paths)
     kb_bc, kb_index_bc, figer_bc = pl.build_broadcasts(spark, entity_kb, figer_map)

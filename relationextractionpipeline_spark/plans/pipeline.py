@@ -64,7 +64,9 @@ def build_broadcasts(spark: SparkSession, entity_kb: DataFrame, figer_map: DataF
     kb: Dict[str, Tuple[str, float]] = {}
     for surface, url, prior in kb_pdf[["surface", "url", "prior"]].itertuples(index=False):
         cur = kb.get(surface)
-        if cur is None or prior > cur[1]:
+        # (prior desc, url asc) — the shared linker tie convention; without
+        # the url clause the winner depends on toPandas row order
+        if cur is None or prior > cur[1] or (prior == cur[1] and url < cur[0]):
             kb[surface] = (url, float(prior))
     kb_index = {tuple(s.split(" ")): s for s in kb_pdf["surface"]}
     figer = dict(zip(figer_pdf["url"], figer_pdf["figer_type"]))

@@ -97,6 +97,7 @@ def stream_upsert_kg(
     triple_table: str = "triples",
     refs_table: str = "entity_refs",
     assign_table: str = "entity_assign",
+    sigs_table: str = "entity_sigs",
     max_files_per_trigger: int = 8,
 ) -> None:
     """Maintain the FULL KG incrementally: per micro-batch, triples MERGE on
@@ -113,8 +114,13 @@ def stream_upsert_kg(
       evidence (rows are absent from ``refs``), finds every quotient edge
       already contracted to a self-loop by the updated ``assign``, and
       converges — the reverse order would lose the batch's keys forever.
-      Both writes are staged-swap snapshots (TableIO.replace), so a kill
-      mid-write never corrupts the current table.
+      ``sigs`` (the persisted minhash cache that keeps merges from
+      re-sketching history) is written LAST: a kill before it lands leaves
+      sigs missing the batch's rows, and the next merge self-heals by
+      sketching exactly the missing rows (extra sigs rows are filtered
+      against ``refs``, so no order corrupts results).  All writes are
+      staged-swap snapshots (TableIO.replace), so a kill mid-write never
+      corrupts the current table.
 
     The link scorer runs in default max-prior mode, which is row-local:
     micro-batch boundaries (which can split a conversation across batches)
@@ -165,17 +171,31 @@ def stream_upsert_kg(
                     n_turns * 5, spark.sparkContext.defaultParallelism
                 ),
             )
+            # existence probe OUTSIDE the merge, like the triple-table probe
+            # above: a real merge failure must propagate — the old shape
+            # (probe + merge in one try) silently rebuilt the state from
+            # this batch alone, discarding the accumulated graph
             try:
-                state = canonicalize.EntityGraphState(
+                prior = canonicalize.EntityGraphState(
                     refs=io.read(refs_table), assign=io.read(assign_table)
                 )
-                state = canonicalize.merge_entity_batch(state, links)
             except Exception:  # noqa: BLE001 — first batch builds the state
+                prior = None
+            if prior is not None:
+                try:  # sigs optional: absent/partial self-heals in merge
+                    sigs = io.read(sigs_table)
+                except Exception:  # noqa: BLE001
+                    sigs = None
+                state = canonicalize.merge_entity_batch(
+                    prior._replace(sigs=sigs), links
+                )
+            else:
                 state = canonicalize.entity_graph_state(links)
             # merge outputs are EAGERLY localCheckpoint-ed, so nothing below
             # still reads the directories being replaced
             io.replace(state.assign, assign_table)  # assign FIRST (see above)
             io.replace(state.refs, refs_table)
+            io.replace(state.sigs, sigs_table)  # sigs LAST (see above)
             # free the merge's checkpoint blocks now that both snapshots are
             # on disk — state working set stays O(one batch) across the drain
             cache.release_all(checkpoints=True)

@@ -204,3 +204,68 @@ def test_predicate_two_batch_merge_equals_batch_on_corpus(spark, tiny_paths):
     assert _pred_map(incr) == full
     triples.unpersist()
     spark.catalog.clearCache()
+
+
+def test_merge_with_partial_or_absent_sigs_self_heals(spark, corpus_links):
+    """The persisted signature cache is an OPTIMIZATION, never a semantic
+    input: a merge over a state whose ``sigs`` table is absent (legacy /
+    kill before the sigs write) or missing rows (kill between the refs and
+    sigs writes) must sketch the gap itself and produce exactly the full
+    one-shot assignment."""
+    full = _assign_map(canonicalize.entity_graph_state(corpus_links))
+    b0, b1 = _splits(corpus_links, 2)
+    s0 = canonicalize.entity_graph_state(b0)
+
+    # absent sigs (legacy state)
+    legacy = s0._replace(sigs=None)
+    assert _assign_map(canonicalize.merge_entity_batch(legacy, b1)) == full
+
+    # partial sigs: drop half the rows deterministically
+    partial = s0._replace(
+        sigs=s0.sigs.where(F.pmod(F.xxhash64("ent_key"), F.lit(2)) == 0)
+    )
+    assert _assign_map(canonicalize.merge_entity_batch(partial, b1)) == full
+
+    # extra sigs rows (kill after sigs write, before refs write on some
+    # hypothetical reorder): rows not in refs must be ignored
+    extra_rows = sketches.with_minhash(
+        spark.createDataFrame(
+            [("zz_phantom_key", "zz phantom surface")],
+            ["ent_key", "surface"],
+        ),
+        "surface",
+        n_hashes=32,
+        shingle_k=3,
+        mode="char",
+    )
+    extra = s0._replace(sigs=s0.sigs.unionByName(extra_rows))
+    merged = canonicalize.merge_entity_batch(extra, b1)
+    assert _assign_map(merged) == full
+    assert (
+        merged.sigs.where(F.col("ent_key") == "zz_phantom_key").count() == 0
+    )
+
+
+def test_merged_sigs_equal_fresh_sketch(spark, corpus_links):
+    """After a merge, the carried sigs table covers exactly the distinct
+    (ent_key, surface) universe of refs, with signatures identical to a
+    fresh sketch (so later merges can trust it bit-for-bit)."""
+    b0, b1 = _splits(corpus_links, 2)
+    state = canonicalize.merge_entity_batch(
+        canonicalize.entity_graph_state(b0), b1
+    )
+    fresh = sketches.with_minhash(
+        state.refs.select("ent_key", "surface").distinct(),
+        "surface",
+        n_hashes=32,
+        shingle_k=3,
+        mode="char",
+    )
+    got = {
+        (r.ent_key, r.surface): tuple(r.minhash)
+        for r in state.sigs.collect()
+    }
+    want = {
+        (r.ent_key, r.surface): tuple(r.minhash) for r in fresh.collect()
+    }
+    assert got == want

@@ -120,24 +120,33 @@ def test_partition_level_resume(spark, tiny_paths, tmp_path):
                                   index=False)
     paths = dict(tiny_paths, transcripts=tdir)
 
+    # groups are hash buckets of the ACTUAL file paths — derive the
+    # expected layout from plan_groups rather than hardcoding indices
+    files = manifests.list_parquet_files(tdir)
+    buckets = manifests.PartitionedStageRunner.plan_groups(files, 1)
+    nonempty = [gi for gi, fs in enumerate(buckets) if fs]
+
     r1 = manifests.run_checkpointed_partitioned(spark, paths, ck, group_size=1)
     t1 = _triple_set(r1["triples"].toPandas())
     groups = {e["group"] for e in r1["runner"].events}
-    assert len(groups) == 3
+    assert groups == set(nonempty)
     assert all(e["action"] == "computed" for e in r1["runner"].events)
 
-    # simulate a kill while group 1 was in flight: drop its output + manifest
+    # simulate a kill while one group was in flight: drop output + manifest
     import glob
 
-    g1 = os.path.join(ck, "triples", "g00001")
+    gkill = nonempty[0]
+    g1 = os.path.join(ck, "triples", f"g{gkill:05d}")
     shutil.rmtree(g1)
-    for m in glob.glob(os.path.join(ck, "triples", "g00001._manifest.json")):
+    for m in glob.glob(
+        os.path.join(ck, "triples", f"g{gkill:05d}._manifest.json")
+    ):
         os.remove(m)
 
     r2 = manifests.run_checkpointed_partitioned(spark, paths, ck, group_size=1)
     acts = {(e["group"], e["action"]) for e in r2["runner"].events}
-    assert (1, "computed") in acts
-    assert all(a == "resumed" for g, a in acts if g != 1)
+    assert (gkill, "computed") in acts
+    assert all(a == "resumed" for g, a in acts if g != gkill)
     assert _triple_set(r2["triples"].toPandas()) == t1
 
     # and equals the direct fused run
@@ -177,3 +186,55 @@ def test_fingerprint_invalidation(spark, tiny_paths, tmp_path):
     assert _events(r["runner"]) == {
         ("sentences", "computed"), ("linked", "computed"), ("triples", "computed"),
     }
+
+
+def test_partition_resume_append_recomputes_only_gained_buckets(
+    spark, tiny_paths, tmp_path
+):
+    """Appending corpus files must NOT invalidate untouched groups: file →
+    bucket assignment is hash-stable and fingerprints are per-group, so
+    only buckets that gained files recompute.  (The old positional
+    chunking + global fingerprint re-extracted the whole corpus for one
+    appended file.)"""
+    import pandas as _pd
+
+    ck = str(tmp_path / "ckp3")
+    tdir = str(tmp_path / "tshard3")
+    os.makedirs(tdir)
+    pdf = _pd.read_parquet(tiny_paths["transcripts"])
+    # 5 shards at group_size=2 → 4 buckets; the 6th keeps the bucket
+    # count at 4 (no doubling), so old files keep their buckets
+    for s in range(5):
+        pdf.iloc[s::6].to_parquet(
+            os.path.join(tdir, f"part-{s}.parquet"), index=False
+        )
+    paths = dict(tiny_paths, transcripts=tdir)
+    manifests.run_checkpointed_partitioned(spark, paths, ck, group_size=2)
+
+    # append shard 5 and re-run
+    pdf.iloc[5::6].to_parquet(
+        os.path.join(tdir, f"part-5.parquet"), index=False
+    )
+    files = manifests.list_parquet_files(tdir)
+    before = manifests.PartitionedStageRunner.plan_groups(
+        [f for f in files if not f.endswith("part-5.parquet")], 2
+    )
+    after = manifests.PartitionedStageRunner.plan_groups(files, 2)
+    assert len(before) == len(after)  # no bucket-count doubling
+    changed = {
+        gi for gi, fs in enumerate(after) if fs and fs != before[gi]
+    }
+    assert changed  # the new file landed somewhere
+
+    r2 = manifests.run_checkpointed_partitioned(spark, paths, ck, group_size=2)
+    acts = {(e["group"], e["action"]) for e in r2["runner"].events}
+    assert {g for g, a in acts if a == "computed"} == changed
+    assert all(a == "resumed" for g, a in acts if g not in changed)
+
+    # result equals a direct fused run over the full 6-shard corpus
+    direct_triples = pipeline.run_pipeline(
+        spark, dict(tiny_paths, transcripts=tdir), mode="fused"
+    )["triples"]
+    assert _triple_set(r2["triples"].toPandas()) == _triple_set(
+        direct_triples.toPandas()
+    )
