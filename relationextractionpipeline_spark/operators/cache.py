@@ -35,10 +35,15 @@ from pyspark.sql import DataFrame
 
 _TRACKED: List[DataFrame] = []
 # id(checkpointed df) -> (SparkContext, frozenset of persistent RDD ids the
-# checkpoint created).  DataFrame.unpersist() goes through the CacheManager
-# and does NOT touch localCheckpoint blocks (they belong to the underlying
-# RDD), so checkpoints are freed JVM-side by RDD id.
-_CHECKPOINT_IDS: Dict[int, Tuple[object, frozenset]] = {}
+# checkpoint created, the DataFrame itself).  DataFrame.unpersist() goes
+# through the CacheManager and does NOT touch localCheckpoint blocks (they
+# belong to the underlying RDD), so checkpoints are freed JVM-side by RDD
+# id.  The DataFrame reference is held ON PURPOSE: keyed by id() alone, a
+# garbage-collected checkpoint df would let a LATER checkpoint reuse the
+# same id() and silently overwrite this entry — leaking the earlier
+# blocks past release_all (observed as a one-block leak under checkpoint
+# churn).  Pinning the object makes id() stable for the entry's lifetime.
+_CHECKPOINT_IDS: Dict[int, Tuple[object, frozenset, DataFrame]] = {}
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -76,7 +81,11 @@ def checkpoint(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     before = _persistent_rdd_ids(sc)
     out = df.localCheckpoint()
-    _CHECKPOINT_IDS[id(out)] = (sc, frozenset(_persistent_rdd_ids(sc) - before))
+    # the trailing `out` pins the object so its id() cannot be reused by a
+    # later checkpoint while this entry is live (see _CHECKPOINT_IDS note)
+    _CHECKPOINT_IDS[id(out)] = (
+        sc, frozenset(_persistent_rdd_ids(sc) - before), out
+    )
     return out
 
 
@@ -109,7 +118,7 @@ def release_all(checkpoints: bool = False) -> int:
     _TRACKED.clear()
     if checkpoints:
         n += len(_CHECKPOINT_IDS)
-        for sc, ids in _CHECKPOINT_IDS.values():
+        for sc, ids, _df in _CHECKPOINT_IDS.values():
             _free_rdd_ids(sc, ids)
         _CHECKPOINT_IDS.clear()
     return n

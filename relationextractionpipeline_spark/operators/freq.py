@@ -97,17 +97,34 @@ def cms_estimate(
     back to one row per item.  Never a corpus-sized shuffle.
     """
     key = F.col(key_col)
-    probes = items.select(
+    # regroup on a synthetic row id, not on items' columns: grouping by
+    # the columns collapsed duplicate lookup rows, broke on an existing
+    # 'cnt'/'row'/'bucket' column, and was illegal for map-typed columns
+    tagged = items.withColumn("_cms_rid", F.monotonically_increasing_id())
+    probes = tagged.select(
         "*",
         F.posexplode(
             F.array(*[_bucket(key, i, width, salt) for i in range(depth)])
-        ).alias("row", "bucket"),
+        ).alias("_cms_row", "_cms_bucket"),
     )
-    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    others = [c for c in items.columns]
+    joined = probes.join(
+        F.broadcast(
+            sketch.select(
+                F.col("row").alias("_cms_row"),
+                F.col("bucket").alias("_cms_bucket"),
+                F.col("cnt").alias("_cms_cnt"),
+            )
+        ),
+        ["_cms_row", "_cms_bucket"],
+        "left",
+    )
     return (
-        joined.groupBy(*others)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        joined.groupBy("_cms_rid")
+        .agg(
+            *[F.first(c).alias(c) for c in items.columns],
+            F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias("est"),
+        )
+        .drop("_cms_rid")
     )
 
 
@@ -248,15 +265,20 @@ def hist_sketch(
     ``n_bins``-bounded one).  Out-of-range values clamp into the edge
     buckets, so the sketch never drops rows — quantile estimates beyond
     [lo, hi] degrade to the range edges rather than silently missing
-    mass.  Disjoint-input sketches merge by bucket-wise addition
-    (``hist_merge``)."""
+    mass.  NULL values are EXCLUDED (missing data is not minimum-value
+    mass: without the filter, greatest(null, 0) clamped every null into
+    bucket 0 and dragged quantiles toward ``lo``).  Disjoint-input
+    sketches merge by bucket-wise addition (``hist_merge``)."""
     width = (float(hi) - float(lo)) / int(n_bins)
     b = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
     b = F.least(
         F.greatest(b.cast("int"), F.lit(0)), F.lit(int(n_bins) - 1)
     )
-    return df.select(b.alias("bucket")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 

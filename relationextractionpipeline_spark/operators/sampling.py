@@ -30,7 +30,10 @@ _HASH_SPACE = 1 << 32
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Uniform value in [0, 2^32) from md5 of ``str(key) + ':' + salt`` —
-    first 8 hex chars, the exact expression a SQL oracle can replicate."""
+    first 8 hex chars, the exact expression a SQL oracle can replicate.
+    NULL keys hash to NULL (null-rejecting, like the SQL replica) — a
+    caller whose filter must be TOTAL over rows coalesces the key first
+    (see train_val_split)."""
     payload = F.concat(key.cast("string"), F.lit(":" + salt)).cast("binary")
     return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
 
@@ -136,8 +139,13 @@ def train_val_split(
     df: DataFrame, key_col: str, val_fraction: float, salt: str = "split"
 ) -> Tuple[DataFrame, DataFrame]:
     """Leakage-free split: complementary intervals of one hash, so the two
-    sides are disjoint BY CONSTRUCTION and stable across runs/partitionings."""
-    h = hash_bucket(F.col(key_col), salt)
+    sides are disjoint BY CONSTRUCTION and stable across runs/partitionings.
+    NULL keys hash as the empty string — without the coalesce both
+    predicates evaluate to null and null-key rows silently vanish from
+    BOTH sides, violating the partition contract."""
+    h = hash_bucket(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")), salt
+    )
     t = F.lit(threshold(val_fraction))
     return df.where(h >= t), df.where(h < t)
 

@@ -267,7 +267,23 @@ def lsh_candidate_pairs_incremental(
 
 def _band_hashes_col(sig_col: str, bands: int):
     """array<long> of per-band hashes from the signature column (native
-    expression — no Python): xxhash64 over the band's slice."""
+    expression — no Python): xxhash64 over the band's slice.
+
+    Guarded: ``bands`` > signature length would slice ZERO elements per
+    band, hashing the empty string for every row — all documents co-bucket
+    (then the max_bucket cap silently drops everything: total recall loss
+    with no error).  The guard raises at run time instead."""
+    guard = F.assert_true(
+        F.size(F.col(sig_col)) >= F.lit(int(bands)),
+        F.lit(
+            f"bands={bands} exceeds the minhash signature length — "
+            "rebuild signatures with n_hashes >= bands"
+        ),
+    )
+    return F.when(guard.isNull(), _band_hashes_inner(sig_col, bands))
+
+
+def _band_hashes_inner(sig_col: str, bands: int):
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda i: F.xxhash64(

@@ -178,51 +178,61 @@ def bm25_scores(
     TakeOrderedAndProject (per-partition heaps, no global sort)."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    # dedupe preserving order (duplicate terms made ambiguous columns) and
+    # use INDEX-based internal column names: a term containing '.' would
+    # make F.col(f"tf_{term}") parse as nested-field access and fail to
+    # resolve.  Output columns keep the tf_<term> names via aliasing.
+    terms = list(dict.fromkeys(terms))
     w = tokens_lower(F.col(text_col))
 
     def _eq(term):
         # single-parameter closure: F.filter inspects the lambda's arity,
         # so a default-arg capture would be misread as (element, index)
-        return lambda x: x == F.lit(term)
+        # — and tokens are lowercased, so match the lowercased term or an
+        # uppercase query term silently matches nothing
+        return lambda x: x == F.lit(term.lower())
 
     tf_cols = {t: F.size(F.filter(w, _eq(t))) for t in terms}
     base = cache.track(
         docs.select(
             F.col(id_col).alias("_id"),
             F.size(w).alias("dl"),
-            *[tf_cols[t].alias(f"tf_{t}") for t in terms],
+            *[tf_cols[t].alias(f"tf_{i}") for i, t in enumerate(terms)],
         )
     )
     stats = base.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
-            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
-            for t in terms
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
         ],
     ).collect()[0]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"] or 0.0
     idf = {
-        t: math.log(
-            (n_docs - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5) + 1.0
+        i: math.log(
+            (n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0
         )
-        for t in terms
+        for i in range(len(terms))
     }
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
     )
     score = None
-    for t in terms:
-        tf = F.col(f"tf_{t}")
-        part = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        part = F.lit(idf[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
     hits = (
         base.where(
-            sum(F.col(f"tf_{t}") for t in terms) > 0
+            sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
         )
         .select(
             F.col("_id").alias(id_col),
-            *[F.col(f"tf_{t}") for t in terms],
+            *[
+                F.col(f"tf_{i}").alias(f"tf_{t}")
+                for i, t in enumerate(terms)
+            ],
             F.round(score, 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))

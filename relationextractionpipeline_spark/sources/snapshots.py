@@ -101,6 +101,11 @@ class SnapshotTableIO(TableIO):
     """
 
     MERGE_RETRIES = 5
+    # commit locks guard two tiny file ops; one this old is a crash artifact
+    STALE_LOCK_SEC = 30.0
+    # orphan data dirs younger than this may be an in-flight write whose
+    # commit hasn't landed yet — expire_snapshots must not delete them
+    ORPHAN_GRACE_SEC = 3600.0
 
     def __init__(self, spark: SparkSession, warehouse: str, catalog: str = "local"):
         super().__init__(spark, warehouse, catalog)
@@ -201,6 +206,19 @@ class SnapshotTableIO(TableIO):
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                # a writer killed while holding the lock would otherwise
+                # wedge the table forever (every commit spins then raises,
+                # and the retrying callers loop unbounded).  Lock holders
+                # only do tiny metadata ops, so a lock older than
+                # STALE_LOCK_SEC is a crash artifact: break it.  (stat →
+                # remove has a benign TOCTOU — the loser of the re-create
+                # race just keeps waiting.)
+                try:
+                    if time.time() - os.stat(lock).st_mtime > self.STALE_LOCK_SEC:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between stat attempts
                 time.sleep(0.01)
         if fd is None:
             raise CommitConflict(f"could not acquire commit lock for {name}")
@@ -261,6 +279,15 @@ class SnapshotTableIO(TableIO):
         as_of_ts: Optional[float] = None,
     ) -> DataFrame:
         if self.use_iceberg:
+            if version is not None or as_of_ts is not None:
+                # silently returning HEAD would shear a job that pinned a
+                # snapshot for multi-stage consistency — fail loudly until
+                # Iceberg time-travel routing is implemented
+                raise NotImplementedError(
+                    "snapshot-pinned reads are not routed to the Iceberg "
+                    "runtime (VERSION AS OF); drop the pin or use the "
+                    "manifest-backed format"
+                )
             return super().read(name)
         snap = self.snapshot(name, version=version, as_of_ts=as_of_ts)
         reader = self.spark.read
@@ -288,6 +315,12 @@ class SnapshotTableIO(TableIO):
             df = df.withColumn(
                 "_bucket", F.pmod(F.xxhash64(bucket_by), F.lit(n_buckets))
             ).repartition(n_buckets, "_bucket")
+        # honor Spark save-mode semantics — treating everything but append
+        # as replace silently destroyed tables under mode='error'/'ignore'
+        if mode in ("error", "errorifexists") and self.table_exists(name):
+            raise ValueError(f"table {name} already exists (mode={mode})")
+        if mode == "ignore" and self.table_exists(name):
+            return
         if mode == "append" and self.table_exists(name):
             self.append(df, name)
         else:
@@ -301,11 +334,14 @@ class SnapshotTableIO(TableIO):
         if self.use_iceberg:
             super().replace(df, name)
             return
+        # the data dir is token-independent: write it ONCE and retry only
+        # the metadata commit — re-materializing df per conflict round
+        # wrote an orphan dir per iteration
+        path, n = self._write_data_dir(df, name)
         while True:
             expected = (
                 self.current_version(name) if self.table_exists(name) else None
             )
-            path, n = self._write_data_dir(df, name)
             try:
                 self._commit(name, [path], "replace", df.schema.json(), n, expected)
                 return
@@ -325,6 +361,11 @@ class SnapshotTableIO(TableIO):
         of history — the Iceberg evolution model), and the snapshot is
         marked so readers merge footers.  Dropping/renaming columns is
         refused either way: those rewrite meaning, not just shape."""
+        # the data dir is token-independent (batch rows only): written ONCE,
+        # after the first round's validation, then conflict retries are
+        # metadata-only — re-materializing df per round wrote an orphan dir
+        # per iteration
+        path = None
         while True:
             expected = self.current_version(name)
             parent = self._load_manifest(name, expected)
@@ -345,7 +386,8 @@ class SnapshotTableIO(TableIO):
                     evolved = True
             else:
                 _check_schema_names(parent.schema_json, df)
-            path, n = self._write_data_dir(df, name)
+            if path is None:
+                path, n = self._write_data_dir(df, name)
             try:
                 self._commit(
                     name,
@@ -458,29 +500,58 @@ class SnapshotTableIO(TableIO):
             evolved=target.evolved,
         )
 
-    def expire_snapshots(self, name: str, keep_last: int = 2) -> int:
+    def expire_snapshots(
+        self, name: str, keep_last: int = 2, orphan_grace_sec: float = None
+    ) -> int:
         """Drop manifests older than the newest ``keep_last`` and delete
         data directories no retained snapshot references — including orphans
         from crashed commits (data written, HEAD never moved).  Returns the
         number of data directories deleted.  Time travel reaches only
-        retained snapshots afterwards."""
+        retained snapshots afterwards.
+
+        Dirs referenced by a DROPPED manifest were committed and are dead
+        the moment their last manifest goes — deleted immediately.  A dir
+        in NO manifest is indistinguishable from a CONCURRENT writer's
+        in-flight data (written, commit not yet landed), so those are
+        deleted only when older than ``orphan_grace_sec`` (default
+        ``ORPHAN_GRACE_SEC``) — the Iceberg remove-orphan-files
+        discipline; deleting them immediately would let the writer commit
+        a manifest pointing at a path this call just removed."""
         import shutil
 
+        if orphan_grace_sec is None:
+            orphan_grace_sec = self.ORPHAN_GRACE_SEC
         snaps = self.history(name)
         keep = snaps[-keep_last:] if keep_last > 0 else []
         keep_versions = {s.version for s in keep}
         live = {d for s in keep for d in s.data_dirs}
+        # committed-then-expired: safe to drop with their manifests
+        dead = {
+            d
+            for s in snaps
+            if s.version not in keep_versions
+            for d in s.data_dirs
+        } - live
         for s in snaps:
             if s.version not in keep_versions:
                 os.remove(os.path.join(self._meta_dir(name), _manifest_name(s.version)))
         removed = 0
+        now = time.time()
         root = self._data_root(name)
         if os.path.isdir(root):
             for token in os.listdir(root):
                 path = os.path.join(root, token)
-                if path not in live:
-                    shutil.rmtree(path)
-                    removed += 1
+                if path in live:
+                    continue
+                if path not in dead:  # true orphan: maybe in flight
+                    try:
+                        age = now - os.stat(path).st_mtime
+                    except OSError:
+                        continue  # another expirer removed it first
+                    if age < orphan_grace_sec:
+                        continue  # leave for a later pass
+                shutil.rmtree(path)
+                removed += 1
         return removed
 
 

@@ -187,3 +187,31 @@ def test_kmv_merge_equals_single_build(spark):
         r.h for r in freq.kmv_sketch(_words(spark, toks), "word", k=64).collect()
     )
     assert merged == whole
+
+
+def test_cms_estimate_preserves_duplicate_rows_and_cnt_column(spark):
+    """Point-query lookups are row-preserving: duplicate item rows stay
+    duplicated, and an items column named 'cnt'/'row'/'bucket' must not
+    collide with the sketch's internals."""
+    from relationextractionpipeline_spark.operators import freq
+
+    data = spark.createDataFrame([("x",), ("x",), ("y",)], ["w"])
+    sk = freq.cms_build(data, "w", depth=3, width=16)
+    items = spark.createDataFrame(
+        [("x", 7), ("x", 7), ("y", 9)], ["w", "cnt"]
+    )
+    est = freq.cms_estimate(sk, items, "w", depth=3, width=16)
+    rows = sorted((r["w"], r["cnt"], r["est"]) for r in est.collect())
+    assert rows == [("x", 7, 2), ("x", 7, 2), ("y", 9, 1)]
+
+
+def test_hist_sketch_excludes_nulls(spark):
+    """Missing data is not minimum-value mass: nulls are excluded rather
+    than clamped into bucket 0."""
+    from relationextractionpipeline_spark.operators import freq
+
+    df = spark.createDataFrame([(None,), (1.0,), (9.0,)], "v double")
+    h = freq.hist_sketch(df, "v", 0, 10, 4)
+    got = {r["bucket"]: r["cnt"] for r in h.collect()}
+    assert sum(got.values()) == 2
+    assert got.get(0, 0) == 1  # only the real 1.0, not the null

@@ -215,3 +215,20 @@ def test_dsir_weights_partition_invariant(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_train_val_split_keeps_null_keys(spark):
+    """NULL keys hash as '' instead of silently vanishing from BOTH sides
+    (md5(null) is null, so both interval predicates were null)."""
+    from relationextractionpipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(None, 1), ("k1", 2), ("k2", 3), (None, 4)], ["k", "v"]
+    )
+    tr, va = sampling.train_val_split(df, "k", 0.5)
+    assert tr.count() + va.count() == 4
+    # and the null rows all land on ONE side (same '' bucket)
+    null_sides = [
+        side.where(F.col("k").isNull()).count() for side in (tr, va)
+    ]
+    assert sorted(null_sides) == [0, 2]

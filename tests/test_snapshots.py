@@ -130,7 +130,11 @@ def test_crashed_commit_leaves_head_intact_and_expire_collects_orphan(io, spark)
     io._write_data_dir(_df(spark, [("junk", 9, 0)]), "t")
     assert io.current_version("t") == head
     assert {r["k"] for r in io.read("t").collect()} == {"a"}  # no corruption
-    removed = io.expire_snapshots("t", keep_last=1)
+    # default grace period protects a FRESH unreferenced dir — it could be
+    # a concurrent writer's in-flight data whose commit hasn't landed yet
+    assert io.expire_snapshots("t", keep_last=1) == 0
+    # grace 0 (operator knows no writer is live) collects the orphan
+    removed = io.expire_snapshots("t", keep_last=1, orphan_grace_sec=0.0)
     assert removed == 1  # the orphan
     assert {r["k"] for r in io.read("t").collect()} == {"a"}
 
@@ -304,3 +308,41 @@ def test_schema_evolution_add_column(io, spark):
     )
     head = {r["k"]: (r["w"], r["lang"]) for r in io.read("t").collect()}
     assert head == {"a": (9, "fr"), "b": (2, "de"), "d": (4, "en")}
+
+
+def test_write_honors_save_mode_semantics(io, spark):
+    """mode='error'/'errorifexists' must fail on an existing table and
+    mode='ignore' must be a no-op — the snapshot subclass previously
+    routed every non-append mode to replace(), silently destroying the
+    table under the modes that promise NOT to touch it."""
+    io.write(_df(spark, [("a", 1, 1)]), "t")
+    with pytest.raises(ValueError, match="already exists"):
+        io.write(_df(spark, [("b", 1, 2)]), "t", mode="error")
+    io.write(_df(spark, [("b", 1, 2)]), "t", mode="ignore")
+    assert [r["k"] for r in io.read("t").collect()] == ["a"]
+    # on a missing table both modes create it
+    io.write(_df(spark, [("c", 1, 3)]), "t2", mode="error")
+    assert [r["k"] for r in io.read("t2").collect()] == ["c"]
+
+
+def test_stale_commit_lock_is_broken(io, spark):
+    """A writer killed while holding COMMIT.lock must not wedge the table:
+    locks older than STALE_LOCK_SEC are crash artifacts and get broken."""
+    io.write(_df(spark, [("a", 1, 1)]), "t")
+    lock = os.path.join(io._meta_dir("t"), "COMMIT.lock")
+    with open(lock, "w"):
+        pass
+    os.utime(lock, (1, 1))  # ancient mtime = crashed holder
+    io.write(_df(spark, [("b", 1, 2)]), "t")  # breaks the lock, commits
+    assert [r["k"] for r in io.read("t").collect()] == ["b"]
+    assert not os.path.exists(lock)
+
+
+def test_iceberg_pinned_read_refuses_silent_head(io, spark, monkeypatch):
+    """With an Iceberg runtime, version/as_of_ts pins are not routed to
+    time travel yet — the read must refuse rather than silently return
+    HEAD and shear a pinned multi-stage job."""
+    io.write(_df(spark, [("a", 1, 1)]), "t")
+    monkeypatch.setattr(io, "use_iceberg", True)
+    with pytest.raises(NotImplementedError, match="snapshot-pinned"):
+        io.read("t", version=1)

@@ -228,3 +228,20 @@ def test_substring_dup_partition_invariance(spark):
         map(tuple, dedup.substring_dup_stats(df.repartition(6), k=5).collect())
     )
     assert a == b
+
+
+def test_bm25_dotted_uppercase_duplicate_terms(spark):
+    """Terms containing '.' must not be parsed as nested-field access,
+    uppercase terms must match the lowercased tokens, and duplicates
+    must not create ambiguous columns."""
+    from relationextractionpipeline_spark.operators import textindex
+
+    docs = spark.createDataFrame(
+        [(1, "the u.s. economy and IBM"), (2, "ibm stock rises")],
+        ["doc_id", "text"],
+    )
+    r = textindex.bm25_scores(docs, ["u.s.", "IBM", "IBM"], top_k=5)
+    assert r.columns == ["doc_id", "tf_u.s.", "tf_IBM", "score", "rank"]
+    rows = {x["doc_id"]: x for x in r.collect()}
+    assert rows[1]["tf_IBM"] == 1 and rows[2]["tf_IBM"] == 1
+    assert rows[1]["tf_u.s."] == 1 and rows[2]["tf_u.s."] == 0
