@@ -11,7 +11,10 @@ here is the union-and-carry-forward pattern:
    at equal timestamps, so ``ts_right == ts_left`` matches — inclusive
    as-of semantics);
 2. one window per key ordered by (ts, side, right-side tiebreak), carrying
-   the right payload forward with ``last(..., ignorenulls=True)``;
+   the right payload forward with ``last(..., ignorenulls=True)`` over ONE
+   struct holding the whole right row — per-column carry would stitch a
+   chimera row whenever the winning right row has a null payload column
+   (the older row's non-null value survives the newer row's null);
 3. keep only left rows.
 
 Cost: ONE hash shuffle on the key (the same shuffle an equi-join would
@@ -63,31 +66,34 @@ def asof_join(
     right_cols = [c for c in right_cols if c != right_ts]
     carried = [right_ts] + right_cols
 
+    # the carried payload rides as ONE struct: the struct is non-null for
+    # every right row even when its fields are null, so the ignorenulls
+    # carry-forward picks whole rows atomically — per-column carry stitched
+    # together values from DIFFERENT right rows when the winner had nulls
     r = right.select(
         *on,
         F.col(right_ts).cast("timestamp").alias("_asof_ts"),
         F.lit(0).alias(_SIDE),
         F.col(right_order).alias("_asof_ord"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.struct(
+            *[F.col(c).alias(f"_r_{c}") for c in carried]
+        ).alias("_asof_row"),
     )
+    row_type = r.schema["_asof_row"].dataType
     left_cols = left.columns
     l = left.select(
         "*",
         F.col(left_ts).cast("timestamp").alias("_asof_ts"),
         F.lit(1).alias(_SIDE),
         F.lit(None).alias("_asof_ord"),
-        *[F.lit(None).cast(d) for c, d in zip(carried, _dtypes(r, carried))],
+        F.lit(None).cast(row_type).alias("_asof_row"),
     )
-    # align the null placeholder names with the right frame's _r_ columns
-    l = l.toDF(*left_cols, "_asof_ts", _SIDE, "_asof_ord",
-               *[f"_r_{c}" for c in carried])
     r_full = r.select(
         *[
             F.col(c) if c in on else F.lit(None).cast(t).alias(c)
             for c, t in zip(left_cols, _dtypes(left, left_cols))
         ],
-        "_asof_ts", _SIDE, "_asof_ord",
-        *[f"_r_{c}" for c in carried],
+        "_asof_ts", _SIDE, "_asof_ord", "_asof_row",
     )
     # the union keys both sides into ONE exchange; right rows (side 0)
     # sort before left rows (side 1) at equal timestamps
@@ -98,13 +104,20 @@ def asof_join(
                  F.col("_asof_ord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = u.select(
-        *left_cols, "_asof_ts", _SIDE,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in carried
-        ],
-    ).where(F.col(_SIDE) == 1)
+    out = (
+        u.select(
+            *left_cols, "_asof_ts", _SIDE,
+            F.last("_asof_row", ignorenulls=True).over(w).alias("_asof_hit"),
+        )
+        .where(F.col(_SIDE) == 1)
+        .select(
+            *left_cols, "_asof_ts", _SIDE,
+            *[
+                F.col(f"_asof_hit._r_{c}").alias(f"{prefix}{c}")
+                for c in carried
+            ],
+        )
+    )
     if tolerance_sec is not None:
         in_window = (
             F.unix_timestamp("_asof_ts")

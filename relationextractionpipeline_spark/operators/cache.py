@@ -100,6 +100,39 @@ def free_checkpoint(df: DataFrame) -> None:
         _free_rdd_ids(ent[0], ent[1])
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scope():
+    """Release ONLY the persists/checkpoints created inside the block.
+
+    The operator-local alternative to ``release_all()`` for callers
+    embedded in a larger session — a streaming micro-batch loop that
+    called ``release_all(checkpoints=True)`` per batch freed EVERY
+    registered checkpoint in the session, including other operators'
+    live ones (lineage-truncated, so their next action raises instead of
+    recomputing).  Entries registered before the block are untouched."""
+    n_tracked = len(_TRACKED)
+    ckpt_before = set(_CHECKPOINT_IDS.keys())
+    try:
+        yield
+    finally:
+        new_tracked = (
+            _TRACKED[n_tracked:] if len(_TRACKED) > n_tracked else []
+        )
+        for df in new_tracked:
+            try:
+                df.unpersist(False)
+            except Exception:  # session already stopped — nothing to free
+                pass
+        del _TRACKED[n_tracked:]
+        for k in list(_CHECKPOINT_IDS.keys()):
+            if k not in ckpt_before:
+                sc, ids, _df = _CHECKPOINT_IDS.pop(k)
+                _free_rdd_ids(sc, ids)
+
+
 def release_all(checkpoints: bool = False) -> int:
     """Unpersist every tracked DataFrame (non-blocking); returns how many.
 

@@ -134,17 +134,26 @@ def chunk_documents(
     if not 0 <= overlap < ctx_len:
         raise ValueError("need 0 <= overlap < ctx_len")
     stride = ctx_len - overlap
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
-    n = F.size(toks)
+    # tokenize ONCE in its own projection: the generator expression lives
+    # in a separate Generate operator from the projection, so referencing
+    # the regexp inside n_chunks too would regex-scan every text twice
+    # (codegen subexpression elimination does not cross the Generate)
+    toked = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(TOKEN_REGEX), 0
+        ).alias("_toks"),
+    )
+    n = F.size("_toks")
     # number of stride-aligned starts covering all n tokens:
     # 1 + ceil(max(n - ctx, 0) / stride); empty docs emit one empty chunk
     n_chunks = F.lit(1) + F.ceil(
         F.greatest(n - F.lit(ctx_len), F.lit(0)) / F.lit(stride)
     ).cast("int")
     return (
-        df.select(
+        toked.select(
             F.col(id_col),
-            toks.alias("_toks"),
+            F.col("_toks"),
             F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
                 "chunk_idx", "_start_i"
             ),

@@ -75,11 +75,17 @@ def assemble_conversations_skew_aware(
                 F.collect_list(F.struct("turn_idx", "text"))
             ).alias("chunk"),
             F.count("*").alias("n"),
+            # non-null text count: a bucket whose texts are ALL null joins
+            # to '' but must contribute NO separator in phase 2 (batch
+            # array_join skips nulls element-wise; an already-joined empty
+            # bucket string can't be skipped without this flag)
+            F.count("text").alias("nn"),
         )
         .select(
             "conv_id",
             "bucket",
             "n",
+            "nn",
             F.array_join(F.transform("chunk", lambda t: t["text"]), "\n").alias(
                 "chunk_text"
             ),
@@ -91,7 +97,14 @@ def assemble_conversations_skew_aware(
             F.sum("n").alias("n_turns"),
             F.array_join(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("bucket", "chunk_text"))),
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("bucket", "chunk_text", "nn")
+                            )
+                        ),
+                        lambda s: s["nn"] > 0,
+                    ),
                     lambda s: s["chunk_text"],
                 ),
                 "\n",

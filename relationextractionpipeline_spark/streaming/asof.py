@@ -100,7 +100,11 @@ def _asof_fn(left_type: str, right_type: str):
                     elif et == right_type:
                         r_ids.append(int(pdf["event_id"].iloc[i]))
                         r_ts.append(int(ts_ms[i]))
-                        r_val.append(float(pdf["value"].iloc[i]))
+                        # preserve nulls: float(NaN) stored NaN where the
+                        # batch asof_join emits NULL — NaN breaks IS NULL
+                        # filters and the batch≡stream comparison
+                        v = pdf["value"].iloc[i]
+                        r_val.append(None if pd.isna(v) else float(v))
         wm = state.getCurrentWatermarkMs()
 
         # emit every left the watermark has finalized; keep the rest
@@ -108,7 +112,12 @@ def _asof_fn(left_type: str, right_type: str):
         out_rows = []
         keep_ids, keep_ts = [], []
         for lid, lts in sorted(zip(l_ids, l_ts), key=lambda p: (p[1], p[0])):
-            if lts > wm:
+            # STRICT: finalize only below the watermark.  The engine drops
+            # rows strictly older than the watermark, so a right event with
+            # rt == wm == lts can still arrive in a later batch — emitting
+            # the left at equality would be premature and uncorrectable in
+            # append mode (sessionize.py handles this boundary the same way)
+            if lts >= wm:
                 keep_ids.append(lid)
                 keep_ts.append(lts)
                 continue

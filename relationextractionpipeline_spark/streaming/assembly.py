@@ -55,7 +55,12 @@ def _assemble_fn(session_gap_ms: int):
             # watermark passed last-turn ts + gap: the conversation is closed
             turn_idx, texts, _max_ts = state.get
             order = sorted(range(len(turn_idx)), key=lambda i: turn_idx[i])
-            doc = "\n".join(texts[i] for i in order)
+            # skip null texts like the batch operator's array_join does —
+            # mapping them to '' diverged from batch by one blank line per
+            # null-text turn
+            doc = "\n".join(
+                texts[i] for i in order if texts[i] is not None
+            )
             state.remove()
             yield pd.DataFrame(
                 {
@@ -73,7 +78,12 @@ def _assemble_fn(session_gap_ms: int):
             turn_idx, texts = list(turn_idx), list(texts)
         for pdf in pdfs:
             turn_idx.extend(int(v) for v in pdf["turn_idx"])
-            texts.extend("" if v is None else str(v) for v in pdf["text"])
+            # preserve nulls (emit-time join skips them, matching batch)
+            texts.extend(
+                None if v is None or (isinstance(v, float) and pd.isna(v))
+                else str(v)
+                for v in pdf["text"]
+            )
             batch_max = pdf["ts"].max()
             if pd.notna(batch_max):
                 max_ts = max(max_ts, int(batch_max.value // 1_000_000))

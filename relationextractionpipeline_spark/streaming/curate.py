@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, functions as F
 
 from relationextractionpipeline_spark.operators import quality, sampling
+from relationextractionpipeline_spark.streaming import dedup
 
 
 def stream_curate(
@@ -54,8 +55,7 @@ def stream_curate(
         .parquet(input_dir)
     )
     deduped = (
-        stream.withColumn("_h64", F.xxhash64(text_col))
-        .withColumn("_h128", F.md5(F.col(text_col).cast("binary")))
+        dedup.with_content_key(stream, text_col)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_h64", "_h128"])
         .drop("_h64", "_h128")

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _with_content_key(df: DataFrame, text_col: str) -> DataFrame:
+def with_content_key(df: DataFrame, text_col: str) -> DataFrame:
+    """The shared exact-dedup content key (~28 bytes of state per doc):
+    64-bit xxhash + 128-bit md5 of the text bytes.  Public so every
+    streaming consumer (stream_dedup_exact, curate.stream_curate) derives
+    the SAME key pair — two copies of this pairing could silently drift."""
     return df.withColumn("_h64", F.xxhash64(text_col)).withColumn(
         "_h128", F.md5(F.col(text_col).cast("binary"))
     )
@@ -45,7 +49,7 @@ def stream_dedup_exact(
         .parquet(input_dir)
     )
     deduped = (
-        _with_content_key(stream, text_col)
+        with_content_key(stream, text_col)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_h64", "_h128"])
         .drop("_h64", "_h128")

@@ -56,6 +56,8 @@ def stream_neardup_docs(
 
     def merge_batch(batch_df, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        _scope = cache.scope()  # frees only THIS batch's tracked frames
+        _scope.__enter__()
         try:
             if batch_df.count() == 0:
                 return
@@ -83,8 +85,10 @@ def stream_neardup_docs(
             # docstring)
             io.replace(state.assign, assign_table)
             io.replace(state.sigs, sigs_table)
-            cache.release_all(checkpoints=True)
         finally:
+            # scope-exit, NOT release_all: free only THIS batch's frames
+            # (release_all killed other operators' live checkpoints)
+            _scope.__exit__(None, None, None)
             batch_df.unpersist()
 
     q = (

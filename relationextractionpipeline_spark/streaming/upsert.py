@@ -141,6 +141,8 @@ def stream_upsert_kg(
 
     def merge_batch(batch_df, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        _scope = cache.scope()  # frees only THIS batch's tracked frames
+        _scope.__enter__()
         try:
             n_turns = batch_df.count()
             if n_turns == 0:
@@ -196,10 +198,14 @@ def stream_upsert_kg(
             io.replace(state.assign, assign_table)  # assign FIRST (see above)
             io.replace(state.refs, refs_table)
             io.replace(state.sigs, sigs_table)  # sigs LAST (see above)
-            # free the merge's checkpoint blocks now that both snapshots are
-            # on disk — state working set stays O(one batch) across the drain
-            cache.release_all(checkpoints=True)
         finally:
+            # free THIS batch's persists/checkpoints now that the snapshots
+            # are on disk — state working set stays O(one batch) across the
+            # drain.  Scope-exit, NOT release_all(checkpoints=True): that
+            # freed EVERY registered checkpoint in the session, killing any
+            # other operator's live lineage-truncated frames (bpe.py:260's
+            # documented discipline)
+            _scope.__exit__(None, None, None)
             batch_df.unpersist()
 
     q = (

@@ -290,3 +290,25 @@ def test_asof_composite_key(spark):
     assert pdf.loc[3, "matched_event_id"] == 1
     assert pdf.loc[4, "matched_event_id"] == 2
     assert pdf.loc[5, ["matched_event_id"]].isna().all()
+
+
+def test_asof_null_payload_column_is_not_stitched_across_rows(spark):
+    """The carried match must be ONE right row: when the winning right row
+    has a null payload column, per-column carry-forward used to surface
+    the previous row's non-null value next to the winner's other columns
+    — a chimera row no right row ever contained."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", t(30), "L")], "k string, ts timestamp, l string"
+    )
+    right = spark.createDataFrame(
+        [("k", t(1), 5.0, "a", 1), ("k", t(2), None, "b", 2)],
+        "k string, ts timestamp, val double, tag string, event_id long",
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "ts", ["val", "tag"], "event_id"
+    ).collect()[0]
+    assert out["matched_tag"] == "b"
+    assert out["matched_val"] is None  # the WINNER's null, not row a's 5.0

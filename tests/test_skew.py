@@ -47,3 +47,29 @@ def test_skew_aware_assembly_matches_plain(spark, tiny_paths):
     import pandas as pd
 
     pd.testing.assert_frame_equal(plain, two_phase)
+
+
+def test_skew_aware_assembly_matches_batch_on_all_null_bucket(spark):
+    """A bucket whose texts are all null must contribute NOTHING to
+    doc_text (batch array_join skips nulls element-wise); the two-phase
+    merge used to emit the empty bucket string plus a spurious '\\n'."""
+    from relationextractionpipeline_spark.operators import assemble
+
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [("c", i, "user", None, None, ts) for i in range(3)] + [
+        ("c", 3, "user", "hello", None, ts)
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    batch = assemble.assemble_conversations(t).collect()[0]
+    two_phase = skew.assemble_conversations_skew_aware(
+        t, bucket_turns=2
+    ).collect()[0]
+    assert batch["doc_text"] == "hello"
+    assert two_phase["doc_text"] == batch["doc_text"]
+    assert two_phase["n_turns"] == batch["n_turns"] == 4
