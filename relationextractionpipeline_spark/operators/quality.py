@@ -240,8 +240,9 @@ def with_repetition(
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Content fingerprint: md5 (cross-engine reproducible) + a 16-hex-prefix
-    shard key usable for fingerprint-range partition pruning."""
+    """Content fingerprint: md5 (cross-engine reproducible) + a 4-hex-char
+    (16-bit) prefix shard key usable for fingerprint-range partition
+    pruning."""
     t = F.col(text_col)
     return df.withColumn("fingerprint", F.md5(t)).withColumn(
         "fp_bucket", F.substring(F.md5(t), 1, 4)

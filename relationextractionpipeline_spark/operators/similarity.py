@@ -580,7 +580,20 @@ def ivf_topk_from_index(
     """IVF search against a materialized index (``build_ivf_index``): no
     training, no corpus-wide assignment UDF — queries assign against the
     read-back centroids and the cell table joins the corpus vectors.
-    Equality with the self-training ``ivf_topk`` is tested."""
+    Equality with the self-training ``ivf_topk`` is tested.
+
+    Pruning and join order matter at scale: the probed cell ids (≤
+    n_clusters values) are collected once and pushed as a STATIC partition
+    filter on the cell-partitioned index scan — the plan's
+    ``PartitionFilters: [cell IN (...)]`` is the IVF prune, so only the
+    probed ``cell=`` directories are listed and read (DPP would express the
+    same thing dynamically, but its benefit heuristic can decline on
+    stats-less tables; the explicit filter is guaranteed).  The cell-keyed
+    query join then runs BEFORE the vectors join, so the full-precision
+    table is touched for candidate rows only.  The previous order (cells ⋈
+    corpus on neighbor_id, THEN the cell join) scanned every index
+    partition and shuffled the whole corpus before any pruning — the exact
+    cost the index exists to avoid."""
     spark = corpus.sparkSession
     cpdf = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").toPandas()
     centroids = np.vstack(cpdf["centroid"].map(np.asarray).to_numpy())
@@ -591,14 +604,15 @@ def ivf_topk_from_index(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
-    c = cells.join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
-    )
-    scored = (
-        c.join(q, "cell")
+    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    cand = (
+        cells.where(F.col("cell").isin(probed))
+        .join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
     )
+    scored = cand.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+    ).withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
