@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from relationextractionpipeline_spark.operators import cache
 
+# Exploded-query-row bound under which ivf_topk_from_index forces a
+# broadcast of the query side (rows carry a full vector each; ~50 MB at
+# 100k rows × 64-dim double) — above it the plan falls back to a shuffle
+# join so a bulk query batch can never OOM an executor on the broadcast.
+QUERY_BCAST_ROWS = 100_000
+
 
 def _collect_query_pdf(queries: DataFrame, cols, max_rows: int = 100_000):
     """Driver-collect the (small) query table with a LIMIT probe first —
@@ -604,10 +610,22 @@ def ivf_topk_from_index(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
-    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    # one tiny job yields BOTH the probed-cell set (the static partition
+    # filter below) and the exploded query-row count, which decides the
+    # join strategy: the broadcast carries full query VECTORS ×nprobe, so
+    # it is only forced while that stays driver-sized — a bulk query batch
+    # falls back to a shuffle join on cell (≤ n_clusters keys; AQE's
+    # skew-join split handles the low key cardinality)
+    per_cell = q.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    probed = sorted(r["cell"] for r in per_cell)
+    q_side = (
+        F.broadcast(q)
+        if sum(r["n"] for r in per_cell) <= QUERY_BCAST_ROWS
+        else q
+    )
     cand = (
         cells.where(F.col("cell").isin(probed))
-        .join(F.broadcast(q), "cell")
+        .join(q_side, "cell")
         .where(F.col("neighbor_id") != F.col(query_id_col))
     )
     scored = cand.join(

@@ -201,21 +201,43 @@ class SnapshotTableIO(TableIO):
         os.makedirs(meta, exist_ok=True)
         lock = os.path.join(meta, "COMMIT.lock")
         fd = None
+        my_ino = None
         for _ in range(200):  # lock holders only do two tiny file ops
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                my_ino = os.fstat(fd).st_ino
                 break
             except FileExistsError:
                 # a writer killed while holding the lock would otherwise
                 # wedge the table forever (every commit spins then raises,
                 # and the retrying callers loop unbounded).  Lock holders
                 # only do tiny metadata ops, so a lock older than
-                # STALE_LOCK_SEC is a crash artifact: break it.  (stat →
-                # remove has a benign TOCTOU — the loser of the re-create
-                # race just keeps waiting.)
+                # STALE_LOCK_SEC is a crash artifact: break it.  The break
+                # re-stats immediately before the remove and only proceeds
+                # if the path still holds the SAME (stale) inode — so a
+                # lock freshly re-created by a racing breaker+acquirer is
+                # not stolen through a stale first stat, and the
+                # inode-verified release below keeps a theft from
+                # cascading to a third writer.  Two windows remain: the
+                # microsecond stat→remove gap (POSIX has no
+                # unlink-if-inode), and the inherent lease-without-fencing
+                # limit — a holder STALLED past STALE_LOCK_SEC races its
+                # breaker and can lose the breaker's committed update.
+                # Production concurrent writers belong on a real catalog's
+                # CAS (Iceberg documents the same limitation for its
+                # Hadoop catalog); locally, 30s against sub-millisecond
+                # critical sections makes a stalled LIVE holder a
+                # non-event.
                 try:
-                    if time.time() - os.stat(lock).st_mtime > self.STALE_LOCK_SEC:
-                        os.remove(lock)
+                    st = os.stat(lock)
+                    if time.time() - st.st_mtime > self.STALE_LOCK_SEC:
+                        st2 = os.stat(lock)
+                        if (
+                            st2.st_ino == st.st_ino
+                            and time.time() - st2.st_mtime
+                            > self.STALE_LOCK_SEC
+                        ):
+                            os.remove(lock)
                         continue
                 except OSError:
                     continue  # holder released between stat attempts
@@ -258,7 +280,15 @@ class SnapshotTableIO(TableIO):
             return snap
         finally:
             os.close(fd)
-            os.remove(lock)
+            # inode-verified release: if a breaker stole this lock while we
+            # held it (we ran past STALE_LOCK_SEC), the path now holds the
+            # breaker's lock — removing it by bare path would cascade the
+            # theft to a third writer.  Only remove what is still OURS.
+            try:
+                if os.stat(lock).st_ino == my_ino:
+                    os.remove(lock)
+            except OSError:
+                pass  # already broken/removed — nothing of ours to release
 
     def _write_data_dir(self, df: DataFrame, name: str) -> tuple[str, int]:
         """Materialize df into a fresh immutable data directory.  Counted

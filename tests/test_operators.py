@@ -221,6 +221,26 @@ def test_ivf_index_materialization_roundtrip(spark, emb, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_ivf_index_shuffle_join_fallback(spark, emb, tmp_path, monkeypatch):
+    """With the query-broadcast bound forced to 0, ivf_topk_from_index takes
+    the shuffle-join branch (the bulk-query path) and must return the same
+    result as the broadcast branch."""
+    idx = str(tmp_path / "ivf_index_sj")
+    similarity.build_ivf_index(emb, idx, n_clusters=8)
+    qs = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bcast = similarity.ivf_topk_from_index(emb, qs, idx, k=5, nprobe=2).toPandas()
+    monkeypatch.setattr(similarity, "QUERY_BCAST_ROWS", 0)
+    shuffled = similarity.ivf_topk_from_index(emb, qs, idx, k=5, nprobe=2).toPandas()
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    a = bcast[cols].sort_values(cols).reset_index(drop=True)
+    b = shuffled[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    spark.catalog.clearCache()
+
+
 def test_lsh_multiprobe_recall_dominates_single_table(spark, emb):
     """Multi-probe candidates include the base bucket (probe 0 IS the
     single-table bucket), so recall vs exact can only go up — without

@@ -123,6 +123,29 @@ def test_ivfpq_rerank_broadcasts_shortlist_not_corpus(spark):
     spark.catalog.clearCache()
 
 
+def test_ivf_index_scan_prunes_to_probed_cells(spark, tmp_path):
+    """ivf_topk_from_index must push the probed cell ids into the
+    cell-partitioned index scan as a static partition filter — the partition
+    prune IS the IVF prune; without it every cell= directory is read and the
+    index is dead weight."""
+    from relationextractionpipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_plan_idx")
+    similarity.build_ivf_index(emb, idx, n_clusters=8)
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk_from_index(emb, qs, idx, k=5, nprobe=2)
+    plan = _plan(out)
+    scans = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "cell" in l and "IN" in l.upper()
+    ]
+    assert scans, f"no cell IN (...) partition filter in plan:\n{plan}"
+    spark.catalog.clearCache()
+
+
 def test_no_query_uses_cartesian_or_row_python(spark):
     """Sweep EVERY driver-contract query's physical plan: no CartesianProduct
     (table-level cross joins are banned — bucketed/broadcast joins only) and

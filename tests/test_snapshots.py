@@ -338,6 +338,31 @@ def test_stale_commit_lock_is_broken(io, spark):
     assert not os.path.exists(lock)
 
 
+def test_release_leaves_stolen_lock_alone(io, spark, monkeypatch):
+    """If a breaker stole the holder's lock mid-commit (the holder stalled
+    past STALE_LOCK_SEC), the holder's release must NOT remove the thief's
+    lock by bare path — that would cascade the theft to a third writer.
+    The release is inode-verified: only the holder's own lock is removed."""
+    io.write(_df(spark, [("a", 1, 1)]), "t")
+    lock = os.path.join(io._meta_dir("t"), "COMMIT.lock")
+    real_rename = os.rename
+
+    def steal_at_head_swap(src, dst):
+        real_rename(src, dst)
+        if dst.endswith("HEAD"):  # holder is inside the critical section
+            os.remove(lock)       # breaker breaks...
+            with open(lock, "w"):
+                pass              # ...and re-acquires (new inode)
+
+    monkeypatch.setattr(os, "rename", steal_at_head_swap)
+    io.write(_df(spark, [("b", 1, 2)]), "t")
+    monkeypatch.undo()
+    # the thief's lock must survive the original holder's release
+    assert os.path.exists(lock)
+    os.remove(lock)
+    assert [r["k"] for r in io.read("t").collect()] == ["b"]
+
+
 def test_iceberg_pinned_read_refuses_silent_head(io, spark, monkeypatch):
     """With an Iceberg runtime, version/as_of_ts pins are not routed to
     time travel yet — the read must refuse rather than silently return

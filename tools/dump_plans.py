@@ -27,6 +27,24 @@ def fmt(df) -> str:
     )
 
 
+def _ivf_index_section(spark):
+    """Build a materialized IVF index in /tmp and return the index-search
+    DataFrame whose plan shows the static cell partition filter."""
+    import tempfile
+
+    from relationextractionpipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = tempfile.mkdtemp(prefix="rex_plans_ivf_idx_")
+    similarity.build_ivf_index(emb, idx, n_clusters=8)
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_from_index(emb, qs, idx, k=5, nprobe=2)
+
+
 def main() -> None:
     spark = get_spark(master="local[4]", shuffle_partitions=8)
     paths = testgen.materialize("tiny")
@@ -70,6 +88,11 @@ def main() -> None:
                  F.col("vec_id") % 100 == 0).select(
                  F.col("vec_id").alias("query_id"), "embedding"),
              k=5)),
+        ("Materialized IVF index search — probed cell ids pushed as a "
+         "STATIC PartitionFilter on the cell-partitioned index scan (the "
+         "partition prune IS the IVF prune); vectors join in candidate-bound "
+         "AFTER the cell join",
+         _ivf_index_section(spark)),
         ("Multi-table LSH top-k — (table_idx, bucket)-keyed candidate join, "
          "distinct pairs BEFORE the vector joins (cosine is candidate-bound, "
          "never L-times duplicated)",
