@@ -7,7 +7,7 @@ corpus (FIXTURES.md — the reference-shaped input the driver tables don't
 provide).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
-(SURVEY.md §2 + the training-data operators).  Every entry (122/122) carries a
+(SURVEY.md §2 + the training-data operators).  Every entry (125/125) carries a
 DuckDB oracle: pure SQL where expressible; otherwise SQL over sequential
 materializations (``sources/oracle_mat.py`` — parses, sketch signatures,
 k-means cells, union-find clusters computed single-threaded and parqueted),
@@ -691,6 +691,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_triangles"] = kg_triangles
+
+    def _canonical_und(spark, sf_dir):
+        """Shared symmetric, self-loop-free, DISTINCT edge view (a, b) over
+        the canonical entity graph — the input contract of the
+        graphalgs undirected operators (same derivation kg_triangles
+        inlines)."""
+        from relationextractionpipeline_spark.operators import canonicalize
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        ed = (
+            edges.where(
+                F.col("subj_canonical").isNotNull()
+                & F.col("obj_canonical").isNotNull()
+                & (F.col("subj_canonical") != F.col("obj_canonical"))
+            )
+            .select(
+                F.least("subj_canonical", "obj_canonical").alias("a"),
+                F.greatest("subj_canonical", "obj_canonical").alias("b"),
+            )
+            .distinct()
+        )
+        return ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    def kg_clustering_coeff(spark, sf_dir):
+        """Local clustering coefficient per canonical entity — the
+        ego-density profile separating clique-like co-mention clusters
+        from star hubs at equal degree (graphalgs.local_clustering:
+        degree-ordered wedge join, O(m^1.5) total, no caps).  The
+        coefficient is a division of two exact integers, bit-identical
+        across engines without any rounding step."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        return (
+            graphalgs.local_clustering(_canonical_und(spark, sf_dir))
+            .orderBy(F.desc("clustering_coeff"), F.desc("degree"),
+                     F.asc("canonical_id"))
+        )
+
+    q["kg_clustering_coeff"] = kg_clustering_coeff
+
+    def kg_walks(spark, sf_dir):
+        """DeepWalk random-walk corpus (graphalgs.random_walks): one
+        3-step walk from every canonical entity, next hop = the neighbor
+        at index md5(seed|cur|step:walk) mod degree over the rank-indexed
+        adjacency — the skip-gram training corpus for graph embeddings,
+        reproducible under any partitioning and replayable in SQL.  Each
+        step is a (node, index) equi-join: per-step cost is O(walks)
+        rows, independent of hub degree."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        return (
+            graphalgs.random_walks(_canonical_und(spark, sf_dir), length=3)
+            .orderBy("seed", "step")
+        )
+
+    q["kg_walks"] = kg_walks
+
+    def kg_neighbor_sample(spark, sf_dir):
+        """GraphSAGE-style deterministic fanout sampling
+        (graphalgs.sample_neighborhood): 2-hop ego-subgraphs with at most
+        (3, 2) neighbors per node per hop, neighbor choice =
+        md5(src|dst:nbr|hop) rank — the bounded minibatch neighborhoods a
+        GNN trainer consumes, where a hub's full 2-hop set would be
+        quadratic.  Seeds = the 200 smallest canonical ids (deterministic
+        slice; at production scale seeds are the training minibatch)."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        und = _canonical_und(spark, sf_dir)
+        seeds = (
+            und.select(F.col("a").alias("node")).distinct()
+            .orderBy("node").limit(200)
+        )
+        return graphalgs.sample_neighborhood(und, seeds, fanouts=(3, 2)).orderBy(
+            "seed", "hop", "src", "dst"
+        )
+
+    q["kg_neighbor_sample"] = kg_neighbor_sample
 
     def kg_pagerank(spark, sf_dir):
         """PageRank over the canonical entity graph — fixed 15-round power
@@ -2806,6 +2886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four ctx variants, two already deferred above).
         "kg_pagerank_weighted",
         "kg_links_ctx_typed",
+        # round 5 (closing session): new undirected-graph family — deferred
+        # so the curated 50-slot window is unchanged; kg_triangles already
+        # gates the wedge-join machinery kg_clustering_coeff extends, and
+        # kg_negatives gates the md5-mod selection kg_walks /
+        # kg_neighbor_sample build on.  All verified by check_parity.
+        "kg_clustering_coeff",
+        "kg_walks",
+        "kg_neighbor_sample",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -2899,6 +2987,27 @@ def oracle_sql() -> dict[str, str]:
     mrows = os.path.join(small, oracle_mat.MENTION_ROWS_FILE)
     assets = os.path.join(DATA_DIR, "assets", "assets96.parquet")
     not_in_wiki = "http://aksw.org/notInWiki/"
+
+    # shared canonical-graph edge CTE (the kg_triangles derivation) for the
+    # round-5 undirected-graph additions — symmetric, self-loop-free,
+    # distinct (a, b) view over the canonicalized edge table
+    _km = os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)
+    und_cte = f"""
+            e AS (
+                SELECT ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{_km}') ks ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{_km}') ko ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+                  AND ks.canonical_id <> ko.canonical_id
+            ),
+            ed AS (
+                SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM e
+            ),
+            und AS (
+                SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed
+            )"""
 
     n_words_sql = (
         "CASE WHEN trim(text) = '' THEN 0 "
@@ -4590,6 +4699,123 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT w FROM tri
             ) GROUP BY canonical_id
             ORDER BY n_triangles DESC, canonical_id ASC
+        """,
+        "kg_clustering_coeff": f"""
+            WITH {und_cte},
+            deg AS (SELECT a AS n, count(*) AS d FROM und GROUP BY a),
+            oriented AS (
+                SELECT u.a AS u, u.b AS v
+                FROM und u
+                JOIN deg da ON da.n = u.a
+                JOIN deg db ON db.n = u.b
+                WHERE da.d < db.d OR (da.d = db.d AND u.a < u.b)
+            ),
+            wedges AS (
+                SELECT x.u AS u, x.v AS v, y.v AS w
+                FROM oriented x JOIN oriented y
+                  ON x.u = y.u AND x.v < y.v
+            ),
+            tri AS (
+                SELECT w.u, w.v, w.w
+                FROM wedges w JOIN und e2 ON e2.a = w.v AND e2.b = w.w
+            ),
+            tpn AS (
+                SELECT n, count(*) AS t FROM (
+                    SELECT u AS n FROM tri
+                    UNION ALL SELECT v FROM tri
+                    UNION ALL SELECT w FROM tri
+                ) GROUP BY n
+            )
+            SELECT deg.n AS canonical_id, deg.d AS degree,
+                   coalesce(tpn.t, 0) AS n_triangles,
+                   CASE WHEN deg.d >= 2
+                        THEN (coalesce(tpn.t, 0) * 2)::DOUBLE
+                             / (deg.d * (deg.d - 1))::DOUBLE
+                        ELSE 0.0 END AS clustering_coeff
+            FROM deg LEFT JOIN tpn ON tpn.n = deg.n
+            ORDER BY clustering_coeff DESC, degree DESC, canonical_id ASC
+        """,
+        # shared md5 primitive (sampling.hash_bucket): next hop = the
+        # neighbor at index md5(seed|cur|step:walk) mod degree over the
+        # rank-indexed adjacency — the identical pure function the Spark
+        # operator evaluates, one unrolled CTE per step
+        "kg_walks": f"""
+            WITH {und_cte},
+            adj AS (
+                SELECT a AS src, b AS dst,
+                       row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx
+                FROM und
+            ),
+            degs AS (SELECT a AS src, count(*) AS deg FROM und GROUP BY a),
+            w0 AS (SELECT DISTINCT a AS seed, 0 AS step, a AS node FROM und),
+            w1 AS (
+                SELECT w.seed, 1 AS step, adj.dst AS node
+                FROM w0 w
+                JOIN degs d ON d.src = w.node
+                JOIN adj ON adj.src = w.node AND adj.idx =
+                  (('0x' || substr(md5(w.seed || '|' || w.node || '|1:walk'), 1, 8))::BIGINT % d.deg)
+            ),
+            w2 AS (
+                SELECT w.seed, 2 AS step, adj.dst AS node
+                FROM w1 w
+                JOIN degs d ON d.src = w.node
+                JOIN adj ON adj.src = w.node AND adj.idx =
+                  (('0x' || substr(md5(w.seed || '|' || w.node || '|2:walk'), 1, 8))::BIGINT % d.deg)
+            ),
+            w3 AS (
+                SELECT w.seed, 3 AS step, adj.dst AS node
+                FROM w2 w
+                JOIN degs d ON d.src = w.node
+                JOIN adj ON adj.src = w.node AND adj.idx =
+                  (('0x' || substr(md5(w.seed || '|' || w.node || '|3:walk'), 1, 8))::BIGINT % d.deg)
+            )
+            SELECT seed, step, node FROM (
+                SELECT * FROM w0 UNION ALL SELECT * FROM w1
+                UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+            ) ORDER BY seed, step
+        """,
+        # per-(node, hop) shared sample: rank = md5(src|dst:nbr|hop), ties
+        # on the neighbor id — the same windows the Spark operator plans
+        "kg_neighbor_sample": f"""
+            WITH {und_cte},
+            s1 AS (
+                SELECT src, dst FROM (
+                    SELECT a AS src, b AS dst,
+                           row_number() OVER (
+                               PARTITION BY a
+                               ORDER BY ('0x' || substr(md5(a || '|' || b || ':nbr|1'), 1, 8))::BIGINT ASC,
+                                        b ASC
+                           ) AS rn
+                    FROM und
+                ) WHERE rn <= 3
+            ),
+            s2 AS (
+                SELECT src, dst FROM (
+                    SELECT a AS src, b AS dst,
+                           row_number() OVER (
+                               PARTITION BY a
+                               ORDER BY ('0x' || substr(md5(a || '|' || b || ':nbr|2'), 1, 8))::BIGINT ASC,
+                                        b ASC
+                           ) AS rn
+                    FROM und
+                ) WHERE rn <= 2
+            ),
+            seeds AS (
+                SELECT node FROM (SELECT DISTINCT a AS node FROM und)
+                ORDER BY node LIMIT 200
+            ),
+            h1 AS (
+                SELECT DISTINCT s.node AS seed, 1 AS hop, s1.src, s1.dst
+                FROM seeds s JOIN s1 ON s1.src = s.node
+            ),
+            f1 AS (SELECT DISTINCT seed, dst AS node FROM h1),
+            h2 AS (
+                SELECT DISTINCT f.seed, 2 AS hop, s2.src, s2.dst
+                FROM f1 f JOIN s2 ON s2.src = f.node
+            )
+            SELECT seed, hop, src, dst FROM (
+                SELECT * FROM h1 UNION ALL SELECT * FROM h2
+            ) ORDER BY seed, hop, src, dst
         """,
         # sequential-materialization oracle (oracle_mat pattern): the numpy
         # power iteration runs the identical recurrence single-threaded

@@ -528,3 +528,190 @@ def metapath_census(
             F.countDistinct("mid").alias("n_mids"),
         )
     )
+
+
+def local_clustering(und: DataFrame) -> DataFrame:
+    """Per-entity local clustering coefficient over an undirected graph:
+    cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), the ego-density signal
+    that separates clique-like entity neighborhoods (tight co-mention
+    clusters) from star-like hubs at the same degree.
+
+    ``und`` is the symmetric, self-loop-free, distinct edge view with
+    columns (a, b) — the same input contract as the triangle counter in
+    ``__spark_entry__.kg_triangles``, whose degree-ordered orientation
+    this reuses: each undirected edge kept once pointing low→high
+    (degree, id), so wedge-join work is O(m^1.5) TOTAL regardless of hub
+    skew (a hub's wedges are built from its O(sqrt(m)) out-edges, never
+    its full degree).  Three id-keyed hash joins + two aggregates; no
+    caps, no sampling — exact at any scale.
+
+    Every node with degree ≥ 1 gets a row (triangle count coalesced to
+    0).  The coefficient divides two exactly-representable integers, so
+    the double is bit-identical on any engine (no rounding step needed —
+    see NOTES.md float-determinism lessons for why we avoid F.round).
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-analytics
+    surface.
+    """
+    deg = und.groupBy(F.col("a").alias("n")).agg(F.count("*").alias("d"))
+    oriented = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.u") == F.col("y.u"))
+        .where(F.col("x.v") < F.col("y.v"))
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("x.v").alias("v"),
+            F.col("y.v").alias("w"),
+        )
+    )
+    tri = wedges.join(
+        und.select(F.col("a").alias("v2"), F.col("b").alias("w2")),
+        (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2")),
+        "left_semi",
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(tri_per_node, "n", "left")
+        .select(
+            F.col("n").alias("canonical_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                (F.coalesce(F.col("t"), F.lit(0)) * 2).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+def random_walks(und: DataFrame, length: int = 3, salt: str = "walk") -> DataFrame:
+    """Deterministic uniform random-walk corpus (DeepWalk, Perozzi et al.
+    2014) over an undirected graph: one walk of ``length`` steps from
+    EVERY node, the skip-gram training corpus for graph embeddings — the
+    KG-side analog of the text pipeline's training-sequence exports.
+
+    Randomness is a pure function of (seed, current node, step) via the
+    shared md5 primitive (``sampling.hash_bucket``), so the corpus is
+    reproducible under any partitioning AND replayable in SQL: next hop
+    = neighbor at index md5(seed|cur|step:salt) mod degree(cur), over
+    the adjacency list rank-indexed by neighbor id.
+
+    Dataflow: the adjacency table is rank-indexed once (one window keyed
+    on the source node), then each step is ONE equi-join on (node,
+    index) — a walk row matches exactly one adjacency row, so per-step
+    cost is O(walks) rows independent of hub degree (a degree-d hub
+    costs d adjacency rows total, never d² path work).  ``und`` must be
+    the symmetric distinct edge view (a, b), self-loop-free — every node
+    drawn from it has degree ≥ 1, so walks never dead-end.
+
+    Returns (seed, step, node): step 0 is the seed itself; one row per
+    visited position.  Beyond-reference surface (no reference analog).
+    """
+    from . import sampling
+
+    adj = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = cache.track(adj.withColumn("idx", F.row_number().over(w) - 1))
+    degs = cache.track(adj.groupBy("src").agg(F.count("*").alias("deg")))
+
+    walk = und.select(F.col("a").alias("seed")).distinct().select(
+        "seed", F.lit(0).alias("step"), F.col("seed").alias("node")
+    )
+    out = [walk]
+    cur = walk
+    for t in range(1, length + 1):
+        probe = cur.select("seed", F.col("node").alias("src"))
+        pick = sampling.hash_bucket(
+            F.concat(
+                F.col("seed"), F.lit("|"), F.col("src"), F.lit("|"), F.lit(str(t))
+            ),
+            salt,
+        )
+        # degree first (1:1 id-keyed join), THEN the (node, index) equi-join
+        # — a walk row matches exactly one adjacency row, so hub degree
+        # never multiplies walk rows (the post-join-filter alternative
+        # would fan each walk out by deg(cur) before filtering)
+        probe = probe.join(degs, "src").withColumn("pick", pick % F.col("deg"))
+        nxt = (
+            probe.join(adj, (probe["src"] == adj["src"]) & (probe["pick"] == adj["idx"]))
+            .select(
+                "seed", F.lit(t).alias("step"), F.col("dst").alias("node")
+            )
+        )
+        nxt = cache.checkpoint(nxt)
+        out.append(nxt)
+        cur = nxt
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.union(nxt)
+    return res
+
+
+def sample_neighborhood(
+    und: DataFrame,
+    seeds: DataFrame,
+    fanouts=(3, 2),
+    salt: str = "nbr",
+) -> DataFrame:
+    """GraphSAGE-style (Hamilton et al. 2017) deterministic fanout
+    sampling: the k-hop ego-subgraphs a minibatch GNN trainer consumes,
+    with at most ``fanouts[h]`` neighbors kept per node at hop h+1.
+
+    Sampling is per (node, hop) — node n's hop-h sample is the SAME for
+    every seed whose frontier reaches it (the shared-sample convention
+    that keeps the sampled adjacency a bounded TABLE rather than
+    per-seed state): neighbor ranks are md5(src|dst:salt|h) with ties
+    broken on the neighbor id, one window per hop keyed on the source
+    node.  Hop expansion is then pure equi-joins against these
+    pre-sampled adjacency tables, so frontier growth is bounded by
+    Π fanouts per seed — the property that makes minibatch GNN training
+    tractable on hub-skewed graphs where a full 2-hop neighborhood of a
+    degree-10⁵ hub would be billions of rows.
+
+    ``und`` is the symmetric distinct (a, b) edge view; ``seeds`` has one
+    column ``node``.  Returns DISTINCT (seed, hop, src, dst) edges of
+    the sampled ego-graph, hop numbered from 1.  Beyond-reference
+    surface (no reference analog).
+    """
+    from . import sampling
+
+    adj = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    sampled = []
+    for h, f in enumerate(fanouts, start=1):
+        rk = sampling.hash_bucket(
+            F.concat(F.col("src"), F.lit("|"), F.col("dst")),
+            "%s|%d" % (salt, h),
+        )
+        w = Window.partitionBy("src").orderBy(rk.asc(), F.col("dst").asc())
+        sampled.append(
+            adj.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= f)
+            .drop("rn")
+        )
+    frontier = seeds.select(F.col("node").alias("seed"), F.col("node").alias("src"))
+    out = None
+    for h, s in enumerate(sampled, start=1):
+        hop_edges = frontier.join(s, "src").select(
+            "seed", F.lit(h).alias("hop"), "src", "dst"
+        )
+        hop_edges = cache.checkpoint(hop_edges.distinct())
+        out = hop_edges if out is None else out.union(hop_edges)
+        frontier = hop_edges.select("seed", F.col("dst").alias("src")).distinct()
+    return out

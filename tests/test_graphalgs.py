@@ -419,3 +419,179 @@ def test_metapath_census_partition_invariant(spark):
         map(tuple, graphalgs.metapath_census(df.repartition(7, "pred")).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+
+
+UND_EDGES = [
+    # K4 clique a-b-c-d, pendant e off a, isolated pair f-g
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ("a", "e"), ("f", "g"),
+]
+
+
+def _und_df(spark, edges):
+    ed = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    both = ed + [(b, a) for a, b in ed]
+    return spark.createDataFrame(both, "a string, b string")
+
+
+def _py_clustering(edges):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(
+            1
+            for i, u in enumerate(sorted(nbrs))
+            for v in sorted(nbrs)[i + 1:]
+            if v in adj[u]
+        )
+        cc = (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0
+        out[n] = (d, t, cc)
+    return out
+
+
+def test_local_clustering_matches_bruteforce(spark):
+    got = {
+        r["canonical_id"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in graphalgs.local_clustering(_und_df(spark, UND_EDGES)).collect()
+    }
+    assert got == _py_clustering(UND_EDGES)
+    # spot-check the shapes: clique interior is 1.0, pendant/star endpoints 0
+    assert got["b"][2] == 1.0 and got["c"][2] == 1.0 and got["d"][2] == 1.0
+    assert got["e"] == (1, 0, 0.0) and got["f"] == (1, 0, 0.0)
+    # a: degree 4 (clique + pendant), 3 triangles -> 6/12
+    assert got["a"] == (4, 3, 0.5)
+
+
+def test_local_clustering_partition_invariant(spark):
+    und = _und_df(spark, UND_EDGES)
+    a = sorted(map(tuple, graphalgs.local_clustering(und.repartition(7)).collect()))
+    b = sorted(map(tuple, graphalgs.local_clustering(und.coalesce(1)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks
+
+
+def _h32(payload: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(payload.encode()).hexdigest()[:8], 16)
+
+
+def _py_walks(edges, length=3, salt="walk"):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    for seed in adj:
+        cur = seed
+        rows.append((seed, 0, seed))
+        for t in range(1, length + 1):
+            nbrs = sorted(adj[cur])
+            cur = nbrs[_h32(f"{seed}|{cur}|{t}:{salt}") % len(nbrs)]
+            rows.append((seed, t, cur))
+    return sorted(rows)
+
+
+def test_random_walks_match_sequential_replica(spark):
+    und = _und_df(spark, UND_EDGES)
+    got = sorted(
+        (r["seed"], r["step"], r["node"])
+        for r in graphalgs.random_walks(und, length=3).collect()
+    )
+    cache.release_all(checkpoints=True)
+    assert got == _py_walks(UND_EDGES, length=3)
+    # every step follows a real edge
+    adj = {(a, b) for a, b in UND_EDGES} | {(b, a) for a, b in UND_EDGES}
+    byw = {}
+    for seed, step, node in got:
+        byw.setdefault(seed, {})[step] = node
+    for seed, path in byw.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        for t in range(1, 4):
+            assert (path[t - 1], path[t]) in adj
+
+
+def test_random_walks_partition_invariant(spark):
+    und = _und_df(spark, UND_EDGES)
+    a = sorted(map(tuple, graphalgs.random_walks(und.repartition(5), 2).collect()))
+    cache.release_all(checkpoints=True)
+    b = sorted(map(tuple, graphalgs.random_walks(und.coalesce(1), 2).collect()))
+    cache.release_all(checkpoints=True)
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style neighborhood sampling
+
+
+def _py_neighbor_sample(edges, seeds, fanouts=(3, 2), salt="nbr"):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sampled = []
+    for h, f in enumerate(fanouts, start=1):
+        s = {
+            n: sorted(nbrs, key=lambda d: (_h32(f"{n}|{d}:{salt}|{h}"), d))[:f]
+            for n, nbrs in adj.items()
+        }
+        sampled.append(s)
+    rows = set()
+    frontier = {(s, s) for s in seeds}
+    for h, s in enumerate(sampled, start=1):
+        nxt = set()
+        for seed, node in frontier:
+            for d in s.get(node, []):
+                rows.add((seed, h, node, d))
+                nxt.add((seed, d))
+        frontier = nxt
+    return sorted(rows)
+
+
+def test_sample_neighborhood_matches_replica_and_bounds(spark):
+    und = _und_df(spark, UND_EDGES)
+    seeds_py = ["a", "f"]
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "node string")
+    got = sorted(
+        (r["seed"], r["hop"], r["src"], r["dst"])
+        for r in graphalgs.sample_neighborhood(und, seeds, fanouts=(3, 2)).collect()
+    )
+    cache.release_all(checkpoints=True)
+    assert got == _py_neighbor_sample(UND_EDGES, seeds_py, fanouts=(3, 2))
+    # fanout bound: per (seed, hop, src) at most fanouts[hop-1] edges
+    from collections import Counter
+
+    cnt = Counter((s, h, u) for s, h, u, _ in got)
+    for (s, h, u), c in cnt.items():
+        assert c <= (3, 2)[h - 1]
+    # a's hop-1 keeps 3 of its 4 real neighbors; f (degree 1) keeps 1
+    assert cnt[("a", 1, "a")] == 3 and cnt[("f", 1, "f")] == 1
+
+
+def test_sample_neighborhood_partition_invariant(spark):
+    und = _und_df(spark, UND_EDGES)
+    seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+    a = sorted(map(tuple, graphalgs.sample_neighborhood(
+        und.repartition(5), seeds, (2, 1)).collect()))
+    cache.release_all(checkpoints=True)
+    b = sorted(map(tuple, graphalgs.sample_neighborhood(
+        und.coalesce(1), seeds, (2, 1)).collect()))
+    cache.release_all(checkpoints=True)
+    assert a == b
