@@ -13,19 +13,60 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# REX_SUBMIT=1: launch each level via `spark-submit --py-files` (the north
+# rule's ship path) instead of a plain python subprocess.  The driver script
+# is copied OUTSIDE the repo and run with a non-repo cwd, so every
+# relationextractionpipeline_spark import must resolve from the zip —
+# the measurement then doubles as end-to-end evidence that the packaged
+# artifact is what scales.
+SUBMIT = os.environ.get("REX_SUBMIT") == "1"
+_SUBMIT_DIR = None
+
+
+def _submit_cmd(cpus: int, scale: str, out_dir: str, job: str) -> list:
+    global _SUBMIT_DIR
+    if _SUBMIT_DIR is None:
+        _SUBMIT_DIR = tempfile.mkdtemp(prefix="rex_submit_")
+        subprocess.run(
+            ["sh", os.path.join(REPO, "tools", "package_pyfiles.sh"),
+             os.path.join(_SUBMIT_DIR, "rex_spark.zip")],
+            check=True, capture_output=True,
+        )
+    script = os.path.join(_SUBMIT_DIR, job)
+    shutil.copy(os.path.join(REPO, "tools", job), script)
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    return [
+        spark_submit, "--master", f"local[{cpus}]",
+        "--py-files", os.path.join(_SUBMIT_DIR, "rex_spark.zip"),
+        script, str(cpus), scale, out_dir,
+    ]
 
 
 def run_job(cpus: int, scale: str, job: str = "kg_job.py") -> dict:
     out_dir = f"/tmp/rex_bench_triples_{job.split('.')[0]}_{cpus}"
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", job),
-         str(cpus), scale, out_dir],
-        capture_output=True, text=True, check=True, cwd=REPO,
-    )
+    if SUBMIT:
+        env = dict(os.environ)
+        # reuse the repo's deterministic input cache; everything else (code,
+        # imports) comes from the zip
+        env.setdefault("REX_SPARK_DATA_DIR", os.path.join(REPO, "data"))
+        r = subprocess.run(
+            _submit_cmd(cpus, scale, out_dir, job),
+            capture_output=True, text=True, check=True, cwd=_SUBMIT_DIR,
+            env=env,
+        )
+    else:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", job),
+             str(cpus), scale, out_dir],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
     last = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(last)
 
@@ -113,6 +154,7 @@ def main() -> None:
     eff = med["eff"]
     report = {
         "scale": scale,
+        "launcher": "spark-submit --py-files" if SUBMIT else "python",
         "low": res_lo,
         "high": res_hi,
         "core_ratio": hi / lo,
@@ -148,6 +190,10 @@ Same job (read transcripts → fused KG extraction → write triples parquet),
 same input (`{scale}` scale: {res_lo['turns']} turns, seed-42 synthetic
 transcripts per FIXTURES.md), two parallelism levels in separate JVMs —
 the sandbox stand-in for N→4N executors (driver instruction).
+Launcher: **{report['launcher']}**{' — each level shipped as `spark-submit'
+' --py-files rex_spark.zip` with the driver script outside the repo, so all'
+' engine imports resolve from the packaged artifact (the north rule ship'
+' path), run with REX_SUBMIT=1' if SUBMIT else ''}.
 
 | parallelism | wall sec | turns/sec (median pair) | all runs (tps) | triples |
 |---|---|---|---|---|
