@@ -630,63 +630,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vertex is then O(sqrt(m)), so the wedge self-join is O(m^1.5)
         TOTAL regardless of hub skew — the standard scalable formulation
         (no cap, no recall trade, unlike kg_two_hop's bounded variant).
-        Three hash joins + one aggregate; every shuffle is on entity
-        ids."""
-        from relationextractionpipeline_spark.operators import canonicalize
+        Three hash joins + one aggregate; every shuffle is on entity ids.
+        Shares graphalgs.local_clustering's wedge join over the ONE
+        checkpointed edge view (_canonical_und below) — probing the
+        symmetric view is identical to probing oriented ∪ swapped, since
+        every undirected edge appears in the orientation exactly once."""
+        from relationextractionpipeline_spark.operators import graphalgs
 
-        if _small_scale(sf_dir):
-            oracle_mat.entity_clusters(_scale_for(sf_dir))
-        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
-        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
-        ed = (
-            edges.where(
-                F.col("subj_canonical").isNotNull()
-                & F.col("obj_canonical").isNotNull()
-                & (F.col("subj_canonical") != F.col("obj_canonical"))
-            )
-            .select(
-                F.least("subj_canonical", "obj_canonical").alias("a"),
-                F.greatest("subj_canonical", "obj_canonical").alias("b"),
-            )
-            .distinct()
-        )
-        und = ed.union(
-            ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        deg = und.groupBy(F.col("a").alias("n")).agg(F.count("*").alias("d"))
-        oriented = (
-            und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
-            .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
-            .where(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-            )
-            .select(F.col("a").alias("u"), F.col("b").alias("v"))
-        )
-        wedges = (
-            oriented.alias("x")
-            .join(oriented.alias("y"), F.col("x.u") == F.col("y.u"))
-            .where(F.col("x.v") < F.col("y.v"))
-            .select(
-                F.col("x.u").alias("u"),
-                F.col("x.v").alias("v"),
-                F.col("y.v").alias("w"),
-            )
-        )
-        tri = wedges.join(
-            oriented.select(F.col("u").alias("v2"), F.col("v").alias("w2"))
-            .union(
-                oriented.select(F.col("v").alias("v2"), F.col("u").alias("w2"))
-            ),
-            (F.col("v") == F.col("v2")) & (F.col("w") == F.col("w2")),
-            "left_semi",
-        )
         return (
-            tri.select(
-                F.explode(F.array("u", "v", "w")).alias("canonical_id")
-            )
-            .groupBy("canonical_id")
-            .agg(F.count("*").alias("n_triangles"))
+            graphalgs.local_clustering(_canonical_und(spark, sf_dir))
+            .where(F.col("n_triangles") > 0)
+            .select("canonical_id", "n_triangles")
             .orderBy(F.desc("n_triangles"), F.asc("canonical_id"))
         )
 
@@ -715,7 +669,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .distinct()
         )
-        return ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        und = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # one materialization: the wedge/adjacency operators reference this
+        # view from several join branches — without the checkpoint each
+        # branch re-executes the whole extract+canonicalize chain (the CC
+        # input-plan lesson from the round-5 review pass)
+        from relationextractionpipeline_spark.operators import cache
+
+        return cache.checkpoint(und)
 
     def kg_clustering_coeff(spark, sf_dir):
         """Local clustering coefficient per canonical entity — the

@@ -220,6 +220,19 @@ def main() -> None:
              run["triples"].select(
                  F.col("subj").alias("s"), F.col("pred").alias("p"),
                  F.col("obj").alias("o")))),
+        ("Local clustering coefficient — degree-ordered wedge join "
+         "(O(m^1.5) total, hub-skew-proof), left-semi triangle probe, "
+         "degree left-join back; all shuffles keyed on entity ids",
+         entrymod.queries()["kg_clustering_coeff"](spark, SF)),
+        ("Random-walk corpus — rank-indexed adjacency (one window per "
+         "source node), then each step is a degree join + ONE (node, index) "
+         "equi-join: a walk row matches exactly one adjacency row, hub "
+         "degree never multiplies walk rows",
+         entrymod.queries()["kg_walks"](spark, SF)),
+        ("GraphSAGE neighbor sampling — per-hop md5-ranked windows bound "
+         "each node's sample to the fanout; hop expansion is equi-joins "
+         "against the pre-sampled adjacency, frontier ≤ Π fanouts per seed",
+         entrymod.queries()["kg_neighbor_sample"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
