@@ -646,17 +646,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triangles"] = kg_triangles
 
-    def _canonical_und(spark, sf_dir):
-        """Shared symmetric, self-loop-free, DISTINCT edge view (a, b) over
-        the canonical entity graph — the input contract of the
-        graphalgs undirected operators (same derivation kg_triangles
-        inlines)."""
+    def _entities_and_und(spark, sf_dir):
+        """Canonical entity table + the shared symmetric, self-loop-free,
+        DISTINCT edge view (a, b) over the canonical entity graph — the
+        input contract of the graphalgs undirected operators.  The edge
+        view is checkpointed once; every consumer probes the same blocks."""
         from relationextractionpipeline_spark.operators import canonicalize
 
         if _small_scale(sf_dir):
             oracle_mat.entity_clusters(_scale_for(sf_dir))
         run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
-        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
         ed = (
             edges.where(
                 F.col("subj_canonical").isNotNull()
@@ -676,7 +676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # input-plan lesson from the round-5 review pass)
         from relationextractionpipeline_spark.operators import cache
 
-        return cache.checkpoint(und)
+        return entities, cache.checkpoint(und)
+
+    def _canonical_und(spark, sf_dir):
+        """Edge view only (most undirected-graph queries need no types)."""
+        _entities, und = _entities_and_und(spark, sf_dir)
+        return und
 
     def kg_clustering_coeff(spark, sf_dir):
         """Local clustering coefficient per canonical entity — the
@@ -732,6 +737,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_neighbor_sample"] = kg_neighbor_sample
+
+    def kg_type_propagate(spark, sf_dir):
+        """FIGER type inference for UNLINKED entities: clamped-seed label
+        propagation (graphalgs.propagate_labels) over the canonical
+        co-occurrence graph.  Seeds = canonical entities holding at least
+        one linked FIGER path type (label = lexicographically smallest
+        path type, matching the deterministic-tie-break convention);
+        two synchronous rounds extend types to the notInWiki remainder —
+        the coverage step between canonicalization and ontology mapping.
+        Each round: one label-keyed equi-join + one vote aggregate + one
+        row_number window, all shuffles on entity ids; round additions
+        checkpointed.  The oracle replays BOTH rounds in pure SQL."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        entities, und = _entities_and_und(spark, sf_dir)
+        seeds = entities.select(
+            F.col("canonical_id").alias("node"),
+            F.array_min(
+                F.filter("types", lambda t: t.startswith("/"))
+            ).alias("label"),
+        ).where(F.col("label").isNotNull())
+        return (
+            graphalgs.propagate_labels(und, seeds, rounds=2)
+            .select(
+                F.col("node").alias("canonical_id"),
+                F.col("label").alias("figer_type"),
+                "round",
+            )
+            .orderBy("round", "canonical_id")
+        )
+
+    q["kg_type_propagate"] = kg_type_propagate
 
     def kg_pagerank(spark, sf_dir):
         """PageRank over the canonical entity graph — fixed 15-round power
@@ -2855,6 +2892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering_coeff",
         "kg_walks",
         "kg_neighbor_sample",
+        # round 5 (this session): type propagation joins the deferred
+        # undirected-graph family for the same reason — kg_type_rollup
+        # gates the type derivation, kg_entities the canonical graph
+        "kg_type_propagate",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -2968,6 +3009,46 @@ def oracle_sql() -> dict[str, str]:
             ),
             und AS (
                 SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed
+            )"""
+
+    # shared canonical-entity FIGER-type CTE (the kg_type_rollup
+    # derivation): canonical_id → linked path types ('/...' only)
+    typed_cte = f"""
+            best AS (
+                SELECT surface, url AS kb_url FROM (
+                    SELECT surface, url,
+                           row_number() OVER (
+                               PARTITION BY surface
+                               ORDER BY prior DESC, url ASC
+                           ) AS rn
+                    FROM read_parquet('{small}/entity_kb.parquet')
+                ) WHERE rn = 1
+            ),
+            linked AS (
+                SELECT DISTINCT mr.surface,
+                       coalesce(
+                           b.kb_url,
+                           '{not_in_wiki}' || replace(mr.surface, ' ', '_')
+                       ) AS url
+                FROM read_parquet('{mrows}') mr
+                LEFT JOIN best b USING (surface)
+            ),
+            refs AS (
+                SELECT DISTINCT
+                       CASE WHEN l.url LIKE '%notInWiki%'
+                            THEN replace(l.surface, ' ', '_')
+                            ELSE regexp_extract(l.url, '([^/]+)$', 1)
+                       END AS ent_key,
+                       coalesce(nullif(f.figer_type, ''), 'none') AS figer
+                FROM linked l
+                LEFT JOIN read_parquet('{small}/figer_map.parquet') f
+                  ON f.url = l.url
+            ),
+            typed AS (
+                SELECT DISTINCT k.canonical_id, r.figer
+                FROM refs r
+                JOIN read_parquet('{_km}') k USING (ent_key)
+                WHERE r.figer LIKE '/%'
             )"""
 
     n_words_sql = (
@@ -3841,43 +3922,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "kg_type_rollup": f"""
-            WITH best AS (
-                SELECT surface, url AS kb_url FROM (
-                    SELECT surface, url,
-                           row_number() OVER (
-                               PARTITION BY surface
-                               ORDER BY prior DESC, url ASC
-                           ) AS rn
-                    FROM read_parquet('{small}/entity_kb.parquet')
-                ) WHERE rn = 1
-            ),
-            linked AS (
-                SELECT DISTINCT mr.surface,
-                       coalesce(
-                           b.kb_url,
-                           '{not_in_wiki}' || replace(mr.surface, ' ', '_')
-                       ) AS url
-                FROM read_parquet('{mrows}') mr
-                LEFT JOIN best b USING (surface)
-            ),
-            refs AS (
-                SELECT DISTINCT
-                       CASE WHEN l.url LIKE '%notInWiki%'
-                            THEN replace(l.surface, ' ', '_')
-                            ELSE regexp_extract(l.url, '([^/]+)$', 1)
-                       END AS ent_key,
-                       coalesce(nullif(f.figer_type, ''), 'none') AS figer
-                FROM linked l
-                LEFT JOIN read_parquet('{small}/figer_map.parquet') f
-                  ON f.url = l.url
-            ),
-            typed AS (
-                SELECT DISTINCT k.canonical_id, r.figer
-                FROM refs r
-                JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') k
-                  USING (ent_key)
-                WHERE r.figer LIKE '/%'
-            ),
+            WITH {typed_cte},
             expanded AS (
                 SELECT canonical_id,
                        '/' || array_to_string(
@@ -3894,6 +3939,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT type_node,
                    count(DISTINCT canonical_id)::BIGINT AS n_entities
             FROM expanded GROUP BY type_node
+        """,
+        "kg_type_propagate": f"""
+            WITH {und_cte},
+            {typed_cte},
+            l0 AS (
+                SELECT canonical_id AS node, min(figer) AS label, 0 AS round
+                FROM typed GROUP BY canonical_id
+            ),
+            v1 AS (
+                SELECT u.a AS node, l.label, count(*) AS c
+                FROM und u JOIN l0 l ON l.node = u.b
+                WHERE u.a NOT IN (SELECT node FROM l0)
+                GROUP BY 1, 2
+            ),
+            n1 AS (
+                SELECT node, label, 1 AS round FROM (
+                    SELECT node, label,
+                           row_number() OVER (
+                               PARTITION BY node ORDER BY c DESC, label ASC
+                           ) AS rn
+                    FROM v1
+                ) WHERE rn = 1
+            ),
+            l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+            v2 AS (
+                SELECT u.a AS node, l.label, count(*) AS c
+                FROM und u JOIN l1 l ON l.node = u.b
+                WHERE u.a NOT IN (SELECT node FROM l1)
+                GROUP BY 1, 2
+            ),
+            n2 AS (
+                SELECT node, label, 2 AS round FROM (
+                    SELECT node, label,
+                           row_number() OVER (
+                               PARTITION BY node ORDER BY c DESC, label ASC
+                           ) AS rn
+                    FROM v2
+                ) WHERE rn = 1
+            )
+            SELECT node AS canonical_id, label AS figer_type,
+                   round::INT AS round
+            FROM (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+            ORDER BY round, canonical_id
         """,
         "q_dedup_convs": f"""
             WITH docs AS (

@@ -715,3 +715,64 @@ def sample_neighborhood(
         out = hop_edges if out is None else out.union(hop_edges)
         frontier = hop_edges.select("seed", F.col("dst").alias("src")).distinct()
     return out
+
+
+def propagate_labels(
+    und: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation with clamped seeds: unlabeled
+    nodes adopt the label held by the most of their already-labeled
+    neighbors, one synchronous round at a time — the standard KG type-
+    inference step that extends sparse gold types (here: FIGER types of
+    LINKED entities) to the unlinked remainder over the co-occurrence
+    structure.
+
+    Determinism is by construction, not convergence: seeds never change
+    (clamping), a node labeled in round r is frozen from round r+1 on,
+    and each round's argmax breaks ties on (vote count DESC, label ASC)
+    — so the result is a pure function of (graph, seeds, rounds) under
+    any partitioning, and each round is expressible in ANSI SQL (the
+    oracle replays both rounds; no fixpoint/oscillation semantics to
+    approximate, unlike unclamped LPA community detection whose
+    synchronous variant need not converge).
+
+    ``und`` is the symmetric, self-loop-free, distinct (a, b) edge view;
+    ``seeds`` has columns (node, label).  Each round is two shuffles —
+    a label-keyed equi-join (labels table is O(V), edge-side shuffle on
+    node ids with map-side-combined vote counts) and one row_number
+    window per newly-labeled node — with the round's additions
+    checkpointed so lineage stays O(rounds).  Returns (node, label,
+    round): round 0 = seeds, r ≥ 1 = adopted in round r; nodes never
+    reached by a labeled neighbor are absent.
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG surface.
+    """
+    labels = cache.checkpoint(
+        seeds.select("node", "label", F.lit(0).alias("round"))
+    )
+    for r in range(1, rounds + 1):
+        # anti-join FIRST so labeled nodes never enter the vote aggregate
+        # (each round would otherwise re-count votes for every node
+        # labeled in earlier rounds, then throw them away)
+        open_edges = und.join(
+            labels.select(F.col("node").alias("a")), "a", "left_anti"
+        )
+        votes = (
+            open_edges.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        new = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label", F.lit(r).alias("round"))
+        )
+        new = cache.checkpoint(new)
+        labels = labels.union(new)
+    return labels

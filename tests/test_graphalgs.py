@@ -595,3 +595,90 @@ def test_sample_neighborhood_partition_invariant(spark):
         und.coalesce(1), seeds, (2, 1)).collect()))
     cache.release_all(checkpoints=True)
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# propagate_labels
+# --------------------------------------------------------------------------
+
+
+def _collect_labels(spark, edges, seeds, rounds=2):
+    und = _und_df(spark, edges)
+    sd = spark.createDataFrame(seeds, "node string, label string")
+    got = {
+        r["node"]: (r["label"], r["round"])
+        for r in graphalgs.propagate_labels(und, sd, rounds=rounds).collect()
+    }
+    cache.release_all(checkpoints=True)
+    return got
+
+
+def test_propagate_labels_chain_multi_round(spark):
+    # s -- x -- y: x adopts in round 1, y in round 2
+    got = _collect_labels(spark, [("s", "x"), ("x", "y")], [("s", "/person")])
+    assert got == {
+        "s": ("/person", 0),
+        "x": ("/person", 1),
+        "y": ("/person", 2),
+    }
+
+
+def test_propagate_labels_majority_and_tie_break(spark):
+    # m has two /org neighbors and one /person neighbor -> majority /org;
+    # t has one /b and one /a neighbor (tied count) -> label ASC picks /a
+    edges = [
+        ("o1", "m"), ("o2", "m"), ("p1", "m"),
+        ("b1", "t"), ("a1", "t"),
+    ]
+    seeds = [
+        ("o1", "/org"), ("o2", "/org"), ("p1", "/person"),
+        ("b1", "/b"), ("a1", "/a"),
+    ]
+    got = _collect_labels(spark, edges, seeds, rounds=1)
+    assert got["m"] == ("/org", 1)
+    assert got["t"] == ("/a", 1)
+
+
+def test_propagate_labels_seeds_clamped_and_frozen(spark):
+    # seed s keeps /person even though both neighbors are /org seeds; a
+    # node labeled in round 1 is frozen in round 2 (round-2 votes cannot
+    # flip x even though its round-1 label came from a single neighbor)
+    edges = [("o1", "s"), ("o2", "s"), ("s", "x"), ("x", "o3"), ("x", "o4")]
+    seeds = [("o1", "/org"), ("o2", "/org"), ("s", "/person")]
+    got = _collect_labels(
+        spark, edges + [("o3", "z"), ("o4", "z")],
+        seeds + [("o3", "/org"), ("o4", "/org")],
+    )
+    assert got["s"] == ("/person", 0)
+    # x: round-1 voters are s(/person), o3(/org), o4(/org) -> majority /org
+    assert got["x"] == ("/org", 1)
+
+
+def test_propagate_labels_unreached_nodes_absent(spark):
+    # y-z component has no seed: absent from the output
+    got = _collect_labels(spark, [("s", "x"), ("y", "z")], [("s", "/person")])
+    assert set(got) == {"s", "x"}
+
+
+def test_propagate_labels_partition_invariant(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "e"),
+        ("e", "f"), ("a", "f"), ("c", "f"),
+    ]
+    seeds = [("a", "/person"), ("d", "/org")]
+    und = _und_df(spark, edges)
+    sd = spark.createDataFrame(seeds, "node string, label string")
+    base = sorted(
+        map(tuple, graphalgs.propagate_labels(und, sd).collect())
+    )
+    cache.release_all(checkpoints=True)
+    rep = sorted(
+        map(
+            tuple,
+            graphalgs.propagate_labels(
+                und.repartition(7), sd.repartition(3)
+            ).collect(),
+        )
+    )
+    cache.release_all(checkpoints=True)
+    assert base == rep and base

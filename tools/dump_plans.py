@@ -233,6 +233,11 @@ def main() -> None:
          "each node's sample to the fanout; hop expansion is equi-joins "
          "against the pre-sampled adjacency, frontier ≤ Π fanouts per seed",
          entrymod.queries()["kg_neighbor_sample"](spark, SF)),
+        ("Type propagation (clamped-seed LPA) — per round: anti-join keeps "
+         "labeled nodes out of the vote aggregate, label-keyed equi-join + "
+         "map-side-combined counts, row_number argmax; additions "
+         "checkpointed so lineage stays O(rounds)",
+         entrymod.queries()["kg_type_propagate"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
