@@ -770,6 +770,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_type_propagate"] = kg_type_propagate
 
+    def kg_adamic_adar(spark, sf_dir):
+        """Topological link prediction over the canonical graph: non-
+        adjacent entity pairs with ≥2 common neighbors, ranked by
+        Adamic–Adar (graphalgs.adamic_adar_candidates) — the structure-
+        only triadic-closure signal complementing the trained KG-
+        embedding rankers (kg_linkpred*) and the typed-neighborhood
+        alignment (kg_align).  One wedge self-join + LEFT ANTI against
+        the edge view + one map-side-combined (a, b) aggregate; the
+        1/ln(deg) weight rides the wedge row.  Hub fan-out is the
+        candidate set itself (see the operator's max_degree cap for
+        corpus scale; exact here)."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        return (
+            graphalgs.adamic_adar_candidates(
+                _canonical_und(spark, sf_dir), min_common=2
+            )
+            .orderBy(F.desc("aa_score"), F.asc("a"), F.asc("b"))
+        )
+
+    q["kg_adamic_adar"] = kg_adamic_adar
+
     def kg_pagerank(spark, sf_dir):
         """PageRank over the canonical entity graph — fixed 15-round power
         iteration as iterative join→agg rounds with O(1)-working-set
@@ -2892,10 +2914,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering_coeff",
         "kg_walks",
         "kg_neighbor_sample",
-        # round 5 (this session): type propagation joins the deferred
-        # undirected-graph family for the same reason — kg_type_rollup
-        # gates the type derivation, kg_entities the canonical graph
+        # round 5 (this session): type propagation and Adamic-Adar join
+        # the deferred undirected-graph family for the same reason —
+        # kg_type_rollup gates the type derivation, kg_entities the
+        # canonical graph, kg_triangles the wedge join
         "kg_type_propagate",
+        "kg_adamic_adar",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -3982,6 +4006,27 @@ def oracle_sql() -> dict[str, str]:
                    round::INT AS round
             FROM (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
             ORDER BY round, canonical_id
+        """,
+        "kg_adamic_adar": f"""
+            WITH {und_cte},
+            deg AS (SELECT a AS v, count(*) AS d FROM und GROUP BY a),
+            nb AS (SELECT a AS v, b AS n FROM und),
+            wedges AS (
+                SELECT x.n AS a, y.n AS b, x.v AS v
+                FROM nb x JOIN nb y ON x.v = y.v AND x.n < y.n
+            ),
+            open_pairs AS (
+                SELECT w.a, w.b, w.v FROM wedges w
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM und u WHERE u.a = w.a AND u.b = w.b
+                )
+            )
+            SELECT p.a, p.b, count(*)::BIGINT AS n_common,
+                   round(sum(1.0 / ln(d.d)), 6) AS aa_score
+            FROM open_pairs p JOIN deg d USING (v)
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+            ORDER BY aa_score DESC, a ASC, b ASC
         """,
         "q_dedup_convs": f"""
             WITH docs AS (

@@ -739,7 +739,8 @@ def propagate_labels(
     synchronous variant need not converge).
 
     ``und`` is the symmetric, self-loop-free, distinct (a, b) edge view;
-    ``seeds`` has columns (node, label).  Each round is two shuffles —
+    ``seeds`` has columns (node, label), ONE row per node (a duplicated
+    seed node would double-count its votes).  Each round is two shuffles —
     a label-keyed equi-join (labels table is O(V), edge-side shuffle on
     node ids with map-side-combined vote counts) and one row_number
     window per newly-labeled node — with the round's additions
@@ -776,3 +777,64 @@ def propagate_labels(
         new = cache.checkpoint(new)
         labels = labels.union(new)
     return labels
+
+
+def adamic_adar_candidates(
+    und: DataFrame,
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Topological link-prediction candidates: non-adjacent entity pairs
+    ranked by common-neighbor count and Adamic–Adar score
+    AA(u, w) = Σ_{v ∈ N(u)∩N(w)} 1 / ln(deg(v)) (Adamic & Adar 2003) —
+    the classic triadic-closure signal complementing the KG-embedding
+    rankers in ``operators/kgembed.py`` (structure-only, no training,
+    interpretable evidence = the shared neighbors themselves).
+
+    Dataflow: one wedge self-join through the shared neighbor ``v``
+    (kept u < w so each pair appears once), LEFT ANTI against the edge
+    view to keep non-adjacent pairs only, then a (u, w) aggregate.  The
+    inverse-log weight rides the wedge row from one broadcast-sized
+    degree join; the sum is map-side combined.
+
+    Scale note: a degree-d shared neighbor contributes d·(d−1)/2 wedge
+    rows — that quadratic fan-out IS the candidate set (every pair it
+    witnesses), so unlike the triangle counter no orientation trick can
+    remove it.  ``max_degree`` (OPT-IN, default None = exact) drops
+    hub mids from the WEDGE join only — degrees (the AA denominators)
+    keep full counts, the recall-only convention every bounded operator
+    here follows (dedup df-caps, alignment neighbor caps); a dropped
+    hub's witness is the least informative anyway (weight 1/ln d → 0).
+
+    Returns (a, b, n_common, aa_score) with a < b, n_common ≥
+    ``min_common``, aa_score rounded to 6 dp (both engines' IEEE-double
+    ln agree well inside 6 dp).  No reference analog (the reference
+    stops at triple emission); beyond-reference KG-completion surface.
+    """
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
+    # neighbor list keyed by the shared mid: (v, n) for every edge
+    nb = und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+    if max_degree is not None:
+        nb = nb.join(deg.where(F.col("d") <= max_degree), "v").drop("d")
+    wedges = (
+        nb.alias("x")
+        .join(nb.alias("y"), F.col("x.v") == F.col("y.v"))
+        .where(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias("a"),
+            F.col("y.n").alias("b"),
+            F.col("x.v").alias("v"),
+        )
+    )
+    open_pairs = wedges.join(
+        und.select(F.col("a"), F.col("b")), ["a", "b"], "left_anti"
+    )
+    return (
+        open_pairs.join(deg, "v")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log("d")), 6).alias("aa_score"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )

@@ -682,3 +682,83 @@ def test_propagate_labels_partition_invariant(spark):
     )
     cache.release_all(checkpoints=True)
     assert base == rep and base
+
+
+# --------------------------------------------------------------------------
+# adamic_adar_candidates
+# --------------------------------------------------------------------------
+
+
+def _py_adamic_adar(edges, min_common=2, max_degree=None):
+    import math
+
+    ed = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in ed:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    out = {}
+    for v, ns in adj.items():
+        if max_degree is not None and deg[v] > max_degree:
+            continue
+        ns = sorted(ns)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                if (a, b) in ed:
+                    continue
+                cn, aa = out.get((a, b), (0, 0.0))
+                out[(a, b)] = (cn + 1, aa + 1.0 / math.log(deg[v]))
+    return {
+        k: (cn, round(aa, 6))
+        for k, (cn, aa) in out.items()
+        if cn >= min_common
+    }
+
+
+AA_EDGES = [
+    # u and w share v1, v2 (open); x-y adjacent AND sharing v1
+    ("u", "v1"), ("u", "v2"), ("w", "v1"), ("w", "v2"),
+    ("x", "v1"), ("y", "v1"), ("x", "y"),
+    ("u", "z"),  # z: degree-1 tendril, never a shared mid
+]
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    und = _und_df(spark, AA_EDGES)
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["aa_score"])
+        for r in graphalgs.adamic_adar_candidates(und).collect()
+    }
+    want = _py_adamic_adar(AA_EDGES)
+    assert got == want and ("u", "w") in got
+    # adjacent pair (x, y) excluded even though they share v1
+    assert ("x", "y") not in got
+
+
+def test_adamic_adar_cap_drops_wedges_not_denominators(spark):
+    # v1 has degree 4 -> capped out of the WEDGE join at max_degree=3,
+    # but v2 (uncapped) keeps its full-degree ln in the weight
+    und = _und_df(spark, AA_EDGES)
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["aa_score"])
+        for r in graphalgs.adamic_adar_candidates(
+            und, min_common=1, max_degree=3
+        ).collect()
+    }
+    want = _py_adamic_adar(AA_EDGES, min_common=1, max_degree=3)
+    assert got == want
+    # (u, w) now witnessed only by v2
+    assert got[("u", "w")][0] == 1
+
+
+def test_adamic_adar_partition_invariant(spark):
+    und = _und_df(spark, AA_EDGES)
+    base = sorted(map(tuple, graphalgs.adamic_adar_candidates(und).collect()))
+    rep = sorted(
+        map(
+            tuple,
+            graphalgs.adamic_adar_candidates(und.repartition(7)).collect(),
+        )
+    )
+    assert base == rep and base

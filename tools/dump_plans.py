@@ -238,6 +238,11 @@ def main() -> None:
          "map-side-combined counts, row_number argmax; additions "
          "checkpointed so lineage stays O(rounds)",
          entrymod.queries()["kg_type_propagate"](spark, SF)),
+        ("Adamic-Adar candidates — wedge self-join keyed on the shared "
+         "neighbor, LEFT ANTI vs the edge view, map-side-combined (a, b) "
+         "aggregate; the 1/ln(deg) weight rides the wedge row from one "
+         "degree join",
+         entrymod.queries()["kg_adamic_adar"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
