@@ -930,6 +930,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_kcore"] = kg_kcore
 
+    def kg_truss(spark, sf_dir):
+        """3-truss of the canonical entity graph (graphalgs.k_truss):
+        iterative peel of edges in fewer than one triangle, support
+        recounted inside the survivor set each round — the EDGE-level
+        cohesion filter above kg_kcore's node-degree peel (hub fan
+        edges pass any degree threshold but never close triangles).
+        Per round: the kg_triangles degree-ordered wedge join kept as an
+        inner join so each triangle re-keys into its three edges.
+        Unique fixpoint, partitioning-independent.  Oracle = sequential
+        peel replica (oracle_mat.truss_table)."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        if _small_scale(sf_dir):
+            oracle_mat.truss_table(_scale_for(sf_dir), k=3)
+        return graphalgs.k_truss(
+            _canonical_und(spark, sf_dir), k=3
+        ).orderBy("a", "b")
+
+    q["kg_truss"] = kg_truss
+
+    def kg_hyperball(spark, sf_dir):
+        """HyperBall neighborhood function (Boldi & Vigna 2013): per-node
+        ball-size estimates |B(v, r)| for r = 0..3 via 16-register HLL
+        sketches grown by neighbor register-max rounds — one equi-join +
+        one map-side-combined (node, bucket) MAX aggregate per round,
+        reusing the gated grouped-HLL register math verbatim
+        (freq._hll_cells / hll_estimate_grouped).  All-integer/max
+        arithmetic on the shared md5 primitive: bit-deterministic under
+        any partitioning.  Oracle = sequential replica with identical
+        cell math and exact-integer estimator
+        (oracle_mat.hyperball_table)."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        if _small_scale(sf_dir):
+            oracle_mat.hyperball_table(_scale_for(sf_dir), max_r=3, b=4)
+        return (
+            graphalgs.hyperball(_canonical_und(spark, sf_dir), max_r=3, b=4)
+            .select(
+                F.col("node").alias("canonical_id"),
+                "r",
+                "n_used",
+                "v_zero",
+                "s_scaled",
+                "est",
+            )
+            .orderBy("canonical_id", "r")
+        )
+
+    q["kg_hyperball"] = kg_hyperball
+
     def kg_ppr(spark, sf_dir):
         """Personalized PageRank from the lexicographically-first entity
         (teleport + dangling mass to the seed) — relatedness-to-this-
@@ -2920,6 +2970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical graph, kg_triangles the wedge join
         "kg_type_propagate",
         "kg_adamic_adar",
+        # round 5 (resumed session): kg_kcore gates the peel-loop
+        # machinery and kg_triangles the wedge join that k_truss composes;
+        # kg_pred_cardinality gates the grouped-HLL register machinery
+        # hyperball iterates
+        "kg_truss",
+        "kg_hyperball",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -4960,6 +5016,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": f"""
             SELECT canonical_id, core_degree
             FROM read_parquet('{os.path.join(small, f"kcore_v{oracle_mat.ORACLE_MAT_VERSION}_k2.parquet")}')
+        """,
+        "kg_truss": f"""
+            SELECT a, b, support
+            FROM read_parquet('{os.path.join(small, f"truss_v{oracle_mat.ORACLE_MAT_VERSION}_k3.parquet")}')
+        """,
+        "kg_hyperball": f"""
+            SELECT canonical_id, r, n_used, v_zero, s_scaled, est
+            FROM read_parquet('{os.path.join(small, f"hyperball_v{oracle_mat.ORACLE_MAT_VERSION}_r3b4.parquet")}')
         """,
         "kg_ppr": f"""
             SELECT canonical_id, rank

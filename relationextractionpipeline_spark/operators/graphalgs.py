@@ -838,3 +838,200 @@ def adamic_adar_candidates(
         )
         .where(F.col("n_common") >= min_common)
     )
+
+
+def _edge_supports(pairs: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the canonical a < b edge set: how
+    many triangles each edge closes.  Same degree-ordered orientation as
+    ``local_clustering`` (each triangle enumerated exactly once from its
+    lowest-(degree, id) corner, wedge fan-out bounded by O(sqrt(m)) per
+    node regardless of hub skew), but the closing-edge probe is an INNER
+    join so every triangle's corner triple survives to be re-keyed into
+    its three edges and counted.  Output: (a, b, support) for edges in
+    at least one triangle; triangle-free edges are absent (callers
+    coalesce to 0)."""
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("n")).agg(F.count("*").alias("d"))
+    oriented = (
+        sym.join(
+            deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a"
+        )
+        .join(
+            deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b"
+        )
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.u") == F.col("y.u"))
+        .where(F.col("x.v") < F.col("y.v"))
+        .select(
+            F.col("x.u").alias("u"),
+            F.col("x.v").alias("v"),
+            F.col("y.v").alias("w"),
+        )
+    )
+    tri = wedges.join(
+        pairs.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "v").alias("a"),
+                        F.greatest("u", "v").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("u", "w").alias("a"),
+                        F.greatest("u", "w").alias("b"),
+                    ),
+                    F.struct(F.col("v").alias("a"), F.col("w").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+    )
+
+
+def k_truss(und: DataFrame, k: int = 3, max_iter: int = 100) -> DataFrame:
+    """The k-truss of the undirected graph: the maximal subgraph whose
+    every EDGE participates in at least k−2 triangles within the
+    subgraph (Cohen 2008) — the edge-level cohesion filter one level
+    above ``k_core``'s node-degree filter.  A 3-truss keeps exactly the
+    edges embedded in triadic structure, stripping the star/tendril
+    edges that dominate raw co-mention KGs even after k-core peeling
+    (a hub passes any degree threshold; its fan edges never close
+    triangles).
+
+    ``und`` is the symmetric, self-loop-free, distinct (a, b) edge view
+    — the same input contract as ``local_clustering``.
+
+    Iterative peel to the unique fixpoint: each round computes per-edge
+    triangle support over the surviving a < b edge set (one
+    degree-ordered wedge join + closing-edge probe, O(m^1.5) per round)
+    and drops edges under k−2; removal cascades until stable.  The
+    surviving edge set is checkpointed per round with the superseded
+    round freed eagerly — the same O(1)-working-set discipline as the
+    other peel/power loops here.  Round count is bounded by the peel
+    depth; ``max_iter`` is a backstop.  The fixpoint is unique, hence
+    partitioning-independent with no tie-break subtleties.
+
+    Returns (a, b, support) with a < b, support measured INSIDE the
+    truss (coalesced to 0 — only reachable for k ≤ 2, where
+    triangle-free edges legitimately survive).
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-analytics
+    surface.
+    """
+    alive = cache.checkpoint(und.where(F.col("a") < F.col("b")).distinct())
+    n_edges = alive.count()
+    threshold = int(k) - 2
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        keep = (
+            alive.join(_edge_supports(alive), ["a", "b"], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= threshold)
+            .select("a", "b")
+        )
+        nxt = cache.checkpoint(keep)
+        n_next = nxt.count()
+        cache.free_checkpoint(alive)
+        alive = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        alive.join(_edge_supports(alive), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+        )
+    )
+
+
+def hyperball(
+    und: DataFrame, max_r: int = 3, b: int = 4, salt: str = "hb"
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node neighborhood-function
+    estimates |B(v, r)| — how many entities are within r hops of v — for
+    r = 0..``max_r``, the centrality/effective-diameter primitive that
+    made billion-node distance profiles tractable (it powered the
+    Facebook "four degrees of separation" measurement).  Exact per-node
+    BFS is O(V·E); HyperBall replaces each node's reach SET with a 2^b-
+    register HLL sketch and uses that register MAX is associative: the
+    ball sketch at r is the cell-wise max of the node's own sketch and
+    its neighbors' sketches at r−1.
+
+    Implementation reuses the grouped-HLL machinery from
+    ``operators/freq.py`` verbatim (``_hll_cells`` register math,
+    ``hll_estimate_grouped`` exact-integer estimator), so the register
+    conventions cannot drift from the gated ``kg_pred_cardinality``
+    query.  State per round is one (node, bucket, rho) table — ≤ 2^b
+    rows per node however large the graph — updated by one equi-join on
+    the neighbor id + one map-side-combined (node, bucket) MAX
+    aggregate, checkpointed with the superseded round freed eagerly
+    (per-round estimates are checkpointed too, so freeing old sketches
+    never truncates their lineage).  Everything is integer/max
+    arithmetic on the shared md5 primitive: bit-deterministic under any
+    partitioning, and the float estimate derives from one exact-integer
+    scalar per (node, r) exactly as in ``freq.hll_estimate_grouped``.
+
+    Returns (node, r, n_used, v_zero, s_scaled, est) — ``est`` is the
+    estimated ball size (BIGINT floor), ``s_scaled`` the exact-integer
+    harmonic accumulator a sequential replica reproduces bit-for-bit.
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-analytics
+    surface.
+    """
+    from . import freq
+
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    bucket, rho = freq._hll_cells(F.col("node"), b, salt)
+    sketch = cache.checkpoint(
+        nodes.select("node", bucket.alias("bucket"), rho.alias("rho"))
+    )
+
+    def _est(sk: DataFrame, r: int) -> DataFrame:
+        return cache.checkpoint(
+            freq.hll_estimate_grouped(sk, ["node"], b).select(
+                "node",
+                F.lit(int(r)).alias("r"),
+                "n_used",
+                "v_zero",
+                "s_scaled",
+                "est",
+            )
+        )
+
+    rounds = [_est(sketch, 0)]
+    for r in range(1, int(max_r) + 1):
+        contrib = und.join(sketch, und["b"] == sketch["node"]).select(
+            und["a"].alias("node"), "bucket", "rho"
+        )
+        nxt = cache.checkpoint(
+            sketch.unionByName(contrib)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        cache.free_checkpoint(sketch)
+        sketch = nxt
+        rounds.append(_est(sketch, r))
+    cache.free_checkpoint(sketch)
+    out = rounds[0]
+    for fr in rounds[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -569,6 +569,161 @@ def kcore_table(
     )
 
 
+def truss_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    k: int = 3,
+) -> str:
+    """Sequential replica of operators/graphalgs.k_truss: peel edges in
+    fewer than k−2 triangles (support counted over the surviving edge
+    set) to the unique fixpoint; emit surviving a < b edges with their
+    in-truss support.  Parameter-suffixed filename."""
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"truss_v{ORACLE_MAT_VERSION}_k{k}.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    alive = {
+        (min(canon[s], canon[o]), max(canon[s], canon[o]))
+        for s, o in zip(triples["subj"], triples["obj"])
+        if s in canon and o in canon and canon[s] != canon[o]
+    }
+    threshold = k - 2
+
+    def _supports(edges: set) -> Dict[tuple, int]:
+        adj: Dict[str, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+
+    while alive:
+        sup = _supports(alive)
+        drop = {e for e, s in sup.items() if s < threshold}
+        if not drop:
+            break
+        alive -= drop
+    sup = _supports(alive)
+    rows = sorted((a, b, sup[(a, b)]) for a, b in alive)
+    return _publish(
+        pd.DataFrame(rows, columns=["a", "b", "support"]), dst
+    )
+
+
+def hyperball_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    max_r: int = 3,
+    b: int = 4,
+    salt: str = "hb",
+) -> str:
+    """Sequential replica of operators/graphalgs.hyperball: per-node HLL
+    ball sketches grown by neighbor register-max rounds, with the exact
+    same md5 cell math and exact-integer estimator as
+    freq._hll_cells / freq.hll_estimate_grouped — bit-for-bit, so the
+    DuckDB comparison gates the distributed join/max rounds.
+    Parameter-suffixed filename."""
+    import hashlib
+    import math
+
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"hyperball_v{ORACLE_MAT_VERSION}_r{max_r}b{b}.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    edges = {
+        (canon[s], canon[o])
+        for s, o in zip(triples["subj"], triples["obj"])
+        if s in canon and o in canon and canon[s] != canon[o]
+    }
+    adj: Dict[str, set] = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    nodes = sorted(adj)
+    w_bits = 32 - b
+    m = 1 << b
+    scale_u = 1 << (w_bits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def cell(key: str):
+        h = int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+        w = h % (1 << w_bits)
+        rho = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+        return h >> w_bits, rho
+
+    regs = {}
+    for n in nodes:
+        bkt, rho = cell(n)
+        regs[n] = {bkt: rho}
+
+    def estimate(rg: Dict[int, int]):
+        n_used = len(rg)
+        v_zero = m - n_used
+        s_scaled = sum(1 << (w_bits + 1 - rho) for rho in rg.values()) + (
+            v_zero * scale_u
+        )
+        raw = alpha * float(m) * float(m) * float(scale_u) / float(s_scaled)
+        if raw <= 2.5 * m and v_zero > 0:
+            est = float(m) * math.log(float(m) / float(v_zero))
+        else:
+            est = raw
+        return n_used, v_zero, s_scaled, int(math.floor(est))
+
+    rows = []
+    for n in nodes:
+        nu, vz, ss, es = estimate(regs[n])
+        rows.append((n, 0, nu, vz, ss, es))
+    for r in range(1, max_r + 1):
+        nxt = {}
+        for n in nodes:
+            merged = dict(regs[n])
+            for nb in adj[n]:
+                for bkt, rho in regs[nb].items():
+                    if merged.get(bkt, 0) < rho:
+                        merged[bkt] = rho
+            nxt[n] = merged
+        regs = nxt
+        for n in nodes:
+            nu, vz, ss, es = estimate(regs[n])
+            rows.append((n, r, nu, vz, ss, es))
+    rows.sort()
+    return _publish(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "canonical_id",
+                "r",
+                "n_used",
+                "v_zero",
+                "s_scaled",
+                "est",
+            ],
+        ),
+        dst,
+    )
+
+
 def lpa_table(
     scale: str,
     data_dir: str = testgen.DEFAULT_DATA_DIR,

@@ -762,3 +762,213 @@ def test_adamic_adar_partition_invariant(spark):
         )
     )
     assert base == rep and base
+
+
+def _py_truss(edges, k=3):
+    alive = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def supports(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    while alive:
+        sup = supports(alive)
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            break
+        alive -= drop
+    sup = supports(alive)
+    return {(a, b): sup[(a, b)] for a, b in alive}
+
+
+# 4-clique abcd; triangle (a, e, f) hanging off it by the single shared
+# node a; pendant edge a-p; isolated edge x-y.  The 3-truss keeps the
+# clique AND the triangle but drops the pendant/isolated edges; the
+# 4-truss keeps only the clique (peeling the triangle cascades nothing
+# back into the clique).
+TRUSS_EDGES = [
+    ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+    ("a", "e"), ("a", "f"), ("e", "f"),
+    ("a", "p"), ("x", "y"),
+]
+
+
+def test_k_truss_matches_peel_replica(spark):
+    und = _und_df(spark, TRUSS_EDGES)
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in graphalgs.k_truss(und, k=3).collect()
+    }
+    cache.release_all(checkpoints=True)
+    want = _py_truss(TRUSS_EDGES, k=3)
+    assert got == want
+    assert ("a", "p") not in got and ("x", "y") not in got
+    assert ("e", "f") in got  # the side triangle survives k=3
+
+
+def test_k_truss_nesting_and_k4(spark):
+    und = _und_df(spark, TRUSS_EDGES)
+    t3 = {
+        (r["a"], r["b"]): r["support"]
+        for r in graphalgs.k_truss(und, k=3).collect()
+    }
+    t4 = {
+        (r["a"], r["b"]): r["support"]
+        for r in graphalgs.k_truss(und, k=4).collect()
+    }
+    cache.release_all(checkpoints=True)
+    assert t4 == _py_truss(TRUSS_EDGES, k=4)
+    # k=4 keeps exactly the 4-clique (every edge in 2 in-truss triangles)
+    assert set(t4) == {("a", "b"), ("a", "c"), ("a", "d"),
+                       ("b", "c"), ("b", "d"), ("c", "d")}
+    assert all(s == 2 for s in t4.values())
+    # trusses nest: the 4-truss edge set is a subset of the 3-truss's
+    assert set(t4) <= set(t3)
+
+
+def test_k_truss_cascade(spark):
+    # path of triangles: removing the weakest end edge cascades — only
+    # a true peel (not one-shot support filtering) gets the fixpoint
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("c", "d"), ("a", "d")]
+    und = _und_df(spark, edges)
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in graphalgs.k_truss(und, k=4).collect()
+    }
+    cache.release_all(checkpoints=True)
+    assert got == _py_truss(edges, k=4) == {}
+
+
+def test_k_truss_k2_keeps_triangle_free_edges(spark):
+    und = _und_df(spark, [("x", "y"), ("y", "z")])
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in graphalgs.k_truss(und, k=2).collect()
+    }
+    cache.release_all(checkpoints=True)
+    assert got == {("x", "y"): 0, ("y", "z"): 0}
+
+
+def test_k_truss_partition_invariant(spark):
+    und = _und_df(spark, TRUSS_EDGES)
+    base = sorted(map(tuple, graphalgs.k_truss(und, k=3).collect()))
+    rep = sorted(
+        map(tuple, graphalgs.k_truss(und.repartition(7), k=3).collect())
+    )
+    cache.release_all(checkpoints=True)
+    assert base == rep and base
+
+
+def _py_hyperball(edges, max_r=3, b=4, salt="hb"):
+    """Inline replica of graphalgs.hyperball (same cell math as
+    freq._hll_cells, same exact-integer estimator)."""
+    import hashlib
+    import math
+
+    ed = {(a, b_) for a, b_ in edges if a != b_}
+    adj = {}
+    for a, b_ in ed:
+        adj.setdefault(a, set()).add(b_)
+        adj.setdefault(b_, set()).add(a)
+    nodes = sorted(adj)
+    w_bits = 32 - b
+    m = 1 << b
+    scale_u = 1 << (w_bits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def cell(key):
+        h = int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+        w = h % (1 << w_bits)
+        rho = (w_bits + 1) if w == 0 else (w_bits + 1 - w.bit_length())
+        return h >> w_bits, rho
+
+    regs = {}
+    for n in nodes:
+        bkt, rho = cell(n)
+        regs[n] = {bkt: rho}
+
+    def estimate(rg):
+        n_used = len(rg)
+        v_zero = m - n_used
+        s_scaled = sum(1 << (w_bits + 1 - r) for r in rg.values()) + (
+            v_zero * scale_u
+        )
+        raw = alpha * float(m) * float(m) * float(scale_u) / float(s_scaled)
+        if raw <= 2.5 * m and v_zero > 0:
+            est = float(m) * math.log(float(m) / float(v_zero))
+        else:
+            est = raw
+        return n_used, v_zero, s_scaled, int(math.floor(est))
+
+    out = {}
+    for n in nodes:
+        out[(n, 0)] = estimate(regs[n])
+    for r in range(1, max_r + 1):
+        regs = {
+            n: {
+                bkt: max(
+                    [regs[n].get(bkt, 0)]
+                    + [regs[nb].get(bkt, 0) for nb in adj[n]]
+                )
+                for bkt in set(regs[n])
+                | {b2 for nb in adj[n] for b2 in regs[nb]}
+            }
+            for n in nodes
+        }
+        for n in nodes:
+            out[(n, r)] = estimate(regs[n])
+    return out
+
+
+# path graph a-b-c-d-e plus isolated edge x-y: balls grow hop by hop
+HB_EDGES = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+
+
+def test_hyperball_matches_replica(spark):
+    und = _und_df(spark, HB_EDGES)
+    got = {
+        (r["node"], r["r"]): (
+            r["n_used"], r["v_zero"], r["s_scaled"], r["est"]
+        )
+        for r in graphalgs.hyperball(und, max_r=3, b=4).collect()
+    }
+    cache.release_all(checkpoints=True)
+    want = _py_hyperball(HB_EDGES, max_r=3, b=4)
+    assert got == want
+    # every (node, r) pair present: 7 nodes x 4 radii
+    assert len(got) == 7 * 4
+
+
+def test_hyperball_ball_growth_tracks_bfs(spark):
+    # with only a handful of distinct elements per ball, the HLL
+    # estimate is exact after linear counting -> est == true ball size
+    und = _und_df(spark, HB_EDGES)
+    got = {
+        (r["node"], r["r"]): r["est"]
+        for r in graphalgs.hyperball(und, max_r=3, b=4).collect()
+    }
+    cache.release_all(checkpoints=True)
+    # c (path center) reaches: itself, then +-1, +-2 hops
+    assert got[("c", 0)] in (1,)
+    assert got[("c", 1)] in (2, 3)  # collisions may merge registers
+    assert got[("c", 2)] <= 5 and got[("c", 2)] >= got[("c", 1)]
+    # x-y component never exceeds 2
+    assert got[("x", 3)] <= 2
+    # monotone in r for every node
+    for n in "abcdexy":
+        for r in range(3):
+            assert got[(n, r)] <= got[(n, r + 1)]
+
+
+def test_hyperball_partition_invariant(spark):
+    und = _und_df(spark, HB_EDGES)
+    base = sorted(map(tuple, graphalgs.hyperball(und, max_r=2).collect()))
+    rep = sorted(
+        map(tuple, graphalgs.hyperball(und.repartition(7), max_r=2).collect())
+    )
+    cache.release_all(checkpoints=True)
+    assert base == rep and base

@@ -243,6 +243,16 @@ def main() -> None:
          "aggregate; the 1/ln(deg) weight rides the wedge row from one "
          "degree join",
          entrymod.queries()["kg_adamic_adar"](spark, SF)),
+        ("k-truss (final support pass) — degree-ordered wedge join kept "
+         "as an inner join so each triangle re-keys into its three "
+         "edges; per-edge support is a map-side-combined (a, b) "
+         "aggregate over the checkpointed survivor set",
+         entrymod.queries()["kg_truss"](spark, SF)),
+        ("HyperBall (final radius) — per-round neighbor equi-join + "
+         "map-side-combined (node, bucket) register MAX; state is <= 2^b "
+         "rows per node regardless of graph size; estimates derive from "
+         "one exact-integer scalar per (node, r)",
+         entrymod.queries()["kg_hyperball"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
