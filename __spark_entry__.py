@@ -980,6 +980,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_hyperball"] = kg_hyperball
 
+    def kg_sssp(spark, sf_dir):
+        """Evidence-weighted shortest paths from the lexicographically-
+        first entity (graphalgs.sssp_weighted: frontier Bellman–Ford,
+        per-round cost O(frontier boundary), O(1)-working-set
+        checkpoints).  Edge weight per unordered canonical pair =
+        greatest(1, 4 − n_evidence): corroborated co-mentions are cheaper
+        to traverse, so dist ranks entities by evidence-discounted
+        proximity rather than raw hop count (kg_bfs).  Positive-integer
+        minima are unique → partitioning-independent.  Oracle = heapq
+        Dijkstra over the same weighted pairs (oracle_mat.sssp_table) —
+        an INDEPENDENT algorithm converging to the same fixpoint, so the
+        comparison gates the distributed relaxation machinery."""
+        from relationextractionpipeline_spark.operators import (
+            canonicalize,
+            graphalgs,
+        )
+
+        if _small_scale(sf_dir):
+            oracle_mat.sssp_table(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        _entities, edges = canonicalize.canonicalize(run["triples"], run["links"])
+        pairs = (
+            edges.where(
+                F.col("subj_canonical").isNotNull()
+                & F.col("obj_canonical").isNotNull()
+                & (F.col("subj_canonical") != F.col("obj_canonical"))
+            )
+            .select(
+                F.least("subj_canonical", "obj_canonical").alias("a"),
+                F.greatest("subj_canonical", "obj_canonical").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_ev"))
+            .select(
+                "a",
+                "b",
+                F.greatest(F.lit(1), F.lit(4) - F.col("n_ev"))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        seeds = (
+            pairs.select(F.col("a").alias("n"))
+            .union(pairs.select(F.col("b").alias("n")))
+            .agg(F.min("n").alias("node"))
+        )
+        return (
+            graphalgs.sssp_weighted(pairs, seeds, src="a", dst="b", weight="w")
+            .select(F.col("node").alias("canonical_id"), "dist")
+            .orderBy("canonical_id")
+        )
+
+    q["kg_sssp"] = kg_sssp
+
+    def kg_closeness(spark, sf_dir):
+        """Lin's closeness centrality from HyperBall ball sizes
+        (graphalgs.closeness_from_balls over graphalgs.hyperball, r ≤ 3):
+        truncated distance sum Σ r·(|B(v,r)|−|B(v,r−1)|) and Lin's index
+        reached²/Σdist — the centrality HyperBall was built to make
+        tractable at billion-node scale (per-node BFS is O(V·E); this is
+        max_r sketch rounds + one window/group pass).  reached and
+        total_dist stay exact BIGINTs over the bit-deterministic est
+        integers; the only float is the final round(·,6) division,
+        computed identically in SQL — so the oracle is FULL SQL parity
+        over the gated hyperball sequential table, no new replica."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        if _small_scale(sf_dir):
+            oracle_mat.hyperball_table(_scale_for(sf_dir), max_r=3, b=4)
+        balls = graphalgs.hyperball(_canonical_und(spark, sf_dir), max_r=3, b=4)
+        return (
+            graphalgs.closeness_from_balls(balls, max_r=3)
+            .select(
+                F.col("node").alias("canonical_id"),
+                "reached",
+                "total_dist",
+                "lin",
+            )
+            .orderBy("canonical_id")
+        )
+
+    q["kg_closeness"] = kg_closeness
+
+    def kg_diameter(spark, sf_dir):
+        """Global distance distribution + effective diameter from the
+        HyperBall neighborhood function (graphalgs.distance_profile over
+        graphalgs.hyperball, r ≤ 3) — the "four degrees of separation"
+        measurement: N(r) = Σ_v |B(v,r)| pairs within r hops, effective
+        diameter = interpolated r where N(r) reaches 0.9·N(max_r), mean
+        distance within the horizon.  All accumulators are exact BIGINTs
+        over the bit-deterministic ball estimates; the two final
+        divisions are round(·,6) expressions.  Oracle = FULL SQL parity
+        over the gated hyperball sequential table."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        if _small_scale(sf_dir):
+            oracle_mat.hyperball_table(_scale_for(sf_dir), max_r=3, b=4)
+        balls = graphalgs.hyperball(_canonical_und(spark, sf_dir), max_r=3, b=4)
+        return graphalgs.distance_profile(balls, max_r=3, q=0.9)
+
+    q["kg_diameter"] = kg_diameter
+
+    def kg_assortativity(spark, sf_dir):
+        """Degree assortativity of the canonical entity graph
+        (graphalgs.assortativity): the Pearson correlation of endpoint
+        degrees over the symmetric edge view — the one-number
+        hub-structure diagnostic (KGs are typically disassortative: hub
+        entities link to leaves).  Every accumulator is an exact BIGINT
+        (M, Σd, Σd², Σd_a·d_b via one degree aggregate + two degree
+        joins); the single float division is round(·,6).  Oracle = FULL
+        SQL parity over the shared und CTE."""
+        from relationextractionpipeline_spark.operators import graphalgs
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+        return graphalgs.assortativity(_canonical_und(spark, sf_dir))
+
+    q["kg_assortativity"] = kg_assortativity
+
     def kg_ppr(spark, sf_dir):
         """Personalized PageRank from the lexicographically-first entity
         (teleport + dangling mass to the seed) — relatedness-to-this-
@@ -1171,6 +1290,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ontology.mine_rules(graph["edges"], min_support=2)
 
     q["kg_rules"] = kg_rules
+
+    def kg_chain_rules(spark, sf_dir):
+        """AMIE chain rules p1(x,z) ∧ p2(z,y) ⇒ p3(x,y) over the
+        canonical fact set (operators/ontology.mine_chain_rules) — the
+        closed 2-atom body that completes transitive/compositional
+        relations 1-hop mining (kg_rules) can't see.  Bridge-keyed path
+        join + pair-keyed head join; denominators dimension-sized and
+        broadcast back; bridge_fanout=64 bounds each bridge to ≤ 64²
+        sampled paths under a deterministic (pred, entity) total order
+        (every bridge in this corpus has degree ≥ ~10³, so a degree cap
+        would be all-or-nothing; the fanout sample is the AMIE+ idea and
+        the SQL oracle replays the identical row_number ranks).  Full
+        SQL oracle (sequential triples × union-find keymap × predicate
+        clusters)."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        graph = pipeline.materialize_graph(run)
+        return ontology.mine_chain_rules(
+            graph["edges"], min_support=2, bridge_fanout=64
+        )
+
+    q["kg_chain_rules"] = kg_chain_rules
 
     def kg_salience(spark, sf_dir):
         """Per-conversation TF-IDF entity salience over the canonical edge
@@ -2976,6 +3121,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hyperball iterates
         "kg_truss",
         "kg_hyperball",
+        # round 5 (resumed session, batch 2): kg_bfs gates the frontier-
+        # expansion loop kg_sssp generalizes (weights are the only delta);
+        # kg_hyperball gates the ball sketches kg_closeness aggregates
+        "kg_sssp",
+        "kg_closeness",
+        # batch 3: kg_hyperball gates the ball machinery kg_diameter
+        # aggregates; kg_degree gates the degree rollup kg_assortativity
+        # correlates; kg_rules gates the rule-mining protocol
+        # kg_chain_rules extends with a second body atom
+        "kg_diameter",
+        "kg_assortativity",
+        "kg_chain_rules",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -5025,6 +5182,114 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_id, r, n_used, v_zero, s_scaled, est
             FROM read_parquet('{os.path.join(small, f"hyperball_v{oracle_mat.ORACLE_MAT_VERSION}_r3b4.parquet")}')
         """,
+        "kg_sssp": f"""
+            SELECT canonical_id, dist
+            FROM read_parquet('{os.path.join(small, f"sssp_v{oracle_mat.ORACLE_MAT_VERSION}_w4.parquet")}')
+        """,
+        # full SQL parity over the gated hyperball sequential table —
+        # the same window-lag / integer-sum / round(·,6) pipeline the
+        # Spark closeness_from_balls operator plans
+        "kg_closeness": f"""
+            WITH hb AS (
+                SELECT canonical_id, r, est
+                FROM read_parquet('{os.path.join(small, f"hyperball_v{oracle_mat.ORACLE_MAT_VERSION}_r3b4.parquet")}')
+            ),
+            d AS (
+                SELECT canonical_id, r, est,
+                       lag(est) OVER (
+                           PARTITION BY canonical_id ORDER BY r
+                       ) AS prev
+                FROM hb
+            ),
+            agg AS (
+                SELECT canonical_id,
+                       (sum(r * (est - prev)))::BIGINT AS total_dist,
+                       max(CASE WHEN r = 3 THEN est END) AS ball_max
+                FROM d WHERE r > 0 GROUP BY canonical_id
+            ),
+            r0 AS (
+                SELECT canonical_id, est AS est0 FROM hb WHERE r = 0
+            )
+            SELECT a.canonical_id,
+                   (a.ball_max - r0.est0)::BIGINT AS reached,
+                   a.total_dist,
+                   CASE WHEN a.total_dist > 0
+                        THEN round(
+                            ((a.ball_max - r0.est0)
+                             * (a.ball_max - r0.est0))::DOUBLE
+                            / a.total_dist::DOUBLE, 6)
+                        ELSE 0.0 END AS lin
+            FROM agg a JOIN r0 USING (canonical_id)
+        """,
+        # full SQL parity over the gated hyperball sequential table —
+        # same lag/window-sum/interpolation pipeline as
+        # graphalgs.distance_profile (all-BIGINT accumulators, two
+        # round(·,6) divisions)
+        "kg_diameter": f"""
+            WITH hb AS (
+                SELECT r, est
+                FROM read_parquet('{os.path.join(small, f"hyperball_v{oracle_mat.ORACLE_MAT_VERSION}_r3b4.parquet")}')
+            ),
+            byr AS (
+                SELECT r, sum(est)::BIGINT AS n_reach FROM hb GROUP BY r
+            ),
+            lagged AS (
+                SELECT r, n_reach,
+                       lag(n_reach) OVER (ORDER BY r) AS prev
+                FROM byr
+            ),
+            ann AS (
+                SELECT r, n_reach, prev,
+                       max(CASE WHEN r = 3 THEN n_reach END) OVER () AS tot,
+                       max(CASE WHEN r = 0 THEN n_reach END) OVER () AS n0,
+                       0.9::DOUBLE
+                           * (max(CASE WHEN r = 3 THEN n_reach END)
+                              OVER ())::DOUBLE AS target,
+                       (sum(CASE WHEN r > 0
+                                 THEN r * (n_reach - prev) END)
+                        OVER ())::BIGINT AS dist_sum
+                FROM lagged
+            )
+            SELECT n0 AS n_nodes, tot AS n_pairs,
+                   CASE WHEN (tot - n0) > 0
+                        THEN round(dist_sum::DOUBLE
+                                   / (tot - n0)::DOUBLE, 6)
+                        ELSE 0.0 END AS avg_dist,
+                   CASE WHEN r = 0 THEN 0.0
+                        ELSE round((r - 1)::DOUBLE
+                                   + (target - prev::DOUBLE)
+                                   / (n_reach - prev)::DOUBLE, 6)
+                        END AS eff_diameter
+            FROM ann
+            WHERE n_reach::DOUBLE >= target
+              AND (prev IS NULL OR prev::DOUBLE < target)
+        """,
+        # full SQL parity over the shared und CTE — same exact-integer
+        # accumulators as graphalgs.assortativity
+        "kg_assortativity": f"""
+            WITH {und_cte},
+            deg AS (SELECT a AS n, count(*) AS d FROM und GROUP BY a),
+            paired AS (
+                SELECT da.d AS da, db.d AS db
+                FROM und u
+                JOIN deg da ON da.n = u.a
+                JOIN deg db ON db.n = u.b
+            ),
+            sums AS (
+                SELECT count(*) AS m_directed,
+                       sum(da)::BIGINT AS s_j,
+                       sum(da * da)::BIGINT AS s_jj,
+                       sum(da * db)::BIGINT AS s_jk
+                FROM paired
+            )
+            SELECT m_directed, s_j, s_jj, s_jk,
+                   CASE WHEN (m_directed * s_jj - s_j * s_j) <> 0
+                        THEN round(
+                            (m_directed * s_jk - s_j * s_j)::DOUBLE
+                            / (m_directed * s_jj - s_j * s_j)::DOUBLE, 6)
+                        ELSE 0.0 END AS assortativity
+            FROM sums
+        """,
         "kg_ppr": f"""
             SELECT canonical_id, rank
             FROM read_parquet('{os.path.join(small, f"ppr_v{oracle_mat.ORACLE_MAT_VERSION}_d85i15.parquet")}')
@@ -5426,6 +5691,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN np nb ON nb.p = r.body_pred
             JOIN np nh ON nh.p = r.head_pred
             WHERE r.support >= 2
+        """,
+        "kg_chain_rules": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS p,
+                       ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            facts AS (SELECT DISTINCT p, s, o FROM e),
+            np AS (SELECT p, count(*) AS n FROM facts GROUP BY p),
+            a1 AS (
+                SELECT p AS body_pred1, s AS x, o AS z,
+                       row_number() OVER (
+                           PARTITION BY o ORDER BY p, s
+                       ) AS rk
+                FROM facts
+            ),
+            a2 AS (
+                SELECT p AS body_pred2, s AS z, o AS y,
+                       row_number() OVER (
+                           PARTITION BY s ORDER BY p, o
+                       ) AS rk
+                FROM facts
+            ),
+            body AS (
+                SELECT DISTINCT a1.body_pred1, a2.body_pred2, a1.x, a2.y
+                FROM a1 JOIN a2 ON a2.z = a1.z
+                WHERE a1.rk <= 64 AND a2.rk <= 64
+                  AND a1.x <> a2.y AND a1.z <> a1.x AND a1.z <> a2.y
+            ),
+            nb AS (
+                SELECT body_pred1, body_pred2, count(*) AS n_body_pairs
+                FROM body GROUP BY 1, 2
+            ),
+            sup AS (
+                SELECT b.body_pred1, b.body_pred2, h.p AS head_pred,
+                       count(*) AS support
+                FROM body b JOIN facts h ON h.s = b.x AND h.o = b.y
+                GROUP BY 1, 2, 3
+                HAVING count(*) >= 2
+            ),
+            pca AS (
+                SELECT b.body_pred1, b.body_pred2, hs.head_pred,
+                       count(*) AS n_pca_pairs
+                FROM body b
+                JOIN (SELECT DISTINCT p AS head_pred, s AS x FROM facts) hs
+                  ON hs.x = b.x
+                GROUP BY 1, 2, 3
+            )
+            SELECT s.body_pred1, s.body_pred2, s.head_pred, s.support,
+                   nb.n_body_pairs,
+                   round(s.support * 1.0 / nb.n_body_pairs, 6) AS confidence,
+                   round(s.support * 1.0 / pc.n_pca_pairs, 6)
+                       AS pca_confidence,
+                   round(s.support * 1.0 / nh.n, 6) AS head_coverage
+            FROM sup s
+            JOIN pca pc ON pc.body_pred1 = s.body_pred1
+                       AND pc.body_pred2 = s.body_pred2
+                       AND pc.head_pred = s.head_pred
+            JOIN nb ON nb.body_pred1 = s.body_pred1
+                   AND nb.body_pred2 = s.body_pred2
+            JOIN np nh ON nh.p = s.head_pred
         """,
         "kg_salience": f"""
             WITH e AS (

@@ -962,6 +962,295 @@ def k_truss(und: DataFrame, k: int = 3, max_iter: int = 100) -> DataFrame:
     )
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Weighted single-source shortest paths over the UNDIRECTED view of
+    the edges: returns (node, dist) for every reachable node, dist 0 at
+    the ``seeds`` (one column ``node``), dist = the minimum total edge
+    weight of any connecting path.  Weights must be positive integers
+    (the KG queries derive them from evidence counts — corroborated
+    edges are cheaper to traverse).
+
+    Frontier Bellman–Ford relaxation: a node's distance can only improve
+    via a neighbor whose distance improved in the PREVIOUS round, so each
+    round joins only the improved frontier to the edge table, min-merges
+    the candidates, and keeps the strict improvements — per-round cost is
+    O(frontier boundary), every shuffle keyed on node ids, rounds
+    checkpointed with the superseded state freed eagerly (the
+    ``bfs_distances`` discipline; BFS is the w=1 special case and the two
+    agree exactly there).  With positive integer weights the fixpoint is
+    a unique set of integer minima, so the result is bit-deterministic
+    under any partitioning.  Convergence takes at most (longest shortest
+    path in HOPS) rounds — weight-stretched chains need more rounds than
+    BFS levels; ``max_iter`` bounds pathological chains.
+
+    Duplicate (a, b) weight rows are collapsed to their MIN before the
+    loop, so callers may pass per-direction or per-evidence weights.
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-analytics
+    surface.
+    """
+    und = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("a"), F.col(src).alias("b"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    und = cache.track(und)
+    dist = cache.checkpoint(
+        seeds.select("node").distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = cache.checkpoint(
+            cand.join(
+                dist.select("node", F.col("dist").alias("old")),
+                "node",
+                "left",
+            )
+            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+        )
+        if improved.count() == 0:
+            cache.free_checkpoint(improved)
+            break
+        prev_dist, prev_frontier = dist, frontier
+        dist = cache.checkpoint(
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+        )
+        cache.free_checkpoint(prev_dist)
+        if prev_frontier is not prev_dist:
+            cache.free_checkpoint(prev_frontier)
+        frontier = improved
+    return dist
+
+
+def closeness_from_balls(balls: DataFrame, max_r: int = 3) -> DataFrame:
+    """Lin's closeness centrality from HyperBall ball-size estimates
+    (Boldi & Vigna 2013 §4): with |B(v, r)| estimated for r = 0..max_r,
+    the truncated distance sum is Σ_{r=1..max_r} r·(|B(v,r)|−|B(v,r−1)|)
+    and Lin's index is reached²/Σdist, where reached = |B(v,max_r)| −
+    |B(v,0)| excludes the node itself — the centrality that (unlike raw
+    closeness) does not reward tiny isolated components.
+
+    Input is the ``hyperball`` output (node, r, ..., est).  The whole
+    computation is one window lag + one grouped integer sum over ≤
+    (max_r+1) rows per node — ``total_dist`` and ``reached`` stay exact
+    BIGINTs derived from the already-bit-deterministic ``est`` integers,
+    and the only float is the final round(·, 6) division, computed
+    identically in SQL.  Ball estimates are near-monotone in r (HLL
+    registers only grow), but the bias-correction branch switch can
+    produce a rare small negative delta; the sum telescopes to
+    max_r·est_{max_r} − Σ est_{r<max_r}, so such jitter stays
+    estimate-level noise, never an inconsistency.
+
+    Returns (node, reached, total_dist, lin) — lin = 0.0 where nothing
+    beyond the node itself is reached.
+    """
+    w = Window.partitionBy("node").orderBy("r")
+    d = (
+        balls.select("node", "r", "est")
+        .withColumn("prev", F.lag("est").over(w))
+    )
+    agg = (
+        d.where(F.col("r") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.col("r") * (F.col("est") - F.col("prev")))
+            .alias("total_dist"),
+            F.max(F.when(F.col("r") == int(max_r), F.col("est")))
+            .alias("ball_max"),
+        )
+    )
+    r0 = balls.where(F.col("r") == 0).select(
+        "node", F.col("est").alias("est0")
+    )
+    return (
+        agg.join(r0, "node")
+        .select(
+            "node",
+            (F.col("ball_max") - F.col("est0")).alias("reached"),
+            "total_dist",
+            F.when(
+                F.col("total_dist") > 0,
+                F.round(
+                    (
+                        (F.col("ball_max") - F.col("est0"))
+                        * (F.col("ball_max") - F.col("est0"))
+                    ).cast("double")
+                    / F.col("total_dist").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lin"),
+        )
+    )
+
+
+def distance_profile(
+    balls: DataFrame, max_r: int = 3, q: float = 0.9
+) -> DataFrame:
+    """Global distance distribution + effective diameter from HyperBall
+    ball sizes — the measurement HyperBall was invented for (Boldi &
+    Vigna 2013; the "four degrees of separation" statistic).  N(r) =
+    Σ_v |B(v, r)| estimates the number of node pairs within distance r;
+    the effective diameter at quantile ``q`` is the interpolated r where
+    N(r) first reaches q·N(max_r), and the mean distance (within the
+    truncated horizon) is Σ r·(N(r)−N(r−1)) / (N(max_r)−N(0)).
+
+    One groupBy(r) sum over the balls table, then window lag/cum math
+    over ≤ max_r+1 rows — every accumulator is an exact BIGINT over the
+    bit-deterministic ``est`` integers, and the two final divisions are
+    round(·, 6) expressions computed identically in SQL.  Returns ONE
+    row: (n_nodes, n_pairs, avg_dist, eff_diameter).
+    """
+    byr = balls.groupBy("r").agg(F.sum("est").alias("n_reach"))
+    w_all = Window.partitionBy(F.lit(1))
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("r")
+    lagged = byr.select(
+        "r", "n_reach", F.lag("n_reach").over(w_ord).alias("prev")
+    )
+    tot = F.max(F.when(F.col("r") == int(max_r), F.col("n_reach"))).over(
+        w_all
+    )
+    n0 = F.max(F.when(F.col("r") == 0, F.col("n_reach"))).over(w_all)
+    target = F.lit(float(q)) * tot.cast("double")
+    annotated = lagged.select(
+        "r",
+        "n_reach",
+        "prev",
+        tot.alias("tot"),
+        n0.alias("n0"),
+        target.alias("target"),
+        F.sum(
+            F.when(
+                F.col("r") > 0,
+                F.col("r") * (F.col("n_reach") - F.col("prev")),
+            )
+        )
+        .over(w_all)
+        .alias("dist_sum"),
+    )
+    # the crossing row: first r whose cumulative reach meets the target
+    crossing = annotated.where(
+        (F.col("n_reach").cast("double") >= F.col("target"))
+        & (
+            F.col("prev").isNull()
+            | (F.col("prev").cast("double") < F.col("target"))
+        )
+    )
+    return crossing.select(
+        F.col("n0").alias("n_nodes"),
+        F.col("tot").alias("n_pairs"),
+        F.when(
+            (F.col("tot") - F.col("n0")) > 0,
+            F.round(
+                F.col("dist_sum").cast("double")
+                / (F.col("tot") - F.col("n0")).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_dist"),
+        F.when(F.col("r") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("r") - 1).cast("double")
+                + (F.col("target") - F.col("prev").cast("double"))
+                / (F.col("n_reach") - F.col("prev")).cast("double"),
+                6,
+            )
+        )
+        .alias("eff_diameter"),
+    )
+
+
+def assortativity(und: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over directed edge-endpoint
+    pairs — negative for hub-and-spoke KGs (hubs link to leaves),
+    positive for core-periphery meshes.  Over the SYMMETRIC edge view
+    the two endpoint marginals coincide, so the coefficient reduces to
+    r = (M·Σd_a·d_b − (Σd_a)²) / (M·Σd_a² − (Σd_a)²) — no square root,
+    and every accumulator (M, Σd_a, Σd_a·d_b, Σd_a²) is an exact BIGINT:
+    one degree aggregate, two broadcast-sized degree joins back onto the
+    edge view, one global sum.  The single float division is a
+    round(·, 6) expression computed identically in SQL.
+
+    Input is the symmetric self-loop-free distinct (a, b) view (the
+    graphalgs undirected contract).  Returns ONE row:
+    (m_directed, s_j, s_jj, s_jk, assortativity).
+    """
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("n"), "d"
+    )
+    paired = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    sums = paired.agg(
+        F.count(F.lit(1)).alias("m_directed"),
+        F.sum("da").alias("s_j"),
+        F.sum(F.col("da") * F.col("da")).alias("s_jj"),
+        F.sum(F.col("da") * F.col("db")).alias("s_jk"),
+    )
+    return sums.select(
+        "m_directed",
+        "s_j",
+        "s_jj",
+        "s_jk",
+        F.when(
+            (
+                F.col("m_directed") * F.col("s_jj")
+                - F.col("s_j") * F.col("s_j")
+            )
+            != 0,
+            F.round(
+                (
+                    F.col("m_directed") * F.col("s_jk")
+                    - F.col("s_j") * F.col("s_j")
+                ).cast("double")
+                / (
+                    F.col("m_directed") * F.col("s_jj")
+                    - F.col("s_j") * F.col("s_j")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )
+
+
 def hyperball(
     und: DataFrame, max_r: int = 3, b: int = 4, salt: str = "hb"
 ) -> DataFrame:

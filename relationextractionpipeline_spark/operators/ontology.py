@@ -128,6 +128,28 @@ def functionality(
         ).alias("functionality"),
     )
 
+def _resolved_facts(
+    edges: DataFrame, pred_map: DataFrame | None = None
+) -> DataFrame:
+    """DISTINCT resolved fact set (p, s, o) over canonical ids — the
+    shared input of the rule miners: multiplicity is evidence strength,
+    not logical truth, so facts dedup before mining."""
+    linked = edges.where(
+        F.col("subj_canonical").isNotNull()
+        & F.col("obj_canonical").isNotNull()
+    )
+    if pred_map is not None:
+        linked = linked.join(F.broadcast(pred_map), "pred", "left")
+    return (
+        linked.select(
+            F.coalesce("pred_canonical", "pred").alias("p"),
+            F.col("subj_canonical").alias("s"),
+            F.col("obj_canonical").alias("o"),
+        )
+        .distinct()
+    )
+
+
 def mine_rules(
     edges: DataFrame,
     pred_map: DataFrame | None = None,
@@ -164,20 +186,7 @@ def mine_rules(
     joins.  No reference analog (the reference stops at triple emission,
     de_pipeline/pipeline.py:69-77); beyond-reference KG-quality surface.
     """
-    linked = edges.where(
-        F.col("subj_canonical").isNotNull()
-        & F.col("obj_canonical").isNotNull()
-    )
-    if pred_map is not None:
-        linked = linked.join(F.broadcast(pred_map), "pred", "left")
-    facts = (
-        linked.select(
-            F.coalesce("pred_canonical", "pred").alias("p"),
-            F.col("subj_canonical").alias("s"),
-            F.col("obj_canonical").alias("o"),
-        )
-        .distinct()
-    )
+    facts = _resolved_facts(edges, pred_map)
     n_pairs = facts.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
 
     body = facts.select(
@@ -234,6 +243,242 @@ def mine_rules(
             ),
         )
     )
+
+def _chain_bodies(
+    facts: DataFrame,
+    bridge_fanout: int | None,
+    max_mid_degree: int | None,
+) -> DataFrame:
+    """Distinct sampled chain bodies (body_pred1, body_pred2, x, y) —
+    the shared enumeration of ``mine_chain_rules`` and
+    ``apply_chain_rules`` (one code path, so the application can never
+    see a body the miner didn't)."""
+    a1 = facts.select(
+        F.col("p").alias("body_pred1"),
+        F.col("s").alias("x"),
+        F.col("o").alias("z"),
+    )
+    a2 = facts.select(
+        F.col("p").alias("body_pred2"),
+        F.col("s").alias("z"),
+        F.col("o").alias("y"),
+    )
+    if max_mid_degree is not None:
+        in_deg = facts.groupBy(F.col("o").alias("z")).agg(
+            F.count(F.lit(1)).alias("ind")
+        )
+        out_deg = facts.groupBy(F.col("s").alias("z")).agg(
+            F.count(F.lit(1)).alias("outd")
+        )
+        mids = in_deg.join(out_deg, "z").where(
+            F.greatest("ind", "outd") <= F.lit(int(max_mid_degree))
+        )
+        a1 = a1.join(mids.select("z"), "z", "left_semi")
+    if bridge_fanout is not None:
+        k = int(bridge_fanout)
+        w_in = Window.partitionBy("z").orderBy("body_pred1", "x")
+        a1 = (
+            a1.withColumn("rk", F.row_number().over(w_in))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+        )
+        w_out = Window.partitionBy("z").orderBy("body_pred2", "y")
+        a2 = (
+            a2.withColumn("rk", F.row_number().over(w_out))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+        )
+    return (
+        a1.join(a2, "z")
+        .where(
+            (F.col("x") != F.col("y"))
+            & (F.col("z") != F.col("x"))
+            & (F.col("z") != F.col("y"))
+        )
+        .select("body_pred1", "body_pred2", "x", "y")
+        .distinct()
+    )
+
+
+def mine_chain_rules(
+    edges: DataFrame,
+    pred_map: DataFrame | None = None,
+    min_support: int = 2,
+    max_mid_degree: int | None = None,
+    bridge_fanout: int | None = 64,
+) -> DataFrame:
+    """AMIE chain rules p1(x, z) ∧ p2(z, y) ⇒ p3(x, y) over the
+    canonical fact set (Galarraga et al. 2013 §2: the closed 2-atom
+    body, the rule shape that completes transitive/compositional
+    relations 1-hop mining can't see).  x, z, y pairwise distinct —
+    proper 3-node chains, so a self-loop can never certify its own
+    composition.  Per rule:
+
+    * ``support``        = #distinct (x, y) with a body path AND the head
+    * ``n_body_pairs``   = #distinct (x, y) with a body path
+    * ``confidence``     = support / n_body_pairs (standard CWA conf)
+    * ``pca_confidence`` = support / #body pairs whose x has ANY p3 fact
+      — AMIE's partial-completeness denominator: a body pair only
+      counts against the rule if the KB knows at least one p3 object
+      for its subject, so open-world incompleteness stops masquerading
+      as a counter-example
+    * ``head_coverage``  = support / #head facts
+
+    Distributed shape: atom1 ⋈ atom2 keyed on the BRIDGE entity z, then
+    the distinct (p1, p2, x, y) body table joins the head facts keyed on
+    the entity pair; rule aggregation and both denominators are
+    dimension-sized (≤ #pred³ + #pred rows) and join back by broadcast.
+
+    The body enumeration is inherently quadratic in bridge degree
+    (in_deg(z)·out_deg(z) paths through z), and KG bridges are exactly
+    the hot entities — on the transcript corpus EVERY bridge has degree
+    ≥ ~10³, so a degree cap is all-or-nothing.  ``bridge_fanout``
+    instead bounds the per-bridge SAMPLE: each bridge contributes its
+    first ``bridge_fanout`` in-facts (ordered by (p1, x)) × first
+    ``bridge_fanout`` out-facts (ordered by (p2, y)) — ≤ fanout² paths
+    per bridge however hot it is, the AMIE+ sampling idea under a
+    deterministic total order (facts are distinct, so the rank is
+    unique and the SQL oracle replays it bit-for-bit).  support /
+    confidence are then estimates over the sampled body (head
+    denominators keep full counts); ``max_mid_degree`` additionally
+    drops bridges above a degree cap entirely (off by default).  The
+    body table is persisted once (two consumers: denominator rollup +
+    head join).
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-quality surface.
+    """
+    from . import cache
+
+    facts = _resolved_facts(edges, pred_map)
+    n_pairs = facts.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    body = cache.track(_chain_bodies(facts, bridge_fanout, max_mid_degree))
+    n_body = body.groupBy("body_pred1", "body_pred2").agg(
+        F.count(F.lit(1)).alias("n_body_pairs")
+    )
+    head = facts.select(
+        F.col("p").alias("head_pred"),
+        F.col("s").alias("x"),
+        F.col("o").alias("y"),
+    )
+    support = (
+        body.join(head, ["x", "y"])
+        .groupBy("body_pred1", "body_pred2", "head_pred")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= F.lit(int(min_support)))
+    )
+    # PCA denominator: body pairs whose x is a known p3 subject —
+    # keyed on x alone, group sizes bounded by the predicate vocabulary
+    head_subj = facts.select(
+        F.col("p").alias("head_pred"), F.col("s").alias("x")
+    ).distinct()
+    n_pca = (
+        body.join(head_subj, "x")
+        .groupBy("body_pred1", "body_pred2", "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_pca_pairs"))
+    )
+    return (
+        support.join(n_pca, ["body_pred1", "body_pred2", "head_pred"])
+        .join(
+            F.broadcast(n_body), ["body_pred1", "body_pred2"]
+        )
+        .join(
+            F.broadcast(
+                n_pairs.select(
+                    F.col("p").alias("head_pred"),
+                    F.col("n").alias("n_head_pairs"),
+                )
+            ),
+            "head_pred",
+        )
+        .select(
+            "body_pred1",
+            "body_pred2",
+            "head_pred",
+            "support",
+            "n_body_pairs",
+            F.round(F.col("support") / F.col("n_body_pairs"), 6).alias(
+                "confidence"
+            ),
+            F.round(F.col("support") / F.col("n_pca_pairs"), 6).alias(
+                "pca_confidence"
+            ),
+            F.round(F.col("support") / F.col("n_head_pairs"), 6).alias(
+                "head_coverage"
+            ),
+        )
+    )
+
+
+def apply_chain_rules(
+    edges: DataFrame,
+    pred_map: DataFrame | None = None,
+    min_support: int = 2,
+    min_pca: float = 0.5,
+    bridge_fanout: int | None = 64,
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """KB completion by rule application — the consumer of
+    ``mine_chain_rules``: every sampled body path (x, z, y) whose
+    (p1, p2) matches a mined rule predicts head_pred(x, y); predictions
+    already present in the fact set are dropped (only NEW facts emit),
+    and a fact derivable by several rules keeps its best score.
+
+    Per predicted fact: ``n_rules`` = #distinct rules deriving it and
+    ``score`` = max PCA confidence among them — PCA, not CWA, because
+    prediction is exactly the open-world regime the PCA denominator
+    models (Galarraga et al. 2013 §5 rank facts the same way).  Rules
+    are filtered to ``min_pca`` before application so the candidate set
+    is support-bearing, not the full body×predicate product.
+
+    Distributed shape: bodies re-enumerate under the SAME
+    fanout/degree-cap parameters as the miner (bit-identical sample,
+    one shared code path), the filtered rule table is dimension-sized
+    and broadcast onto the body pairs, and the known-fact filter is one
+    anti-join keyed on (pred, subj, obj).  Deterministic end-to-end, so
+    the SQL oracle replays mining AND application bit-for-bit.
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-quality surface.
+    """
+    rules = mine_chain_rules(
+        edges,
+        pred_map,
+        min_support=min_support,
+        max_mid_degree=max_mid_degree,
+        bridge_fanout=bridge_fanout,
+    ).where(F.col("pca_confidence") >= F.lit(float(min_pca)))
+    facts = _resolved_facts(edges, pred_map)
+    body = _chain_bodies(facts, bridge_fanout, max_mid_degree)
+    cand = body.join(
+        F.broadcast(
+            rules.select(
+                "body_pred1", "body_pred2", "head_pred", "pca_confidence"
+            )
+        ),
+        ["body_pred1", "body_pred2"],
+    )
+    known = facts.select(
+        F.col("p").alias("head_pred"),
+        F.col("s").alias("x"),
+        F.col("o").alias("y"),
+    )
+    return (
+        cand.join(known, ["head_pred", "x", "y"], "left_anti")
+        .groupBy("head_pred", "x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_rules"),
+            F.max("pca_confidence").alias("score"),
+        )
+        .select(
+            F.col("head_pred").alias("pred"),
+            F.col("x").alias("subj"),
+            F.col("y").alias("obj"),
+            "n_rules",
+            "score",
+        )
+    )
+
 
 def entity_salience(edges: DataFrame, top_k: int = 5) -> DataFrame:
     """TF-IDF entity salience per conversation over the canonical edge

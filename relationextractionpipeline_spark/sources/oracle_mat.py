@@ -620,6 +620,64 @@ def truss_table(
     )
 
 
+def sssp_table(
+    scale: str,
+    data_dir: str = testgen.DEFAULT_DATA_DIR,
+    max_iter: int = 50,
+) -> str:
+    """Sequential replica of the kg_sssp query: evidence-weighted
+    shortest paths from the lexicographically-first entity.  Edge weight
+    per unordered canonical pair = max(1, 4 − n_evidence) — corroborated
+    edges are cheaper — exactly the derivation the Spark query builds
+    with native Columns.  Distances via heapq Dijkstra: the fixpoint of
+    positive-integer relaxation is the same unique minima set the
+    distributed Bellman–Ford loop converges to, so the comparison gates
+    the frontier/join/min machinery, not the algorithm choice."""
+    import heapq
+
+    dst = os.path.abspath(
+        os.path.join(
+            data_dir,
+            testgen.scale_dir(scale),
+            f"sssp_v{ORACLE_MAT_VERSION}_w4.parquet",
+        )
+    )
+    if os.path.exists(dst):
+        return dst
+    entity_clusters(scale, data_dir)
+    triples = pd.read_parquet(oracle_triples(scale, data_dir))
+    keymap = pd.read_parquet(
+        os.path.join(data_dir, testgen.scale_dir(scale), ENTITY_KEYMAP_FILE)
+    )
+    canon = dict(zip(keymap["ent_key"], keymap["canonical_id"]))
+    n_ev: Dict[tuple, int] = {}
+    for s, o in zip(triples["subj"], triples["obj"]):
+        if s in canon and o in canon and canon[s] != canon[o]:
+            pair = (min(canon[s], canon[o]), max(canon[s], canon[o]))
+            n_ev[pair] = n_ev.get(pair, 0) + 1
+    adj: Dict[str, list] = {}
+    for (a, b), cnt in n_ev.items():
+        w = max(1, 4 - cnt)
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    seed = min(adj) if adj else None
+    dist: Dict[str, int] = {}
+    if seed is not None:
+        heap = [(0, seed)]
+        while heap:
+            d, node = heapq.heappop(heap)
+            if node in dist:
+                continue
+            dist[node] = d
+            for nbr, w in adj[node]:
+                if nbr not in dist:
+                    heapq.heappush(heap, (d + w, nbr))
+    rows = sorted(dist.items())
+    return _publish(
+        pd.DataFrame(rows, columns=["canonical_id", "dist"]), dst
+    )
+
+
 def hyperball_table(
     scale: str,
     data_dir: str = testgen.DEFAULT_DATA_DIR,

@@ -972,3 +972,222 @@ def test_hyperball_partition_invariant(spark):
     )
     cache.release_all(checkpoints=True)
     assert base == rep and base
+
+
+# --- weighted SSSP ---------------------------------------------------------
+
+# weighted graph: direct a-d edge costs 9, but the a-b-c-d chain costs
+# 1+2+3=6; island x-y; self-loop and a duplicate heavier a-b must be ignored
+SSSP_EDGES = [
+    ("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("a", "d", 9),
+    ("x", "y", 4), ("b", "b", 5), ("a", "b", 7),
+]
+
+
+def test_sssp_weighted_prefers_cheap_chain(spark):
+    df = spark.createDataFrame(SSSP_EDGES, "src string, dst string, w int")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in graphalgs.sssp_weighted(df, seeds).collect()}
+    cache.release_all(checkpoints=True)
+    # d via the chain (6) beats the direct edge (9); x/y unreachable
+    assert got == {"a": 0, "b": 1, "c": 3, "d": 6}
+
+
+def test_sssp_weighted_equals_bfs_at_unit_weights(spark):
+    df = spark.createDataFrame(BFS_EDGES, "src string, dst string")
+    wdf = df.withColumn("w", F.lit(1))
+    seeds = spark.createDataFrame([("a",)], "node string")
+    sp = sorted(map(tuple, graphalgs.sssp_weighted(wdf, seeds).collect()))
+    bf = sorted(map(tuple, graphalgs.bfs_distances(df, seeds).collect()))
+    cache.release_all(checkpoints=True)
+    assert sp == bf
+
+
+def test_sssp_weighted_multi_seed_direction_blind(spark):
+    df = spark.createDataFrame(SSSP_EDGES, "src string, dst string, w int")
+    seeds = spark.createDataFrame([("d",), ("x",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in graphalgs.sssp_weighted(df, seeds).collect()}
+    cache.release_all(checkpoints=True)
+    # edges walked undirected from both seeds
+    assert got == {"d": 0, "x": 0, "c": 3, "b": 5, "a": 6, "y": 4}
+
+
+def test_sssp_weighted_max_iter_bounds_rounds(spark):
+    # chain of 5 unit edges: max_iter=2 explores only 2 hops
+    chain = [("n%d" % i, "n%d" % (i + 1), 1) for i in range(5)]
+    df = spark.createDataFrame(chain, "src string, dst string, w int")
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in graphalgs.sssp_weighted(df, seeds, max_iter=2).collect()}
+    cache.release_all(checkpoints=True)
+    assert got == {"n0": 0, "n1": 1, "n2": 2}
+
+
+def test_sssp_weighted_relaxes_early_settled_nodes(spark):
+    # b is reached at dist 10 in round 1 via the direct edge, then
+    # IMPROVED to 3 via the 3-hop unit chain — the frontier loop must
+    # keep relaxing nodes that already hold a tentative distance
+    edges = [
+        ("a", "b", 10),
+        ("a", "m1", 1), ("m1", "m2", 1), ("m2", "b", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in graphalgs.sssp_weighted(df, seeds).collect()}
+    cache.release_all(checkpoints=True)
+    assert got == {"a": 0, "m1": 1, "m2": 2, "b": 3}
+
+
+def test_sssp_weighted_partition_invariant(spark):
+    df = spark.createDataFrame(SSSP_EDGES, "src string, dst string, w int")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    base = sorted(
+        map(tuple, graphalgs.sssp_weighted(df.repartition(7), seeds).collect())
+    )
+    rep = sorted(
+        map(tuple, graphalgs.sssp_weighted(df.coalesce(1), seeds).collect())
+    )
+    cache.release_all(checkpoints=True)
+    assert base == rep and base
+
+
+# --- closeness from HyperBall balls ---------------------------------------
+
+
+def test_closeness_from_balls_matches_replica(spark):
+    und = _und_df(spark, HB_EDGES)
+    balls = graphalgs.hyperball(und, max_r=3, b=4)
+    got = {
+        r["node"]: (r["reached"], r["total_dist"], r["lin"])
+        for r in graphalgs.closeness_from_balls(balls, max_r=3).collect()
+    }
+    cache.release_all(checkpoints=True)
+    est = _py_hyperball(HB_EDGES, max_r=3, b=4)
+    want = {}
+    for n in "abcdexy":
+        e = {r: est[(n, r)][3] for r in range(4)}
+        total = sum(r * (e[r] - e[r - 1]) for r in range(1, 4))
+        reached = e[3] - e[0]
+        lin = round(reached * reached / total, 6) if total > 0 else 0.0
+        want[n] = (reached, total, lin)
+    assert got == want
+
+
+def test_closeness_ranks_path_center_highest(spark):
+    # on the a-b-c-d-e path the center c has the smallest truncated
+    # distance sum => the highest Lin index within its component
+    und = _und_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    balls = graphalgs.hyperball(und, max_r=3, b=4)
+    got = {
+        r["node"]: r["lin"]
+        for r in graphalgs.closeness_from_balls(balls, max_r=3).collect()
+    }
+    cache.release_all(checkpoints=True)
+    assert got["c"] == max(got.values())
+
+
+# --- distance profile / effective diameter --------------------------------
+
+
+def _py_profile(edges, max_r=3, q=0.9):
+    est = _py_hyperball(edges, max_r=max_r, b=4)
+    nodes = sorted({n for e in edges for n in e if e[0] != e[1]})
+    nr = {r: sum(est[(n, r)][3] for n in nodes) for r in range(max_r + 1)}
+    tot, n0 = nr[max_r], nr[0]
+    target = 0.9 * float(tot)
+    dist_sum = sum(r * (nr[r] - nr[r - 1]) for r in range(1, max_r + 1))
+    avg = round(dist_sum / (tot - n0), 6) if tot - n0 > 0 else 0.0
+    for r in range(max_r + 1):
+        if nr[r] >= target:
+            if r == 0:
+                eff = 0.0
+            else:
+                eff = round((r - 1) + (target - nr[r - 1])
+                            / (nr[r] - nr[r - 1]), 6)
+            return (n0, tot, avg, eff)
+    raise AssertionError("no crossing")
+
+
+def test_distance_profile_matches_replica(spark):
+    und = _und_df(spark, HB_EDGES)
+    balls = graphalgs.hyperball(und, max_r=3, b=4)
+    got = graphalgs.distance_profile(balls, max_r=3, q=0.9).collect()
+    cache.release_all(checkpoints=True)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_nodes"], r["n_pairs"], r["avg_dist"], r["eff_diameter"]) \
+        == _py_profile(HB_EDGES, max_r=3)
+
+
+def test_distance_profile_clique_effective_diameter_below_one(spark):
+    # complete graph on 4 nodes: everything reached at r=1, so the 0.9
+    # quantile interpolates inside the (0, 1] step and avg_dist is 1.0
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    und = _und_df(spark, k4)
+    balls = graphalgs.hyperball(und, max_r=3, b=4)
+    r = graphalgs.distance_profile(balls, max_r=3, q=0.9).collect()[0]
+    cache.release_all(checkpoints=True)
+    assert r["avg_dist"] == 1.0
+    assert 0.0 < r["eff_diameter"] <= 1.0
+
+
+def test_distance_profile_zero_when_everything_at_r0(spark):
+    # edgeless graph reaches nothing beyond r=0: guard branches fire
+    balls = spark.createDataFrame(
+        [("a", r, 1) for r in range(4)] + [("b", r, 1) for r in range(4)],
+        "node string, r int, est long",
+    )
+    r = graphalgs.distance_profile(balls, max_r=3, q=0.9).collect()[0]
+    assert (r["n_nodes"], r["n_pairs"], r["avg_dist"], r["eff_diameter"]) \
+        == (2, 2, 0.0, 0.0)
+
+
+# --- degree assortativity ---------------------------------------------------
+
+
+def _py_assortativity(edges):
+    ed = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    deg = {}
+    for a, b in ed:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in ed] + [(deg[b], deg[a]) for a, b in ed]
+    m = len(pairs)
+    s_j = sum(da for da, _ in pairs)
+    s_jj = sum(da * da for da, _ in pairs)
+    s_jk = sum(da * db for da, db in pairs)
+    den = m * s_jj - s_j * s_j
+    r = round((m * s_jk - s_j * s_j) / den, 6) if den else 0.0
+    return (m, s_j, s_jj, s_jk, r)
+
+
+def test_assortativity_star_is_negative(spark):
+    star = [("hub", "l%d" % i) for i in range(5)]
+    und = _und_df(spark, star)
+    got = tuple(graphalgs.assortativity(und).collect()[0])
+    cache.release_all(checkpoints=True)
+    assert got == _py_assortativity(star)
+    assert got[4] == -1.0  # pure star: perfectly disassortative
+
+
+def test_assortativity_matches_replica_on_mixed_graph(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+        ("hub", "a"), ("hub", "x"), ("hub", "y"), ("x", "y"),
+    ]
+    und = _und_df(spark, edges)
+    got = tuple(graphalgs.assortativity(und).collect()[0])
+    cache.release_all(checkpoints=True)
+    assert got == _py_assortativity(edges)
+
+
+def test_assortativity_regular_graph_denominator_guard(spark):
+    # a cycle is 2-regular: zero degree variance -> guarded 0.0
+    cyc = [("n%d" % i, "n%d" % ((i + 1) % 5)) for i in range(5)]
+    und = _und_df(spark, cyc)
+    got = tuple(graphalgs.assortativity(und).collect()[0])
+    cache.release_all(checkpoints=True)
+    assert got[4] == 0.0

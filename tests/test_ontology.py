@@ -225,3 +225,146 @@ def test_entity_salience(spark):
     assert got[("c2", 1)]["entity"] == "e9"
     assert got[("c2", 2)]["entity"] == "e1"
     assert got[("c2", 1)]["df"] == 1 and got[("c2", 2)]["df"] == 2
+
+
+_CHAIN_ROWS = [
+    # chain: born_in(x, city) + city_in(city, country) => citizen_of(x, country)
+    ("c1", "born_in", "ada", "london"),
+    ("c1", "born_in", "alan", "london"),
+    ("c1", "born_in", "kurt", "vienna"),
+    ("c1", "city_in", "london", "uk"),
+    ("c1", "city_in", "vienna", "austria"),
+    ("c1", "citizen_of", "ada", "uk"),
+    ("c1", "citizen_of", "alan", "uk"),
+    # kurt's head fact is missing: body-only pair
+    # improper chains that must NOT count: self-loop bridge and x == y
+    ("c2", "born_in", "loop", "loop"),
+    ("c2", "city_in", "loop", "loop"),
+    ("c2", "born_in", "narcissus", "mirror"),
+    ("c2", "city_in", "mirror", "narcissus"),
+]
+
+
+def test_mine_chain_rules_composition(spark):
+    out = {
+        (r["body_pred1"], r["body_pred2"], r["head_pred"]): r
+        for r in ontology.mine_chain_rules(
+            _rule_edges(spark, _CHAIN_ROWS), min_support=1
+        ).collect()
+    }
+    r = out[("born_in", "city_in", "citizen_of")]
+    # body pairs: (ada,uk), (alan,uk), (kurt,austria); head holds for 2
+    assert r["support"] == 2 and r["n_body_pairs"] == 3
+    assert abs(r["confidence"] - round(2 / 3, 6)) < 1e-9
+    assert abs(r["head_coverage"] - 1.0) < 1e-9
+    # improper chains never form a body: no rule is keyed through loop /
+    # narcissus-mirror (they'd surface as born_in+city_in => born_in etc.)
+    assert all(k == ("born_in", "city_in", "citizen_of") for k in out), out
+
+
+def test_mine_chain_rules_min_support_and_cap(spark):
+    # min_support=3 kills the only rule
+    assert (
+        ontology.mine_chain_rules(
+            _rule_edges(spark, _CHAIN_ROWS), min_support=3
+        ).count()
+        == 0
+    )
+    # cap=1 drops london (in_deg 2) from the bridge set: only the vienna
+    # path survives as a body pair, and its head fact is absent
+    capped = ontology.mine_chain_rules(
+        _rule_edges(spark, _CHAIN_ROWS), min_support=1, max_mid_degree=1
+    ).collect()
+    assert capped == []
+
+
+def test_mine_chain_rules_cap_keeps_head_denominators(spark):
+    # two disjoint chains; the hub bridge is capped out but the head
+    # denominator still counts ALL citizen_of facts
+    rows = _CHAIN_ROWS + [
+        ("c3", "citizen_of", "x%d" % i, "y%d" % i) for i in range(3)
+    ]
+    out = {
+        (r["body_pred1"], r["body_pred2"], r["head_pred"]): r
+        for r in ontology.mine_chain_rules(
+            _rule_edges(spark, rows), min_support=1
+        ).collect()
+    }
+    r = out[("born_in", "city_in", "citizen_of")]
+    # head_coverage = 2 / (2 + 3) citizen_of facts
+    assert abs(r["head_coverage"] - 0.4) < 1e-9
+
+
+def test_mine_chain_rules_partition_invariant(spark):
+    df = _rule_edges(spark, _CHAIN_ROWS)
+    a = sorted(
+        map(
+            tuple,
+            ontology.mine_chain_rules(df.repartition(7), min_support=1).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ontology.mine_chain_rules(df.coalesce(1), min_support=1).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_mine_chain_rules_bridge_fanout_rank_order(spark):
+    # bridge "hub" has 3 in-facts; fanout=2 keeps the lexicographically
+    # first two by (pred, subject): (in, a1) and (in, a2) — the a3 path
+    # is sampled out, so its head fact can no longer be supported
+    rows = [
+        ("c1", "in", "a1", "hub"),
+        ("c1", "in", "a2", "hub"),
+        ("c1", "in", "a3", "hub"),
+        ("c1", "out", "hub", "t"),
+        ("c1", "goal", "a1", "t"),
+        ("c1", "goal", "a2", "t"),
+        ("c1", "goal", "a3", "t"),
+    ]
+    full = {
+        (r["body_pred1"], r["body_pred2"], r["head_pred"]): r
+        for r in ontology.mine_chain_rules(
+            _rule_edges(spark, rows), min_support=1
+        ).collect()
+    }
+    assert full[("in", "out", "goal")]["support"] == 3
+    sampled = {
+        (r["body_pred1"], r["body_pred2"], r["head_pred"]): r
+        for r in ontology.mine_chain_rules(
+            _rule_edges(spark, rows), min_support=1, bridge_fanout=2
+        ).collect()
+    }
+    r = sampled[("in", "out", "goal")]
+    assert r["support"] == 2 and r["n_body_pairs"] == 2
+    # head denominator keeps ALL goal facts: coverage 2/3
+    assert abs(r["head_coverage"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_mine_chain_rules_pca_confidence(spark):
+    # kurt's body pair (kurt, austria) has NO citizen_of fact for kurt:
+    # CWA confidence counts it against the rule (2/3); PCA does not (2/2)
+    out = {
+        (r["body_pred1"], r["body_pred2"], r["head_pred"]): r
+        for r in ontology.mine_chain_rules(
+            _rule_edges(spark, _CHAIN_ROWS), min_support=1
+        ).collect()
+    }
+    r = out[("born_in", "city_in", "citizen_of")]
+    assert abs(r["confidence"] - round(2 / 3, 6)) < 1e-9
+    assert abs(r["pca_confidence"] - 1.0) < 1e-9
+
+    # give kurt a citizen_of fact elsewhere: his body pair now counts
+    # against PCA too (known-incomplete -> known-wrong)
+    rows = _CHAIN_ROWS + [("c9", "citizen_of", "kurt", "hungary")]
+    out2 = {
+        (r["body_pred1"], r["body_pred2"], r["head_pred"]): r
+        for r in ontology.mine_chain_rules(
+            _rule_edges(spark, rows), min_support=1
+        ).collect()
+    }
+    r2 = out2[("born_in", "city_in", "citizen_of")]
+    assert abs(r2["pca_confidence"] - round(2 / 3, 6)) < 1e-9

@@ -253,6 +253,28 @@ def main() -> None:
          "rows per node regardless of graph size; estimates derive from "
          "one exact-integer scalar per (node, r)",
          entrymod.queries()["kg_hyperball"](spark, SF)),
+        ("Weighted SSSP (converged state) — frontier Bellman-Ford: each "
+         "round joins only the improved frontier to the weighted edge "
+         "view, min-merges candidates, keeps strict improvements; state "
+         "unions are checkpointed so lineage stays O(rounds)",
+         entrymod.queries()["kg_sssp"](spark, SF)),
+        ("Closeness from HyperBall balls — one window lag + one grouped "
+         "integer sum over <= max_r+1 rows per node; the ball estimates "
+         "arrive from the checkpointed hyperball rounds, so the tail is "
+         "a single hashpartitioning Exchange on node",
+         entrymod.queries()["kg_closeness"](spark, SF)),
+        ("Distance profile / effective diameter — one groupBy(r) sum "
+         "over the ball table then window math over <= max_r+1 rows; "
+         "every accumulator an exact BIGINT",
+         entrymod.queries()["kg_diameter"](spark, SF)),
+        ("Degree assortativity — one degree aggregate + two degree "
+         "equi-joins back onto the edge view + one global sum; exact "
+         "integer accumulators, single round(.,6) division",
+         entrymod.queries()["kg_assortativity"](spark, SF)),
+        ("AMIE chain rules — per-bridge row_number fanout bounds the "
+         "quadratic path join; distinct body pairs persist once, head "
+         "join keys on the entity pair, denominators broadcast back",
+         entrymod.queries()["kg_chain_rules"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
