@@ -1317,6 +1317,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_chain_rules"] = kg_chain_rules
 
+    def kg_rule_predictions(spark, sf_dir):
+        """KB completion by rule application (ontology.apply_chain_rules):
+        every sampled chain body whose (p1, p2) matches a mined rule
+        (support ≥ 5, PCA confidence ≥ 0.5) predicts head(x, y); known
+        facts are anti-joined away, and a fact derivable by several
+        rules keeps its best PCA score — the open-world fact-ranking
+        protocol of Galarraga et al. 2013 §5.  Bodies re-enumerate
+        through the SAME fanout-sampled code path as the miner
+        (ontology._chain_bodies), rules broadcast onto body pairs.
+        Full SQL oracle replays mining AND application rank-for-rank."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        graph = pipeline.materialize_graph(run)
+        return ontology.apply_chain_rules(
+            graph["edges"], min_support=5, min_pca=0.5, bridge_fanout=64
+        )
+
+    q["kg_rule_predictions"] = kg_rule_predictions
+
     def kg_salience(spark, sf_dir):
         """Per-conversation TF-IDF entity salience over the canonical edge
         table (operators/ontology.entity_salience): the top-5 entities a
@@ -3133,6 +3156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diameter",
         "kg_assortativity",
         "kg_chain_rules",
+        # kg_chain_rules gates the mining protocol kg_rule_predictions
+        # applies
+        "kg_rule_predictions",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -5760,6 +5786,82 @@ def oracle_sql() -> dict[str, str]:
             JOIN nb ON nb.body_pred1 = s.body_pred1
                    AND nb.body_pred2 = s.body_pred2
             JOIN np nh ON nh.p = s.head_pred
+        """,
+        # replays kg_chain_rules' mining (support >= 5) and then the
+        # application: rules with round(pca,6) >= 0.5 broadcast onto the
+        # identically-sampled body pairs, known facts anti-joined away
+        "kg_rule_predictions": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS p,
+                       ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            facts AS (SELECT DISTINCT p, s, o FROM e),
+            a1 AS (
+                SELECT p AS body_pred1, s AS x, o AS z,
+                       row_number() OVER (
+                           PARTITION BY o ORDER BY p, s
+                       ) AS rk
+                FROM facts
+            ),
+            a2 AS (
+                SELECT p AS body_pred2, s AS z, o AS y,
+                       row_number() OVER (
+                           PARTITION BY s ORDER BY p, o
+                       ) AS rk
+                FROM facts
+            ),
+            body AS (
+                SELECT DISTINCT a1.body_pred1, a2.body_pred2, a1.x, a2.y
+                FROM a1 JOIN a2 ON a2.z = a1.z
+                WHERE a1.rk <= 64 AND a2.rk <= 64
+                  AND a1.x <> a2.y AND a1.z <> a1.x AND a1.z <> a2.y
+            ),
+            sup AS (
+                SELECT b.body_pred1, b.body_pred2, h.p AS head_pred,
+                       count(*) AS support
+                FROM body b JOIN facts h ON h.s = b.x AND h.o = b.y
+                GROUP BY 1, 2, 3
+                HAVING count(*) >= 5
+            ),
+            pcad AS (
+                SELECT b.body_pred1, b.body_pred2, hs.head_pred,
+                       count(*) AS n_pca_pairs
+                FROM body b
+                JOIN (SELECT DISTINCT p AS head_pred, s AS x FROM facts) hs
+                  ON hs.x = b.x
+                GROUP BY 1, 2, 3
+            ),
+            rules AS (
+                SELECT s.body_pred1, s.body_pred2, s.head_pred,
+                       round(s.support * 1.0 / pc.n_pca_pairs, 6) AS pca
+                FROM sup s
+                JOIN pcad pc ON pc.body_pred1 = s.body_pred1
+                            AND pc.body_pred2 = s.body_pred2
+                            AND pc.head_pred = s.head_pred
+                WHERE round(s.support * 1.0 / pc.n_pca_pairs, 6) >= 0.5
+            )
+            SELECT c.head_pred AS pred, c.x AS subj, c.y AS obj,
+                   count(*) AS n_rules, max(c.pca) AS score
+            FROM (
+                SELECT b.x, b.y, r.head_pred, r.pca
+                FROM body b
+                JOIN rules r ON r.body_pred1 = b.body_pred1
+                            AND r.body_pred2 = b.body_pred2
+            ) c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM facts f
+                WHERE f.p = c.head_pred AND f.s = c.x AND f.o = c.y
+            )
+            GROUP BY 1, 2, 3
         """,
         "kg_salience": f"""
             WITH e AS (

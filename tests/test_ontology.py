@@ -368,3 +368,48 @@ def test_mine_chain_rules_pca_confidence(spark):
     }
     r2 = out2[("born_in", "city_in", "citizen_of")]
     assert abs(r2["pca_confidence"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_apply_chain_rules_predicts_missing_head(spark):
+    # the only rule (born_in+city_in => citizen_of, pca 1.0) fires on
+    # kurt's body pair; known facts are never re-predicted
+    preds = ontology.apply_chain_rules(
+        _rule_edges(spark, _CHAIN_ROWS), min_support=2, min_pca=0.9
+    ).collect()
+    assert [(r["pred"], r["subj"], r["obj"], r["n_rules"], r["score"])
+            for r in preds] == [("citizen_of", "kurt", "austria", 1, 1.0)]
+
+
+def test_apply_chain_rules_threshold_silences_weak_rules(spark):
+    # raising min_pca above every rule's confidence yields no predictions
+    assert (
+        ontology.apply_chain_rules(
+            _rule_edges(spark, _CHAIN_ROWS), min_support=2, min_pca=1.01
+        ).count()
+        == 0
+    )
+
+
+def test_apply_chain_rules_best_score_across_rules(spark):
+    # two rules derive the same missing fact; the prediction keeps the
+    # max PCA confidence and counts both rules
+    rows = [
+        # rule A: in1+out1 => goal (2 supported pairs, 1 missing)
+        ("c1", "in1", "a", "h1"), ("c1", "out1", "h1", "t"),
+        ("c1", "in1", "b", "h2"), ("c1", "out1", "h2", "t"),
+        ("c1", "in1", "c", "h3"), ("c1", "out1", "h3", "t"),
+        ("c1", "goal", "a", "t"), ("c1", "goal", "b", "t"),
+        # rule B: in2+out2 => goal, weaker (1 of 2 supported + c missing)
+        ("c1", "in2", "c", "h4"), ("c1", "out2", "h4", "t"),
+        ("c1", "in2", "d", "h5"), ("c1", "out2", "h5", "t"),
+        ("c1", "in2", "e", "h6"), ("c1", "out2", "h6", "t"),
+        ("c1", "goal", "d", "t"), ("c1", "goal", "e", "t"),
+    ]
+    preds = {
+        (r["pred"], r["subj"], r["obj"]): r
+        for r in ontology.apply_chain_rules(
+            _rule_edges(spark, rows), min_support=2, min_pca=0.1
+        ).collect()
+    }
+    r = preds[("goal", "c", "t")]
+    assert r["n_rules"] == 2 and abs(r["score"] - 1.0) < 1e-9

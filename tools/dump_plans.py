@@ -275,6 +275,11 @@ def main() -> None:
          "quadratic path join; distinct body pairs persist once, head "
          "join keys on the entity pair, denominators broadcast back",
          entrymod.queries()["kg_chain_rules"](spark, SF)),
+        ("Rule-based KB completion — the shared fanout-sampled body "
+         "enumeration, mined rules broadcast onto body pairs, one "
+         "anti-join against the known-fact set, grouped best-score "
+         "aggregate",
+         entrymod.queries()["kg_rule_predictions"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
