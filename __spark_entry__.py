@@ -5708,12 +5708,30 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.p <> h.p OR b.s <> b.o
                 GROUP BY 1, 2
             ),
-            rules AS (SELECT * FROM same UNION ALL SELECT * FROM inv)
+            rules AS (SELECT * FROM same UNION ALL SELECT * FROM inv),
+            hs AS (SELECT DISTINCT p AS head_pred, s AS hs FROM facts),
+            pca_same AS (
+                SELECT b.p AS body_pred, h.head_pred,
+                       'same' AS direction, count(*) AS n_pca
+                FROM facts b JOIN hs h ON h.hs = b.s GROUP BY 1, 2
+            ),
+            pca_inv AS (
+                SELECT b.p AS body_pred, h.head_pred,
+                       'inverse' AS direction, count(*) AS n_pca
+                FROM facts b JOIN hs h ON h.hs = b.o GROUP BY 1, 2
+            ),
+            pca AS (
+                SELECT * FROM pca_same UNION ALL SELECT * FROM pca_inv
+            )
             SELECT r.body_pred, r.head_pred, r.direction, r.support,
                    nb.n AS n_body_pairs,
                    round(r.support * 1.0 / nb.n, 6) AS confidence,
+                   round(r.support * 1.0 / pc.n_pca, 6) AS pca_confidence,
                    round(r.support * 1.0 / nh.n, 6) AS head_coverage
             FROM rules r
+            JOIN pca pc ON pc.body_pred = r.body_pred
+                       AND pc.head_pred = r.head_pred
+                       AND pc.direction = r.direction
             JOIN np nb ON nb.p = r.body_pred
             JOIN np nh ON nh.p = r.head_pred
             WHERE r.support >= 2

@@ -168,9 +168,13 @@ def mine_rules(
     pred_canonical, obj_canonical) — multiplicity is evidence strength,
     not logical truth, so facts dedup before mining.  Per rule:
 
-    * ``support``       = #distinct entity pairs satisfying body AND head
-    * ``confidence``    = support / #pairs satisfying the body (std conf)
-    * ``head_coverage`` = support / #pairs satisfying the head
+    * ``support``        = #distinct entity pairs satisfying body AND head
+    * ``confidence``     = support / #pairs satisfying the body (std conf)
+    * ``pca_confidence`` = support / #body pairs whose HEAD SUBJECT (x
+      for ``same``, y for ``inverse``) has ANY head-predicate fact —
+      AMIE's partial-completeness denominator: open-world
+      incompleteness doesn't count against the rule
+    * ``head_coverage``  = support / #pairs satisfying the head
 
     The degenerate instantiation where the body atom IS the head fact
     (inverse rules with body == head on a self-loop x == y) is excluded,
@@ -218,8 +222,28 @@ def mine_rules(
     rules = same.unionByName(inverse).where(
         F.col("support") >= F.lit(int(min_support))
     )
+    # PCA denominators: body facts whose head-subject (s for `same`,
+    # o for `inverse`) is a known head_pred subject — keyed on one
+    # entity, group sizes bounded by the predicate vocabulary
+    head_subj = facts.select(
+        F.col("p").alias("head_pred"), F.col("s").alias("hs")
+    ).distinct()
+    pca_same = (
+        body.join(head_subj, body["s"] == head_subj["hs"])
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_pca"))
+        .select("*", F.lit("same").alias("direction"))
+    )
+    pca_inv = (
+        body.join(head_subj, body["o"] == head_subj["hs"])
+        .groupBy("body_pred", "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_pca"))
+        .select("*", F.lit("inverse").alias("direction"))
+    )
+    n_pca = pca_same.unionByName(pca_inv)
     return (
-        rules.join(
+        rules.join(n_pca, ["body_pred", "head_pred", "direction"])
+        .join(
             F.broadcast(n_pairs.select(F.col("p").alias("body_pred"),
                                        F.col("n").alias("n_body_pairs"))),
             "body_pred",
@@ -237,6 +261,9 @@ def mine_rules(
             "n_body_pairs",
             F.round(F.col("support") / F.col("n_body_pairs"), 6).alias(
                 "confidence"
+            ),
+            F.round(F.col("support") / F.col("n_pca"), 6).alias(
+                "pca_confidence"
             ),
             F.round(F.col("support") / F.col("n_head_pairs"), 6).alias(
                 "head_coverage"

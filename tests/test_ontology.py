@@ -170,15 +170,24 @@ def test_mine_rules(spark):
     assert rev["support"] == 2 and rev["n_body_pairs"] == 3
     assert abs(rev["confidence"] - round(2 / 3, 6)) < 1e-9
     assert abs(rev["head_coverage"] - 1.0) < 1e-9
+    # PCA: munich has no capital_of fact, so its body pair doesn't
+    # count against the rule (2/2) where CWA counts it (2/3)
+    assert abs(rev["pca_confidence"] - 1.0) < 1e-9
 
     inv = out[("capital_of", "located_in", "inverse")]
     assert inv["support"] == 1
     assert abs(inv["confidence"] - 0.5) < 1e-9
+    # PCA for inverse keys on the body OBJECT (the head subject):
+    # germany is no located_in subject -> 1/1
+    assert abs(inv["pca_confidence"] - 1.0) < 1e-9
 
     # symmetry: (a,b)/(b,a) support 2; the (c,c) self-loop is excluded
     sym = out[("married_to", "married_to", "inverse")]
     assert sym["support"] == 2 and sym["n_body_pairs"] == 3
     assert abs(sym["confidence"] - round(2 / 3, 6)) < 1e-9
+    # all three body objects (b, a, c) are married_to subjects: PCA
+    # keeps the self-loop in the denominator -> 2/3
+    assert abs(sym["pca_confidence"] - round(2 / 3, 6)) < 1e-9
 
     # a rule can never pair a predicate with itself in the same direction
     assert not any(
