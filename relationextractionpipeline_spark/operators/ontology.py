@@ -369,8 +369,8 @@ def mine_chain_rules(
     confidence are then estimates over the sampled body (head
     denominators keep full counts); ``max_mid_degree`` additionally
     drops bridges above a degree cap entirely (off by default).  The
-    body table is persisted once (two consumers: denominator rollup +
-    head join).
+    body table is persisted once (three consumers: denominator rollup,
+    head join, PCA join).
 
     No reference analog (the reference stops at triple emission,
     de_pipeline/pipeline.py:69-77); beyond-reference KG-quality surface.
