@@ -1340,6 +1340,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_rule_predictions"] = kg_rule_predictions
 
+    def kg_fact_resolution(spark, sf_dir):
+        """Knowledge fusion for near-functional relations
+        (ontology.resolve_functional_conflicts): for predicates with
+        functionality ≥ 0.8, each conflicted subject keeps its
+        best-evidenced object — (distinct conversations DESC, evidence
+        DESC, object ASC) — with conflict-width and evidence audit
+        columns.  One evidence aggregate + a broadcast semi-join on the
+        functionality profile + one (pred, subj)-keyed argmax window.
+        Full SQL oracle (sequential triples × keymaps × predicate
+        clusters, identical window order)."""
+        from relationextractionpipeline_spark.operators import ontology
+
+        if _small_scale(sf_dir):
+            oracle_mat.entity_clusters(_scale_for(sf_dir))
+            oracle_mat.predicate_clusters(_scale_for(sf_dir))
+        run = pipeline.run_pipeline(spark, _synthetic_paths(sf_dir), mode="staged")
+        graph = pipeline.materialize_graph(run)
+        return ontology.resolve_functional_conflicts(
+            graph["edges"], min_functionality=0.8
+        )
+
+    q["kg_fact_resolution"] = kg_fact_resolution
+
     def kg_salience(spark, sf_dir):
         """Per-conversation TF-IDF entity salience over the canonical edge
         table (operators/ontology.entity_salience): the top-5 entities a
@@ -3157,8 +3180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity",
         "kg_chain_rules",
         # kg_chain_rules gates the mining protocol kg_rule_predictions
-        # applies
+        # applies; kg_functionality gates the profile kg_fact_resolution
+        # filters on
         "kg_rule_predictions",
+        "kg_fact_resolution",
     }
     first = [
         n for n in q if n.startswith("kg_") and n not in defer
@@ -5505,6 +5530,61 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) FILTER (WHERE n_objects = 1))::DOUBLE
                          / count(*), 6) AS functionality
             FROM per_subj GROUP BY 1
+        """,
+        # replays resolve_functional_conflicts: evidence aggregate,
+        # functionality filter, identical argmax window order
+        "kg_fact_resolution": f"""
+            WITH e AS (
+                SELECT coalesce(pc.pred_canonical, t.pred) AS pred_canonical,
+                       t.conv_id,
+                       ks.canonical_id AS s, ko.canonical_id AS o
+                FROM read_parquet('{otriples}') t
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.PREDICATE_CLUSTERS_FILE)}') pc
+                  ON pc.pred = t.pred
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ks
+                  ON ks.ent_key = t.subj
+                LEFT JOIN read_parquet('{os.path.join(small, oracle_mat.ENTITY_KEYMAP_FILE)}') ko
+                  ON ko.ent_key = t.obj
+                WHERE ks.canonical_id IS NOT NULL
+                  AND ko.canonical_id IS NOT NULL
+            ),
+            per_obj AS (
+                SELECT pred_canonical, s, o,
+                       count(*) AS n_evidence,
+                       count(DISTINCT conv_id) AS n_convs
+                FROM e GROUP BY 1, 2, 3
+            ),
+            per_subj AS (
+                SELECT pred_canonical, s, count(DISTINCT o) AS n_objects
+                FROM e GROUP BY 1, 2
+            ),
+            func AS (
+                SELECT pred_canonical,
+                       round((count(*) FILTER (WHERE n_objects = 1))::DOUBLE
+                             / count(*), 6) AS functionality
+                FROM per_subj GROUP BY 1
+            ),
+            ranked AS (
+                SELECT p.pred_canonical, p.s, p.o, p.n_evidence, p.n_convs,
+                       row_number() OVER (
+                           PARTITION BY p.pred_canonical, p.s
+                           ORDER BY p.n_convs DESC, p.n_evidence DESC,
+                                    p.o ASC
+                       ) AS rk,
+                       count(*) OVER (
+                           PARTITION BY p.pred_canonical, p.s
+                       ) AS n_objects,
+                       (sum(p.n_evidence) OVER (
+                           PARTITION BY p.pred_canonical, p.s
+                       ))::BIGINT AS total_evidence
+                FROM per_obj p
+                JOIN func f ON f.pred_canonical = p.pred_canonical
+                WHERE f.functionality >= 0.8
+            )
+            SELECT pred_canonical, s AS subj, o AS kept_obj, n_objects,
+                   n_convs AS kept_convs, n_evidence AS kept_evidence,
+                   total_evidence
+            FROM ranked WHERE rk = 1 AND n_objects > 1
         """,
         # motif semantics replayed relationally: DISTINCT named-variable
         # assignments over the distinct canonical edge set; the negated

@@ -150,6 +150,91 @@ def _resolved_facts(
     )
 
 
+def resolve_functional_conflicts(
+    edges: DataFrame,
+    pred_map: DataFrame | None = None,
+    min_functionality: float = 0.8,
+) -> DataFrame:
+    """Knowledge fusion for near-functional relations: for every
+    canonical predicate whose measured ``functionality`` ≥ the
+    threshold, a subject asserting SEVERAL distinct objects is a
+    conflict (a near-functional relation should map each subject to one
+    object), and the resolution keeps the best-evidenced object —
+    ranked by (distinct conversations DESC, evidence rows DESC, object
+    ASC): independent corroboration beats within-conversation
+    repetition beats the lexicographic tie-break.  The knowledge-vault
+    style fusion stage (Dong et al. 2014) run right after
+    canonicalization, downstream of the ``functionality`` profile this
+    module already emits.
+
+    Emits ONE row per conflicting (predicate, subject): the kept object
+    with its evidence, plus the conflict width (``n_objects``) and the
+    evidence total across all asserted objects — the audit columns a
+    human reviewer or a downstream confidence model consumes.
+    Subjects without conflicts are silent (their single object needs no
+    resolution).
+
+    Distributed shape: one (pred, subj, obj) evidence aggregate, the
+    functionality profile (dimension-sized) broadcast as a semi-join
+    filter, one (pred, subj)-keyed window for the argmax — group size
+    is the per-subject object fan-out, never corpus-sized.  The rank
+    order is a deterministic total order (obj is unique within the
+    group), so the SQL oracle replays it bit-for-bit.
+
+    No reference analog (the reference stops at triple emission,
+    de_pipeline/pipeline.py:69-77); beyond-reference KG-quality surface.
+    """
+    linked = edges.where(
+        F.col("subj_canonical").isNotNull()
+        & F.col("obj_canonical").isNotNull()
+    )
+    if pred_map is not None:
+        linked = linked.join(F.broadcast(pred_map), "pred", "left")
+    per_obj = (
+        linked.select(
+            F.coalesce("pred_canonical", "pred").alias("pred_canonical"),
+            "conv_id",
+            "subj_canonical",
+            "obj_canonical",
+        )
+        .groupBy("pred_canonical", "subj_canonical", "obj_canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+    functional = functionality(edges, pred_map).where(
+        F.col("functionality") >= F.lit(float(min_functionality))
+    )
+    cand = per_obj.join(
+        F.broadcast(functional.select("pred_canonical")),
+        "pred_canonical",
+        "left_semi",
+    )
+    w = Window.partitionBy("pred_canonical", "subj_canonical")
+    w_rank = w.orderBy(
+        F.desc("n_convs"), F.desc("n_evidence"), F.asc("obj_canonical")
+    )
+    ranked = cand.select(
+        "*",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_objects"),
+        F.sum("n_evidence").over(w).alias("total_evidence"),
+    )
+    return (
+        ranked.where((F.col("rk") == 1) & (F.col("n_objects") > 1))
+        .select(
+            "pred_canonical",
+            F.col("subj_canonical").alias("subj"),
+            F.col("obj_canonical").alias("kept_obj"),
+            "n_objects",
+            F.col("n_convs").alias("kept_convs"),
+            F.col("n_evidence").alias("kept_evidence"),
+            "total_evidence",
+        )
+    )
+
+
 def mine_rules(
     edges: DataFrame,
     pred_map: DataFrame | None = None,

@@ -422,3 +422,64 @@ def test_apply_chain_rules_best_score_across_rules(spark):
     }
     r = preds[("goal", "c", "t")]
     assert r["n_rules"] == 2 and abs(r["score"] - 1.0) < 1e-9
+
+
+_RESOLVE_ROWS = [
+    # "capital": 5 subjects, 1 conflicted -> functionality 0.8 (kept)
+    ("c1", "capital", "fr", "paris"), ("c2", "capital", "fr", "paris"),
+    ("c1", "capital", "de", "berlin"), ("c2", "capital", "de", "berlin"),
+    ("c3", "capital", "de", "bonn"),
+    ("c1", "capital", "uk", "london"),
+    ("c1", "capital", "es", "madrid"),
+    ("c1", "capital", "it", "rome"),
+    # "likes": both subjects conflicted -> functionality 0.0 (excluded)
+    ("c1", "likes", "a", "x"), ("c1", "likes", "a", "y"),
+    ("c1", "likes", "b", "m"), ("c1", "likes", "b", "n"),
+    # "cites": conv counts tie, evidence decides; then a pure lexicographic tie
+    ("c1", "cites", "s", "o1"),
+    ("c2", "cites", "s", "o2"), ("c2", "cites", "s", "o2"),
+    ("c1", "cites", "t", "alpha"), ("c2", "cites", "t", "beta"),
+    ("c1", "cites", "u", "solo"),
+]
+
+
+def test_resolve_functional_conflicts_keeps_best_evidence(spark):
+    out = {
+        (r["pred_canonical"], r["subj"]): r
+        for r in ontology.resolve_functional_conflicts(
+            _rule_edges(spark, _RESOLVE_ROWS), min_functionality=0.8
+        ).collect()
+    }
+    r = out[("capital", "de")]
+    assert r["kept_obj"] == "berlin" and r["n_objects"] == 2
+    assert r["kept_convs"] == 2 and r["kept_evidence"] == 2
+    assert r["total_evidence"] == 3
+    # non-conflicting subjects are silent; sub-threshold predicates too
+    assert ("capital", "fr") not in out
+    assert not any(p == "likes" for p, _ in out)
+
+
+def test_resolve_functional_conflicts_tie_breaks(spark):
+    # "cites" functionality: s and t conflicted, u fine -> 1/3 < 0.8, so
+    # lower the threshold to observe the tie-break ladder
+    out = {
+        (r["pred_canonical"], r["subj"]): r
+        for r in ontology.resolve_functional_conflicts(
+            _rule_edges(spark, _RESOLVE_ROWS), min_functionality=0.0
+        ).collect()
+    }
+    # conv tie (1 vs 1): evidence 2 beats 1
+    assert out[("cites", "s")]["kept_obj"] == "o2"
+    # full tie: lexicographic min object
+    assert out[("cites", "t")]["kept_obj"] == "alpha"
+    # sub-threshold predicates now included: likes conflicts resolved
+    assert out[("likes", "a")]["kept_obj"] == "x"
+
+
+def test_resolve_functional_conflicts_partition_invariant(spark):
+    df = _rule_edges(spark, _RESOLVE_ROWS)
+    a = sorted(map(tuple, ontology.resolve_functional_conflicts(
+        df.repartition(7), min_functionality=0.0).collect()))
+    b = sorted(map(tuple, ontology.resolve_functional_conflicts(
+        df.coalesce(1), min_functionality=0.0).collect()))
+    assert a == b and a

@@ -280,6 +280,10 @@ def main() -> None:
          "anti-join against the known-fact set, grouped best-score "
          "aggregate",
          entrymod.queries()["kg_rule_predictions"](spark, SF)),
+        ("Functional-conflict resolution — evidence aggregate, broadcast "
+         "semi-join on the functionality profile, one (pred, subj)-keyed "
+         "argmax window; group size = per-subject object fan-out",
+         entrymod.queries()["kg_fact_resolution"](spark, SF)),
     ]
     out = ["# PLANS — captured physical plans (tools/dump_plans.py)",
            "",
