@@ -71,6 +71,26 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive scan spreading (round 6): the testdata tables are
+    single-row-group parquet files, so their scans yield ONE task no matter
+    what ``maxPartitionBytes`` says — every per-row stage downstream
+    (regex batteries, sketch UDFs, gram explosions) ran on one core.
+    Repartition up to the session parallelism, but ONLY when the scan is
+    narrower than that: at production scale the scan already has ≥ cores
+    splits and this is a no-op (no shuffle added), so the rule derives
+    from the actual plan rather than a local-mode constant.  With
+    ``key_cols`` the spread hash-partitions on those columns so a
+    downstream groupBy/window on the same keys reuses the exchange
+    (guide §2.4) instead of paying a second one."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 # TransE training configuration shared by kg_transe / kg_linkpred /
 # kg_linkpred_mrr and their oracle aux (param-suffixed cache filenames, so
 # changing these self-invalidates the materialization)
@@ -1918,7 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_customers_without_orders"] = q_customers_without_orders
 
     def q_window_user_sessions(spark, sf_dir):
-        e = _read(spark, sf_dir, "events")
+        e = _spread(_read(spark, sf_dir, "events"), "user_id")
         ordered = F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "event_type"))
         )
@@ -2122,7 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis (native Column ops, SQL parity) -------------------
     def q_doc_token_stats(spark, sf_dir):
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return quality.with_token_stats(d).select(
             "doc_id", "n_chars_calc", "n_words", "n_tokens"
         )
@@ -2130,13 +2150,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_doc_token_stats"] = q_doc_token_stats
 
     def q_langid(spark, sf_dir):
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return quality.with_langid(d).select("doc_id", "lang_pred")
 
     q["q_langid"] = q_langid
 
     def q_quality(spark, sf_dir):
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return quality.with_quality(d).select(
             "doc_id", "punct_ratio", "stop_ratio", "mean_word_len", "quality_score"
         )
@@ -2150,7 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kept per-rule so pass rates can be ablated
         (operators/quality.with_gopher_rules).  All row-local native
         Columns, zero shuffle; full SQL oracle."""
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return quality.with_gopher_rules(d, min_words=50).select(
             "doc_id",
             "n_words",
@@ -2196,7 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         punctuation + >= 3 words) REBUILDING the page text, plus the
         page-level sentence-count / lorem-ipsum / curly-brace flags.
         All row-local native Columns; full SQL oracle."""
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return quality.with_c4_rules(d).select(
             "doc_id",
             "n_lines",
@@ -2231,7 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         injection), then counts and redacts it with quality.scrub_pii.
         Everything is native regexp Columns; the fingerprint column proves
         the redacted text matches byte-for-byte across engines."""
-        d = _read(spark, sf_dir, "documents").select(
+        d = _spread(_read(spark, sf_dir, "documents")).select(
             "doc_id",
             F.concat(
                 F.col("text"),
@@ -2273,7 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_minhash(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.doc_sketches(sf_dir)  # signatures for the DuckDB oracle
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return dedup.near_dup_pairs_minhash(d, jaccard_threshold=0.5).select(
             "id_a", "id_b"
         )
@@ -2290,7 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relationally from the materialized (doc_id, cluster_id) labels."""
         if _small_scale(sf_dir):
             oracle_mat.dedup_clusters(sf_dir, jaccard_threshold=0.5)
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return dedup.near_dup_clusters(d, jaccard_threshold=0.5).select(
             "doc_id", "cluster_id", "cluster_size", "is_survivor"
         )
@@ -2307,7 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         one-shot batch is the exactness claim (cap-free regime)."""
         if _small_scale(sf_dir):
             oracle_mat.dedup_clusters(sf_dir, jaccard_threshold=0.5)
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         a = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
         b = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
         state = dedup.doc_dedup_state(a, jaccard_threshold=0.5)
@@ -2335,7 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         in the cap-free regime."""
         if _small_scale(sf_dir):
             oracle_mat.simhash_clusters(sf_dir, max_hamming=8)
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         a = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
         b = d.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
         state = dedup.simhash_dedup_state(a, max_hamming=8)
@@ -2485,7 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_simhash(spark, sf_dir):
         if _small_scale(sf_dir):
             oracle_mat.doc_sketches(sf_dir)
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return dedup.near_dup_pairs_simhash(d, max_hamming=8).select(
             "id_a", "id_b", "hamming"
         )
@@ -2554,7 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         arithmetic — the term list IS the pruned inverted index — corpus
         stats are ONE aggregate row, and the top-k runs as
         TakeOrderedAndProject (per-partition heaps, no global sort)."""
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return textindex.bm25_scores(
             d, terms=["dup", "hash", "merge"], top_k=10
         ).select(
@@ -2570,7 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scorers' incomparable scales never meet.  Both shortlists are
         candidate-bounded (top-50 each) before the full-outer fuse, so the
         fusion stage is O(shortlist) at any corpus scale."""
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         emb = _read(spark, sf_dir, "embeddings")
         kw = textindex.bm25_scores(
             d, terms=["dup", "hash", "merge"], top_k=50
@@ -2935,7 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relationally in DuckDB)."""
         from relationextractionpipeline_spark.operators import sampling
 
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         return sampling.dsir_weights(
             d, F.col("lang") == "en", n_buckets=256
         ).select("doc_id", "n_grams", "dsir_logweight", "selected")
@@ -3030,7 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tiny aggregates (one per stage), all native Columns."""
         from relationextractionpipeline_spark.operators import sampling
 
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         survivors = dedup.dedup_exact(d)
         scored = quality.with_quality(survivors)
         kept = scored.where(
@@ -3075,7 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         equi-join back on the unique position key; text moves once."""
         from relationextractionpipeline_spark.operators import sampling
 
-        d = _read(spark, sf_dir, "documents")
+        d = _spread(_read(spark, sf_dir, "documents"))
         survivors = dedup.dedup_exact(d)
         sampled = sampling.temperature_sample(survivors, "doc_id", "lang", alpha=0.3)
         shuffled = sampling.shuffle_deterministic(sampled, "doc_id", salt="epoch0")

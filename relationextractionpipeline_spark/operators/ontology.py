@@ -463,8 +463,18 @@ def mine_chain_rules(
     from . import cache
 
     facts = _resolved_facts(edges, pred_map)
-    n_pairs = facts.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     body = cache.track(_chain_bodies(facts, bridge_fanout, max_mid_degree))
+    return _rules_from_body(facts, body, min_support)
+
+
+def _rules_from_body(
+    facts: DataFrame, body: DataFrame, min_support: int
+) -> DataFrame:
+    """Rule scoring over a precomputed (tracked) body table — split out of
+    ``mine_chain_rules`` so ``apply_chain_rules`` can reuse ONE body
+    enumeration for both mining and application (the bridge-keyed
+    enumeration is the dominant fanout join; round 6, advisor item)."""
+    n_pairs = facts.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     n_body = body.groupBy("body_pred1", "body_pred2").agg(
         F.count(F.lit(1)).alias("n_body_pairs")
     )
@@ -543,25 +553,25 @@ def apply_chain_rules(
     are filtered to ``min_pca`` before application so the candidate set
     is support-bearing, not the full body×predicate product.
 
-    Distributed shape: bodies re-enumerate under the SAME
-    fanout/degree-cap parameters as the miner (bit-identical sample,
-    one shared code path), the filtered rule table is dimension-sized
-    and broadcast onto the body pairs, and the known-fact filter is one
-    anti-join keyed on (pred, subj, obj).  Deterministic end-to-end, so
-    the SQL oracle replays mining AND application bit-for-bit.
+    Distributed shape: ONE body enumeration under the SAME
+    fanout/degree-cap parameters serves both mining and application
+    (tracked persist — the bridge-keyed fanout join is the dominant
+    cost and previously ran twice; round 6, advisor item), the filtered
+    rule table is dimension-sized and broadcast onto the body pairs,
+    and the known-fact filter is one anti-join keyed on
+    (pred, subj, obj).  Deterministic end-to-end, so the SQL oracle
+    replays mining AND application bit-for-bit.
 
     No reference analog (the reference stops at triple emission,
     de_pipeline/pipeline.py:69-77); beyond-reference KG-quality surface.
     """
-    rules = mine_chain_rules(
-        edges,
-        pred_map,
-        min_support=min_support,
-        max_mid_degree=max_mid_degree,
-        bridge_fanout=bridge_fanout,
-    ).where(F.col("pca_confidence") >= F.lit(float(min_pca)))
+    from . import cache
+
     facts = _resolved_facts(edges, pred_map)
-    body = _chain_bodies(facts, bridge_fanout, max_mid_degree)
+    body = cache.track(_chain_bodies(facts, bridge_fanout, max_mid_degree))
+    rules = _rules_from_body(facts, body, min_support).where(
+        F.col("pca_confidence") >= F.lit(float(min_pca))
+    )
     cand = body.join(
         F.broadcast(
             rules.select(

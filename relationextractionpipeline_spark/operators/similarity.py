@@ -60,6 +60,132 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized scoring kernels (optimization round 6)
+#
+# The Catalyst ``aggregate(zip_with(...))`` fold above runs interpreted
+# (higher-order functions don't codegen) and was the dominant cost of every
+# top-k variant — tens of microseconds per candidate PAIR.  The kernels
+# below compute the *identical* IEEE-754 operation sequence in numpy
+# (cast each float32 element to float64, then fold dimension 0..d-1
+# left-to-right with a 0.0 initial accumulator — exactly what ``dot``
+# folds), so scores are bit-identical to the Column expression while the
+# work vectorizes across a whole Arrow batch.  Final ``F.round(·, 6)`` and
+# the row_number window stay in the JVM, so ranked output is unchanged
+# byte-for-byte.
+# ---------------------------------------------------------------------------
+
+
+def _as_f64(series: "pd.Series") -> "np.ndarray":
+    """(n, dim) float64 matrix from an Arrow array column — the float32 →
+    float64 widening is exact, matching the per-element cast in ``dot``."""
+    return np.vstack(series.map(np.asarray).to_numpy()).astype(
+        np.float64, copy=False
+    )
+
+
+def _fold_dot_mat(c_mat: "np.ndarray", q_mat: "np.ndarray") -> "np.ndarray":
+    """(n_c, n_q) pairwise dot products, dimension-order fold: per pair the
+    accumulator sees 0.0, then += c_j·q_j for j = 0..d-1 — the same IEEE
+    add/multiply sequence as the Catalyst fold, so results are
+    bit-identical."""
+    acc = np.zeros((c_mat.shape[0], q_mat.shape[0]), dtype=np.float64)
+    for j in range(c_mat.shape[1]):
+        acc += c_mat[:, j : j + 1] * q_mat[None, :, j]
+    return acc
+
+
+def _fold_norms(mat: "np.ndarray") -> "np.ndarray":
+    """Row norms via the same left-to-right fold as ``norm``."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
+
+
+# Local-candidate margin around the JVM's F.round(·, 6) grid: a row may be
+# dropped locally only when ≥ k same-query rows beat its raw score by more
+# than the margin — then they strictly beat it after rounding too (round is
+# monotone; the grid step is 1e-6, and 2e-6 leaves an ulp of slack for the
+# float subtraction), so the final window provably sees every possible
+# top-k member regardless of Arrow batch boundaries (partition-invariant).
+_ROUND_MARGIN = 2e-6
+
+
+def _keep_mask_desc(sel: "np.ndarray", k: int) -> "np.ndarray":
+    """(n, n_q) keep-mask for descending ranking: per column, everything
+    within ``_ROUND_MARGIN`` of the k-th largest entry.  Excluded entries
+    (self matches / non-candidates) must be -inf; NaN scores should be
+    mapped to +inf by the caller (Spark orders NaN above +inf in a
+    descending sort, so they belong at the top)."""
+    n = sel.shape[0]
+    if n <= k:
+        return sel > -np.inf
+    kth = np.partition(sel, n - k, axis=0)[n - k]
+    return (sel >= kth - _ROUND_MARGIN) & (sel > -np.inf)
+
+
+def _keep_mask_asc(sel: "np.ndarray", k: int) -> "np.ndarray":
+    """Ascending counterpart (distance ranking); excluded entries +inf."""
+    n = sel.shape[0]
+    if n <= k:
+        return sel < np.inf
+    kth = np.partition(sel, k - 1, axis=0)[k - 1]
+    return (sel <= kth + _ROUND_MARGIN) & (sel < np.inf)
+
+
+def _spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive scan spreading: the bench corpora are single-row-group
+    parquet files, so a scan yields ONE task no matter what
+    ``maxPartitionBytes`` says; repartition up to the session parallelism
+    only when the scan is narrower than that.  At production scale the scan
+    already has ≥ cores splits and this is a no-op — no config constant, the
+    rule derives from the actual plan (guide §2: scale-adaptive
+    partitioning, not a local-mode tune)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _topk_tail(
+    cand: DataFrame,
+    k: int,
+    query_id_col: str,
+    score_col: str,
+    descending: bool,
+) -> DataFrame:
+    """Shared JVM ranking tail: round the raw score to the 1e-6 grid (the
+    same ``F.round`` the Column path applied) and rank per query with the
+    deterministic (score, neighbor_id) tie-break."""
+    rounded = cand.withColumn(score_col, F.round(F.col(score_col), 6))
+    order = (
+        F.col(score_col).desc() if descending else F.col(score_col).asc()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        order, F.col("neighbor_id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", score_col, "rank")
+    )
+
+
+def _query_matrix(queries: DataFrame, query_id_col: str, vec_col: str,
+                  max_rows: int = QUERY_BCAST_ROWS):
+    """Driver-collect the (small) query table → (ids ndarray, f64 matrix).
+    Same LIMIT-guarded collect the LUT builders use; the query side was
+    already driver-broadcast in every variant, so the memory contract is
+    unchanged."""
+    qpdf = _collect_query_pdf(
+        queries, [query_id_col, vec_col], max_rows=max_rows
+    )
+    if not len(qpdf):
+        return qpdf[query_id_col].to_numpy(), np.zeros((0, 1))
+    return qpdf[query_id_col].to_numpy(), _as_f64(qpdf[vec_col])
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,25 +198,50 @@ def brute_force_topk(
 
     ``queries`` columns: (query_id, embedding).  Deterministic tie-break on
     (cos desc, neighbor id asc).
-    """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+
+    Plan shape (round 6): the query matrix is driver-collected (it was
+    already driver-broadcast before) and scoring runs as ONE vectorized
+    ``mapInPandas`` pass over the corpus — each Arrow batch computes its
+    (batch × queries) cosine block with the fold-ordered numpy kernel and
+    emits only margin-safe local top-k candidates, so the window input is
+    O(partitions · queries · k) instead of corpus × queries.  Replaces the
+    BroadcastNestedLoopJoin + interpreted per-pair HOF fold (the old plan
+    evaluated the lambda fold corpus×queries times)."""
+    spark = corpus.sparkSession
+    qids, qmat = _query_matrix(queries, query_id_col, vec_col)
+    out_schema = T.StructType([
+        T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("cos", T.DoubleType()),
+    ])
+    if not len(qids):
+        cand = spark.createDataFrame([], out_schema)
+        return _topk_tail(cand, k, query_id_col, "cos", descending=True)
+    qn = _fold_norms(qmat)
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cmat = _as_f64(pdf[vec_col])
+            cos = _fold_dot_mat(cmat, qmat) / (
+                _fold_norms(cmat)[:, None] * qn[None, :]
+            )
+            sel = np.where(np.isnan(cos), np.inf, cos)
+            sel = np.where(ids[:, None] == qids[None, :], -np.inf, sel)
+            ci, qi = np.nonzero(_keep_mask_desc(sel, kk))
+            yield pd.DataFrame({
+                query_id_col: qids[qi],
+                "neighbor_id": ids[ci],
+                "cos": cos[ci, qi],
+            })
+
+    cand = _spread(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=out_schema
     )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
-    ).crossJoin(F.broadcast(q)).where(
-        F.col("neighbor_id") != F.col(query_id_col)
-    ).withColumn(
-        "cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos", "rank")
-    )
+    return _topk_tail(cand, k, query_id_col, "cos", descending=True)
 
 
 def hyperplane_buckets(
@@ -379,6 +530,22 @@ def lsh_multi_topk(
     )
 
 
+def _sq_dists(mat: "np.ndarray", centroids: "np.ndarray",
+              chunk: int = 4096) -> "np.ndarray":
+    """``((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)``
+    computed in row chunks: every output element runs the identical
+    subtract/square/last-axis-reduce sequence, so values are bit-identical
+    to the one-shot broadcast — but the temporaries stay cache-sized
+    instead of rows×codes×dim (round 6: the one-shot form materialized
+    ~330 MB per k-means iteration at bench scale)."""
+    out = np.empty((len(mat), len(centroids)), dtype=np.float64)
+    for i in range(0, len(mat), chunk):
+        out[i : i + chunk] = (
+            (mat[i : i + chunk, None, :] - centroids[None, :, :]) ** 2
+        ).sum(axis=2)
+    return out
+
+
 def train_centroids(
     mat: "np.ndarray", n_clusters: int, seed: int = 42, iters: int = 10
 ) -> "np.ndarray":
@@ -391,8 +558,7 @@ def train_centroids(
         rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
     ].copy()
     for _ in range(iters):
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(mat, centroids).argmin(axis=1)
         for c in range(len(centroids)):
             members = mat[assign == c]
             if len(members):
@@ -406,7 +572,7 @@ def assign_cells(
     """(n, nprobe) nearest-centroid ids per row; argsort tie-break by index
     (deterministic).  Shared by the Spark UDF and the oracle."""
     mat = mat.astype(np.float64, copy=False)
-    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    d = _sq_dists(mat, centroids)
     return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
 
 
@@ -468,40 +634,77 @@ def ivf_topk(
     cell; each query probes its ``nprobe`` nearest cells only.
 
     The cell assignment is the partition key, so the search join is a
-    cell-keyed equi-join — corpus scale raises the number of cells, never the
-    width of the join.  Recall grows with ``nprobe`` (exact when
+    cell-keyed candidate prune — corpus scale raises the number of cells,
+    never the width of the search.  Recall grows with ``nprobe`` (exact when
     nprobe = n_clusters); measured on the bench corpus (2k × 64-d,
     recall@5 vs exact): 0.59 / 0.85 / 0.95 at nprobe 4 / 8 / 12 with 16
     cells — the default 8 clears the 0.8 knee.  ``nprobe_for_recall`` picks
-    the knob from a stated recall target instead of hand-tuning."""
+    the knob from a stated recall target instead of hand-tuning.
+
+    Plan shape (round 6): queries driver-collect (they were already
+    driver-broadcast) and their probed cells compute driver-side with the
+    SAME ``assign_cells`` numpy the corpus path uses; corpus assignment +
+    scoring run as ONE vectorized ``mapInPandas`` pass — per Arrow batch,
+    rows group by their cell and score ONLY against the queries probing
+    that cell (the IVF prune as compute pruning), emitting margin-safe
+    local top-k candidates.  Replaces the assign-UDF + persist + cell
+    shuffle join + interpreted per-pair HOF fold; the candidate set is
+    identical, so the JVM round+rank tail returns the same rows.  For the
+    materialized-index serving path (partition pruning at the scan) see
+    ``ivf_topk_from_index``."""
+    spark = corpus.sparkSession
     centroids = _ivf_centroids(corpus, vec_col, n_clusters, dim, id_col=id_col)
-    c_assign = _ivf_assign_udf(centroids, nprobe=1)
-    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
-    c = cache.track(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col)
-        ).withColumn("cell", F.element_at(c_assign(F.col(vec_col)), 1))
+    qids, qmat = _query_matrix(queries, query_id_col, vec_col)
+    out_schema = T.StructType([
+        T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("cos", T.DoubleType()),
+    ])
+    if not len(qids):
+        cand = spark.createDataFrame([], out_schema)
+        return _topk_tail(cand, k, query_id_col, "cos", descending=True)
+    qcells = assign_cells(qmat, centroids, nprobe)  # (n_q, nprobe)
+    cell_queries = {
+        int(c): np.nonzero((qcells == c).any(axis=1))[0]
+        for c in np.unique(qcells)
+    }
+    qn = _fold_norms(qmat)
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cmat = _as_f64(pdf[vec_col])
+            ccells = assign_cells(cmat, centroids, 1)[:, 0]
+            cn = _fold_norms(cmat)
+            out = []
+            for c in np.unique(ccells):
+                qidx = cell_queries.get(int(c))
+                if qidx is None or not len(qidx):
+                    continue
+                rows = np.nonzero(ccells == c)[0]
+                cos = _fold_dot_mat(cmat[rows], qmat[qidx]) / (
+                    cn[rows][:, None] * qn[qidx][None, :]
+                )
+                sel = np.where(np.isnan(cos), np.inf, cos)
+                sel = np.where(
+                    ids[rows][:, None] == qids[qidx][None, :], -np.inf, sel
+                )
+                ci, qi = np.nonzero(_keep_mask_desc(sel, kk))
+                out.append(pd.DataFrame({
+                    query_id_col: qids[qidx][qi],
+                    "neighbor_id": ids[rows][ci],
+                    "cos": cos[ci, qi],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = _spread(corpus.select(id_col, vec_col)).mapInPandas(
+        score, schema=out_schema
     )
-    # tracked persist: the cell assignment UDF would otherwise re-run per
-    # downstream action/join branch; at real scale the assigned corpus is a
-    # materialized index table, written once.  Caller releases
-    # (operators/cache.py release_all, or clearCache).
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
-    scored = (
-        c.join(q, "cell")
-        .where(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cos", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos", "rank")
-    )
+    return _topk_tail(cand, k, query_id_col, "cos", descending=True)
 
 
 def kmeans_clusters(
@@ -606,23 +809,51 @@ def ivf_topk_from_index(
     cells = spark.read.parquet(f"{index_dir}/cells").withColumnRenamed(
         id_col, "neighbor_id"
     )
-    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
-    # one tiny job yields BOTH the probed-cell set (the static partition
-    # filter below) and the exploded query-row count, which decides the
-    # join strategy: the broadcast carries full query VECTORS ×nprobe, so
-    # it is only forced while that stays driver-sized — a bulk query batch
-    # falls back to a shuffle join on cell (≤ n_clusters keys; AQE's
-    # skew-join split handles the low key cardinality)
-    per_cell = q.groupBy("cell").agg(F.count("*").alias("n")).collect()
-    probed = sorted(r["cell"] for r in per_cell)
-    q_side = (
-        F.broadcast(q)
-        if sum(r["n"] for r in per_cell) <= QUERY_BCAST_ROWS
-        else q
-    )
+    # Driver-side query assignment (round 6, replaces the blocking
+    # per-cell count pre-job): one LIMIT-guarded collect of the query
+    # table yields the probed-cell set (the static partition filter
+    # below), the exploded (query, cell) rows AND the broadcast-size
+    # decision in a single cheap job — the old path paid a groupBy +
+    # collect that ran the assignment UDF over the cluster first.  The
+    # broadcast carries full query VECTORS ×nprobe, so the driver path is
+    # taken only while that stays driver-sized (≤ QUERY_BCAST_ROWS
+    # exploded rows); a bulk query batch falls back to the distributed
+    # assignment UDF and a shuffle join on cell (≤ n_clusters keys; AQE's
+    # skew-join split handles the low key cardinality).  ``assign_cells``
+    # is the same numpy the UDF runs, so cells are identical either way.
+    max_q = max(1, QUERY_BCAST_ROWS // max(1, int(nprobe)))
+    qpdf = queries.select(query_id_col, vec_col).limit(max_q + 1).toPandas()
+    if len(qpdf) <= max_q:
+        probes = (
+            assign_cells(_as_f64(qpdf[vec_col]), centroids, nprobe)
+            if len(qpdf) else np.zeros((0, 1), dtype=np.int32)
+        )
+        probed = sorted({int(c) for c in probes.flat})
+        expl = pd.DataFrame({
+            query_id_col: np.repeat(qpdf[query_id_col].to_numpy(), nprobe),
+            "_qvec": [
+                list(v) for v in qpdf[vec_col] for _ in range(nprobe)
+            ],
+            "cell": probes.reshape(-1).astype("int32"),
+        })
+        q_side = F.broadcast(spark.createDataFrame(
+            expl,
+            T.StructType([
+                T.StructField(
+                    query_id_col, queries.schema[query_id_col].dataType
+                ),
+                T.StructField("_qvec", queries.schema[vec_col].dataType),
+                T.StructField("cell", T.IntegerType()),
+            ]),
+        ))
+    else:
+        q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        ).withColumn("cell", F.explode(q_assign(F.col("_qvec"))))
+        per_cell = q.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        probed = sorted(r["cell"] for r in per_cell)
+        q_side = q
     cand = (
         cells.where(F.col("cell").isin(probed))
         .join(q_side, "cell")
@@ -977,22 +1208,56 @@ def choose_ann(
 # ---------------------------------------------------------------------------
 
 
+def _train_sub_book(args):
+    """One subvector's codebook (module-level so a process pool can pickle
+    it).  Fewer training rows than codes (tiny corpora): cycle the learned
+    centroids to fill the book — duplicates are harmless (argmin picks the
+    first occurrence deterministically), zero-filling would not be (the
+    zero vector could win assignments spuriously)."""
+    sub, n_codes, seed = args
+    c = train_centroids(sub, n_codes, seed=seed)
+    return c[np.arange(n_codes) % len(c)]
+
+
+# Below this many training rows the fork-pool overhead exceeds the
+# per-subvector k-means cost; the sequential path is also the fallback on
+# platforms without fork.
+_PQ_POOL_MIN_ROWS = 4096
+
+
 def train_pq_codebooks(
     mat: "np.ndarray", n_sub: int = 8, n_codes: int = 256, seed: int = 42
 ) -> "np.ndarray":
     """(n_sub, n_codes, dim/n_sub) codebooks: independent seeded k-means per
-    subvector (shared by the Spark path and the sequential oracle)."""
+    subvector (shared by the Spark path and the sequential oracle).
+
+    The ``n_sub`` trainings share no state (seeds ``seed+s``), so they run
+    in a driver-side fork pool when the training matrix is large enough to
+    pay for it (round 6: sequential training was ~47 s of single-core
+    driver time at bench sf1.0 — inside every PQ query's timed region).
+    Each worker computes exactly what the sequential loop computed, so the
+    codebooks are bit-identical either way."""
     dim = mat.shape[1]
     assert dim % n_sub == 0
     d = dim // n_sub
+    tasks = [
+        (mat[:, s * d : (s + 1) * d], n_codes, seed + s)
+        for s in range(n_sub)
+    ]
+    results = None
+    if len(mat) >= _PQ_POOL_MIN_ROWS and n_sub > 1:
+        try:
+            import multiprocessing as _mp
+
+            with _mp.get_context("fork").Pool(n_sub) as pool:
+                results = pool.map(_train_sub_book, tasks)
+        except (ValueError, OSError):  # no fork on this platform
+            results = None
+    if results is None:
+        results = [_train_sub_book(t) for t in tasks]
     books = np.zeros((n_sub, n_codes, d), dtype=np.float64)
-    for s in range(n_sub):
-        c = train_centroids(mat[:, s * d : (s + 1) * d], n_codes, seed=seed + s)
-        # fewer training rows than codes (tiny corpora): cycle the learned
-        # centroids to fill the book — duplicates are harmless (argmin picks
-        # the first occurrence deterministically), zero-filling would not be
-        # (the zero vector could win assignments spuriously)
-        books[s] = c[np.arange(n_codes) % len(c)]
+    for s, book in enumerate(results):
+        books[s] = book
     return books
 
 
@@ -1006,8 +1271,7 @@ def pq_encode(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
     mat = mat.astype(np.float64, copy=False)
     for s in range(n_sub):
         sub = mat[:, s * d : (s + 1) * d]
-        dist = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-        out[:, s] = np.argmin(dist, axis=1)
+        out[:, s] = np.argmin(_sq_dists(sub, books[s]), axis=1)
     return out
 
 
@@ -1019,7 +1283,7 @@ def pq_lut(qmat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
     out = np.zeros((len(q), n_sub, n_codes), dtype=np.float64)
     for s in range(n_sub):
         sub = q[:, s * d : (s + 1) * d]
-        out[:, s, :] = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s, :] = _sq_dists(sub, books[s])
     return out
 
 
@@ -1066,13 +1330,17 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC).
 
-    Plan shape: corpus vectors encode DISTRIBUTED (pandas UDF, shared numpy
-    encoder) and explode to (vec_id, sub_idx, code) rows; the per-query
-    lookup table (n_q × n_sub × n_codes — tiny) broadcasts; ADC is then a
-    broadcast join + sum — the full-precision vectors never join, never
-    shuffle, and at scale never leave their parquet.  Codebooks train on the
-    same deterministic ordered sample as IVF, so results are
-    partition-invariant.
+    Plan shape (round 6): the ADC ranking runs as ONE vectorized
+    ``mapInPandas`` pass — per Arrow batch, corpus rows encode with the
+    shared numpy encoder and each query's ADC distances gather from its
+    driver-side LUT (n_q × n_sub × n_codes — tiny; the full-precision
+    vectors never join, never shuffle), accumulating subvectors
+    0..n_sub-1 in the SAME order the old posexplode → broadcast-LUT join
+    → partial ``sum`` folded them (bit-identical doubles); only
+    margin-safe local top candidates are emitted.  Replaces the n_q-way
+    row multiplication of the LUT join and the corpus×queries-sized
+    groupBy.  Codebooks train on the same deterministic ordered sample as
+    IVF, so results are partition-invariant.
 
     n_codes=256 is standard 8-bit PQ (measured recall@5 on the bench
     corpus: 0.30 by pure ADC rank vs 0.23 at the old 4-bit codes) — ADC
@@ -1082,37 +1350,46 @@ def pq_topk(
     ~R rows per query only) and returns (query_id, neighbor_id, cos, rank)
     — measured recall@5 0.86 / 0.96 at R = 50 / 100.  ``rerank=0``
     returns the pure-ADC ranking (query_id, neighbor_id, adc_dist, rank)."""
+    spark = corpus.sparkSession
     pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(max_train).toPandas()
     train = np.vstack(pdf[vec_col].map(np.asarray).to_numpy())
     books = train_pq_codebooks(train, n_sub=n_sub, n_codes=n_codes)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.map(np.asarray).to_numpy())
-        codes = pq_encode(mat, books)
-        return pd.Series([row.tolist() for row in codes])
-
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(encode(F.col(vec_col))).alias("sub_idx", "code"),
-    )
     qpdf = _collect_query_pdf(
         queries, [query_id_col, vec_col],
         max_rows=max(1, LUT_ROW_BUDGET // (n_sub * n_codes)),
     )
+    qids = qpdf[query_id_col].to_numpy()
     qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
-    lut = pq_lut(qmat, books)
-    spark = corpus.sparkSession
-    lut_df = spark.createDataFrame(
-        lut_frame(qpdf[query_id_col], lut, n_sub, n_codes, query_id_col),
-        f"{query_id_col} long, sub_idx int, code int, dist double",
+    lut = pq_lut(qmat, books)  # (n_q, n_sub, n_codes)
+    out_schema = T.StructType([
+        T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+    keep_n = int(rerank) if rerank else int(k)
+
+    def adc_score(batches):
+        for bpdf in batches:
+            if not len(bpdf):
+                continue
+            ids = bpdf[id_col].to_numpy()
+            codes = pq_encode(_as_f64(bpdf[vec_col]), books)
+            acc = np.zeros((len(ids), len(qids)), dtype=np.float64)
+            for s in range(n_sub):
+                acc += lut[:, s, :][:, codes[:, s]].T
+            sel = np.where(ids[:, None] == qids[None, :], np.inf, acc)
+            ci, qi = np.nonzero(_keep_mask_asc(sel, keep_n))
+            yield pd.DataFrame({
+                query_id_col: qids[qi],
+                "neighbor_id": ids[ci],
+                "adc_dist": acc[ci, qi],
+            })
+
+    cand = _spread(corpus.select(id_col, vec_col)).mapInPandas(
+        adc_score, schema=out_schema
     )
-    scored = (
-        codes.join(F.broadcast(lut_df), ["sub_idx", "code"])
-        .where(F.col("neighbor_id") != F.col(query_id_col))
-        .groupBy(query_id_col, "neighbor_id")
-        .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
-    )
+    scored = cand.withColumn("adc_dist", F.round(F.col("adc_dist"), 6))
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -1171,10 +1448,17 @@ def ivf_pq_topk(
     (``nprobe_for_recall``); codes/shortlist then control how much of that
     candidate recall the ADC ranking keeps.
 
-    Plan shape per stage: cell-keyed equi-join (candidates) → broadcast-LUT
-    join + sum (ADC, codes only — the full vectors don't participate) →
-    top-``shortlist`` per query → ONE narrow join back to the full vectors
-    for just shortlist×queries rows → exact cosine → top-k.  At 100 TB the
+    Plan shape per stage (round 6): ONE vectorized ``mapInPandas`` pass
+    over the corpus — per Arrow batch, rows assign to their cell and PQ
+    codes with the shared numpy kernels, then score ONLY against the
+    queries probing that cell via driver-side LUT gathers (the IVF prune
+    as compute pruning; subvector accumulation order matches the old
+    partial-``sum`` fold bit-for-bit) — → margin-safe local
+    top-``shortlist`` per query → JVM round + rank → ONE narrow join back
+    to the full vectors for just shortlist×queries rows → exact cosine →
+    top-k.  Replaces the assign/encode UDF + persist + cell shuffle join +
+    8-row posexplode + broadcast-LUT join + corpus×queries groupBy; the
+    candidate set and every ADC double are identical.  At 100 TB the
     full-precision table is touched exactly once, for ~``shortlist`` rows
     per query."""
     spark = corpus.sparkSession
@@ -1183,45 +1467,60 @@ def ivf_pq_topk(
     centroids = train_centroids(train, n_clusters)
     books = train_pq_codebooks(train, n_sub=n_sub, n_codes=n_codes)
 
-    c_assign = _ivf_assign_udf(centroids, nprobe=1)
-    q_assign = _ivf_assign_udf(centroids, nprobe=nprobe)
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.map(np.asarray).to_numpy())
-        return pd.Series([row.tolist() for row in pq_encode(mat, books)])
-
-    c = cache.track(  # the indexed corpus — at scale a materialized
-        corpus.select(  # artifact; caller releases (operators/cache.py)
-            F.col(id_col).alias("neighbor_id"),
-            F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
-            encode(F.col(vec_col)).alias("codes"),
-        )
-    )
     qpdf = _collect_query_pdf(
         queries, [query_id_col, vec_col],
         max_rows=max(1, LUT_ROW_BUDGET // (n_sub * n_codes)),
     )
+    qids = qpdf[query_id_col].to_numpy()
     qmat = np.vstack(qpdf[vec_col].map(np.asarray).to_numpy())
-    lut = pq_lut(qmat, books)
-    lut_df = spark.createDataFrame(
-        lut_frame(qpdf[query_id_col], lut, n_sub, n_codes, query_id_col),
-        f"{query_id_col} long, sub_idx int, code int, dist double",
+    lut = pq_lut(qmat, books)  # (n_q, n_sub, n_codes)
+    qcells = assign_cells(
+        qmat.astype(np.float64, copy=False), centroids, nprobe
     )
-    qcells = queries.select(
-        F.col(query_id_col), F.explode(q_assign(F.col(vec_col))).alias("cell")
-    )
-    cand = (
-        c.join(qcells, "cell")
-        .where(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id",
-                F.posexplode("codes").alias("sub_idx", "code"))
-    )
-    adc = (
-        cand.join(F.broadcast(lut_df), [query_id_col, "sub_idx", "code"])
-        .groupBy(query_id_col, "neighbor_id")
-        .agg(F.round(F.sum("dist"), 6).alias("adc_dist"))
-    )
+    cell_queries = {
+        int(c): np.nonzero((qcells == c).any(axis=1))[0]
+        for c in np.unique(qcells)
+    }
+    adc_schema = T.StructType([
+        T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+    keep_n = int(shortlist)
+
+    def adc_score(batches):
+        for bpdf in batches:
+            if not len(bpdf):
+                continue
+            ids = bpdf[id_col].to_numpy()
+            cmat = _as_f64(bpdf[vec_col])
+            ccells = assign_cells(cmat, centroids, 1)[:, 0]
+            codes = pq_encode(cmat, books)
+            out = []
+            for c in np.unique(ccells):
+                qidx = cell_queries.get(int(c))
+                if qidx is None or not len(qidx):
+                    continue
+                rows = np.nonzero(ccells == c)[0]
+                lsub = lut[qidx]  # (n_qc, n_sub, n_codes)
+                acc = np.zeros((len(rows), len(qidx)), dtype=np.float64)
+                for s in range(n_sub):
+                    acc += lsub[:, s, :][:, codes[rows, s]].T
+                sel = np.where(
+                    ids[rows][:, None] == qids[qidx][None, :], np.inf, acc
+                )
+                ci, qi = np.nonzero(_keep_mask_asc(sel, keep_n))
+                out.append(pd.DataFrame({
+                    query_id_col: qids[qidx][qi],
+                    "neighbor_id": ids[rows][ci],
+                    "adc_dist": acc[ci, qi],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    adc = _spread(corpus.select(id_col, vec_col)).mapInPandas(
+        adc_score, schema=adc_schema
+    ).withColumn("adc_dist", F.round(F.col("adc_dist"), 6))
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
