@@ -30,6 +30,7 @@ from relationextractionpipeline_spark.operators import (  # noqa: E402
     asof,
     assemble,
     bpe,
+    cache,
     dedup,
     multimodal,
     packing,
@@ -82,9 +83,23 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
     from the actual plan rather than a local-mode constant.  With
     ``key_cols`` the spread hash-partitions on those columns so a
     downstream groupBy/window on the same keys reuses the exchange
-    (guide §2.4) instead of paying a second one."""
+    (guide §2.4) instead of paying a second one.
+
+    The split count alone is NOT a sufficient no-op signal: Spark slices a
+    parquet file into byte-range splits, but rows only materialize in the
+    split containing a row-group start — a single-row-group file yields
+    ≥ cores "partitions" of which ONE carries every row (measured: the
+    sf1.0-scale documents scan passed the old ``>= target`` check while a
+    single 14 s task read all 50k rows).  A file can never contribute more
+    row-bearing splits than row groups, so when the scan has fewer FILES
+    than cores the even-split assumption is unverifiable and we spread.
+    At production scale (file counts >> cores) both checks pass and this
+    remains a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    files = df.inputFiles()
+    if df.rdd.getNumPartitions() >= target and (
+        not files or len(files) >= target
+    ):
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
@@ -3051,7 +3066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from relationextractionpipeline_spark.operators import sampling
 
         d = _spread(_read(spark, sf_dir, "documents"))
-        survivors = dedup.dedup_exact(d)
+        # tracked (bench/parity release between queries): three of the four
+        # stage branches below read through the dedup_exact subtree (its
+        # groupBy + semi-join), so uncached the union re-executed it 3x
+        # per action (guide §5)
+        survivors = cache.track(dedup.dedup_exact(d))
         scored = quality.with_quality(survivors)
         kept = scored.where(
             (F.col("quality_score") >= 0.5) & (F.col("stop_ratio") > 0)
@@ -3096,7 +3115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from relationextractionpipeline_spark.operators import sampling
 
         d = _spread(_read(spark, sf_dir, "documents"))
-        survivors = dedup.dedup_exact(d)
+        # tracked: the temperature-rate broadcast job AND the shuffle
+        # checkpoint both read through dedup_exact — uncached that subtree
+        # (groupBy + semi-join over the corpus) executed twice per action
+        survivors = cache.track(dedup.dedup_exact(d))
         sampled = sampling.temperature_sample(survivors, "doc_id", "lang", alpha=0.3)
         shuffled = sampling.shuffle_deterministic(sampled, "doc_id", salt="epoch0")
         packed = packing.pack_documents(shuffled, ctx_len=512, id_col="shuffle_pos")

@@ -245,6 +245,7 @@ def dsir_weights(
     No reference analog (the reference stops at triple emission,
     de_pipeline/pipeline.py:69-77); beyond-reference curation surface.
     """
+    from . import cache
     from .textindex import kgram_join, tokens_lower
 
     if n_buckets < 1:
@@ -255,7 +256,15 @@ def dsir_weights(
         target_flag.alias("_target"),
         F.concat(w, kgram_join(w, 2)).alias("_grams"),
     )
-    occ = (
+    # tracked (caller releases): the explode + per-gram md5 + groupBy below
+    # is the data-sized pass, and it feeds THREE consumers — the bucket
+    # distribution, its totals row (a nested broadcast job), and the
+    # per-doc scoring join.  Uncached, Spark re-executed the whole subtree
+    # for each (measured 3 gram passes per action at bench scale);
+    # persisting the collapsed per-(doc,bucket) table — far smaller than
+    # the gram stream — makes it one pass (guide §5: reuse beats
+    # recompute when the cached frame is the collapsed form).
+    occ = cache.track(
         base.select("_id", "_target", F.explode("_grams").alias("_gram"))
         .select(
             "_id",

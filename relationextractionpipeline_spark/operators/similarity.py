@@ -141,11 +141,21 @@ def _spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     only when the scan is narrower than that.  At production scale the scan
     already has ≥ cores splits and this is a no-op — no config constant, the
     rule derives from the actual plan (guide §2: scale-adaptive
-    partitioning, not a local-mode tune)."""
+    partitioning, not a local-mode tune).
+
+    Split count alone is not sufficient: byte-range splits of a
+    single-row-group parquet file all resolve to ONE row-bearing split (a
+    file contributes at most row-group-count row-bearing splits), so when
+    the scan has fewer FILES than the target the even-split assumption is
+    unverifiable and we spread anyway; with many files (production) both
+    checks pass and this stays a no-op."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if df.rdd.getNumPartitions() >= target and (
+        not files or len(files) >= target
+    ):
+        return df
+    return df.repartition(target)
 
 
 def _topk_tail(
