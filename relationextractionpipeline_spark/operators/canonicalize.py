@@ -53,6 +53,59 @@ def connected_components(
     return _connected_components_minlabel(edges, src, dst, max_iter)
 
 
+# Driver-side CC bound: an edge list at or below this size is collected
+# (two longs per edge — the default ~2M edges is ~32 MB, far under
+# spark.driver.maxResultSize) and closed with a sequential union-find; the
+# distributed star loop handles anything larger.  Same scale-adaptive
+# bounded-collect pattern as the ANN query-side collects
+# (similarity._collect_query_pdf): each star round is ~10 tiny shuffle
+# stages, so a near-empty fixpoint loop costs seconds of pure scheduling
+# at any scale — while the labels of a bounded edge set are a
+# milliseconds-sized sequential job.  Parameterised for production
+# (REX_CC_DRIVER_MAX_EDGES, 0 disables the driver path entirely).
+_CC_DRIVER_MAX_EDGES = int(
+    __import__("os").environ.get("REX_CC_DRIVER_MAX_EDGES", 2_000_000)
+)
+
+
+def _cc_driver_labels(base: DataFrame) -> DataFrame:
+    """(node, component) via sequential union-find over a collected edge
+    list — exactly the star loop's fixpoint (component = min node id in the
+    component; nodes = every id appearing in an edge), computed driver-side.
+    Deterministic: label assignment is order-independent (min over the
+    component)."""
+    spark = base.sparkSession
+    pdf = base.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id becomes the root, so every
+            # root IS its component's minimum at all times
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = set(pdf["u"].tolist()) | set(pdf["v"].tolist())
+    out = pd.DataFrame(
+        {"node": list(nodes)}
+    )
+    out["component"] = [find(n) for n in out["node"]]
+    out = out.sort_values("node").reset_index(drop=True)
+    schema = T.StructType([
+        T.StructField("node", base.schema["u"].dataType),
+        T.StructField("component", base.schema["u"].dataType),
+    ])
+    return spark.createDataFrame(out, schema=schema)
+
+
 def _connected_components_star(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
@@ -64,6 +117,13 @@ def _connected_components_star(
     base = cache.checkpoint(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     )
+    if _CC_DRIVER_MAX_EDGES > 0:
+        # the checkpoint above already materialized the pair pipeline, so
+        # this count is a cached-block scan, not a recompute
+        if base.count() <= _CC_DRIVER_MAX_EDGES:
+            labels = _cc_driver_labels(base)
+            cache.free_checkpoint(base)
+            return labels
     nodes = cache.checkpoint(
         base.select(F.col("u").alias("node"))
         .union(base.select(F.col("v").alias("node")))
