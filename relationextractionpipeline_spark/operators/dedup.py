@@ -255,13 +255,17 @@ def near_dup_pairs_simhash(
         df.select(id_col, text_col), text_col, shingle_k=shingle_k, mode="word"
     )
     chunks = _simhash_chunks(sh, id_col)
-    # self-join + size pre-pass: sketch UDF once; caller releases the caches
+    # self-join + size pre-pass: sketch UDF once; caller releases the
+    # caches.  Bucket population via a window over the join key (one
+    # exchange) instead of groupBy + join-back (two) — guide §2.4.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_idx", "chunk_val")
     chunks = cache.track(chunks)
     chunks = cache.track(
-        chunks.join(
-            chunks.groupBy("chunk_idx", "chunk_val").count(),
-            ["chunk_idx", "chunk_val"],
-        ).where(F.col("count") <= max_bucket).drop("count")
+        chunks.withColumn("count", F.count(F.lit(1)).over(w))
+        .where(F.col("count") <= max_bucket)
+        .drop("count")
     )
     a = chunks.select("chunk_idx", "chunk_val", F.col("_id").alias("id_a"),
                       F.col("simhash").alias("sim_a"))
@@ -347,16 +351,38 @@ def ngram_contamination(
     tgrams = train.select(
         F.col(id_col).alias("_id"), F.explode(_gram_set_col(text_col, n)).alias("gram")
     )
-    sizes = tgrams.groupBy("_id").agg(F.count("*").alias("n_grams"))
-    if max_df is not None:
-        dfc = tgrams.groupBy("gram").agg(F.count("*").alias("_df"))
-        tgrams = tgrams.join(dfc.where(F.col("_df") <= max_df), "gram").drop("_df")
     egrams = (
         eval_df.select(F.explode(_gram_set_col(text_col, n)).alias("gram"))
         .distinct()
     )
+    if max_df is None:
+        # one pass (round 6): the per-doc gram count and the shared-gram
+        # count come from the SAME broadcast left join — previously the
+        # uncached train-gram explode executed twice (once per aggregate)
+        # and the two per-doc aggregates met in an extra shuffle join.
+        # egrams is distinct and the join is a left, so row multiplicity —
+        # and therefore both counts — is unchanged.
+        joined = tgrams.join(
+            F.broadcast(egrams.withColumn("_hit", F.lit(1))), "gram", "left"
+        )
+        return (
+            joined.groupBy("_id")
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.count("_hit").alias("n_shared_grams"),
+            )
+            .select(
+                F.col("_id").alias(id_col),
+                "n_grams",
+                "n_shared_grams",
+                (F.col("n_shared_grams") > 0).alias("contaminated"),
+            )
+        )
+    sizes = tgrams.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    dfc = tgrams.groupBy("gram").agg(F.count("*").alias("_df"))
+    posting = tgrams.join(dfc.where(F.col("_df") <= max_df), "gram").drop("_df")
     shared = (
-        tgrams.join(F.broadcast(egrams), "gram")
+        posting.join(F.broadcast(egrams), "gram")
         .groupBy("_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )

@@ -1160,14 +1160,23 @@ def distance_profile(
         .over(w_all)
         .alias("dist_sum"),
     )
-    # the crossing row: first r whose cumulative reach meets the target
+    # the crossing row: first r whose cumulative reach meets the target.
+    # N(r) is non-monotone under HLL estimator jitter (linear-counting →
+    # raw-branch switches can dip below the target and re-cross), so the
+    # filter alone can match several rows; rank by r and keep the minimal
+    # crossing explicitly so the documented ONE-row contract holds for any
+    # estimator behavior (on monotone data the first crossing is the only
+    # match and the result is unchanged).
     crossing = annotated.where(
         (F.col("n_reach").cast("double") >= F.col("target"))
         & (
             F.col("prev").isNull()
             | (F.col("prev").cast("double") < F.col("target"))
         )
-    )
+    ).withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy(F.col("r").asc())),
+    ).where(F.col("_rn") == 1)
     return crossing.select(
         F.col("n0").alias("n_nodes"),
         F.col("tot").alias("n_pairs"),
@@ -1223,28 +1232,25 @@ def assortativity(und: DataFrame) -> DataFrame:
         F.sum(F.col("da") * F.col("da")).alias("s_jj"),
         F.sum(F.col("da") * F.col("db")).alias("s_jk"),
     )
+    # the cross-products are computed in decimal(38,0): on large skewed
+    # graphs m_directed·s_jj and s_j² exceed int64 (s_jj sums squared
+    # degrees over 2m endpoint rows) and Spark's non-ANSI long arithmetic
+    # would wrap silently while the DuckDB oracle promotes to HUGEINT — a
+    # latent scale-dependent divergence.  At gate scale the decimal and
+    # long paths produce identical doubles.
+    dec = "decimal(38,0)"
+    m_d = F.col("m_directed").cast(dec)
+    s_j = F.col("s_j").cast(dec)
+    denom = m_d * F.col("s_jj").cast(dec) - s_j * s_j
+    numer = m_d * F.col("s_jk").cast(dec) - s_j * s_j
     return sums.select(
         "m_directed",
         "s_j",
         "s_jj",
         "s_jk",
         F.when(
-            (
-                F.col("m_directed") * F.col("s_jj")
-                - F.col("s_j") * F.col("s_j")
-            )
-            != 0,
-            F.round(
-                (
-                    F.col("m_directed") * F.col("s_jk")
-                    - F.col("s_j") * F.col("s_j")
-                ).cast("double")
-                / (
-                    F.col("m_directed") * F.col("s_jj")
-                    - F.col("s_j") * F.col("s_j")
-                ).cast("double"),
-                6,
-            ),
+            denom != 0,
+            F.round(numer.cast("double") / denom.cast("double"), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("assortativity"),

@@ -32,7 +32,7 @@ from typing import List
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _MASK64 = (1 << 64) - 1
 # Mersenne prime 2^31-1: keeps a*x+b inside int64 so the MinHash inner loop
@@ -193,11 +193,15 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    # bucket population via a window over the SAME key the rows already
+    # shuffle on (guide §2.4: a window partitioned like the aggregation
+    # needs no second exchange) — the former groupBy + join-back shuffled
+    # the banded table twice for the same filter
+    w = Window.partitionBy("band_idx", "band_hash")
     sized = cache.track(
-        banded.join(
-            banded.groupBy("band_idx", "band_hash").count(),
-            ["band_idx", "band_hash"],
-        ).where(F.col("count") <= max_bucket)
+        banded.withColumn("count", F.count(F.lit(1)).over(w)).where(
+            F.col("count") <= max_bucket
+        )
     )
     a = sized.select("band_idx", "band_hash", F.col("_id").alias("id_a"))
     b = sized.select("band_idx", "band_hash", F.col("_id").alias("id_b"))
