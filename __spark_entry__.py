@@ -2732,7 +2732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         into 512-token packs via a two-phase distributed cumsum
         (operators/packing.py) — one range shuffle of (id, size) pairs,
         the text never moves."""
-        d = _read(spark, sf_dir, "documents")
+        # spread: the regexp tokenization in pack_documents' size column
+        # otherwise runs inside the single-row-group scan's one task
+        d = _spread(_read(spark, sf_dir, "documents"))
         return packing.pack_documents(d, ctx_len=512).select(
             "doc_id", "n_tokens", "pack_id", "offset_in_pack"
         )
@@ -2741,8 +2743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_chunk_documents(spark, sf_dir):
         """Overlapping token-window chunking (ctx 64, overlap 16): explode
-        over per-row stride-aligned windows — row-local, zero shuffle."""
-        d = _read(spark, sf_dir, "documents")
+        over per-row stride-aligned windows — row-local (the spread
+        exchange only redistributes the single-row-group bench scan;
+        no-op on many-file inputs)."""
+        d = _spread(_read(spark, sf_dir, "documents"))
         return packing.chunk_documents(d, ctx_len=64, overlap=16).select(
             "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"
         )
@@ -3114,11 +3118,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         equi-join back on the unique position key; text moves once."""
         from relationextractionpipeline_spark.operators import sampling
 
-        d = _spread(_read(spark, sf_dir, "documents"))
-        # tracked: the temperature-rate broadcast job AND the shuffle
-        # checkpoint both read through dedup_exact — uncached that subtree
-        # (groupBy + semi-join over the corpus) executed twice per action
-        survivors = cache.track(dedup.dedup_exact(d))
+        # NOT spread and NOT tracked (both A/B-measured at sf0.1 AND
+        # sf1.0): this composition's per-row work is light (hashing,
+        # threshold sampling) while its stage count is high (~40), so the
+        # spread exchange costs more than it parallelizes (sf0.1 3.5 vs
+        # 2.3 s, sf1.0 5.1 vs 4.7 s) — unlike the regex/sketch-heavy
+        # queries where the same spread wins 2-6×.  Caching the survivor
+        # table likewise lost more to the cache barrier (full-width
+        # materialization defeats per-branch column pruning) than the
+        # recompute cost.
+        d = _read(spark, sf_dir, "documents")
+        survivors = dedup.dedup_exact(d)
         sampled = sampling.temperature_sample(survivors, "doc_id", "lang", alpha=0.3)
         shuffled = sampling.shuffle_deterministic(sampled, "doc_id", salt="epoch0")
         packed = packing.pack_documents(shuffled, ctx_len=512, id_col="shuffle_pos")

@@ -5,20 +5,7 @@ singleton-free edge sets and random graphs."""
 
 import random
 
-import pytest
-from pyspark.sql import functions as F
-
 from relationextractionpipeline_spark.operators import cache, canonicalize
-
-
-@pytest.fixture(scope="module")
-def spark():
-    from relationextractionpipeline_spark.session import get_spark
-
-    s = get_spark(master="local[4]", app_name="test-cc-driver",
-                  shuffle_partitions=4)
-    yield s
-    s.stop()
 
 
 def _rows(df):
