@@ -498,11 +498,40 @@ def substring_dup_stats(
     toks = cache.track(
         df.select(F.col(id_col).alias("_id"), w.alias("_w"))
     )
-    occ = cache.track(
-        toks.select("_id", F.explode(kgram_join(F.col("_w"), k)).alias("gram"))
-        .groupBy("_id", "gram")
-        .agg(F.count("*").alias("m"))
+    # per-(doc, gram) multiplicities collapsed in ONE mapInPandas pass
+    # (guide §4.2, same shape as ngram_lm_scores): a doc's windows are
+    # row-local, so the former explode(all windows) → groupBy shuffled
+    # every window occurrence to build this table.  Python's
+    # " ".join(ws[i:i+k]) produces exactly kgram_join's space-joined
+    # window strings (the <k-token rule matches kgram_join's empty
+    # array), so the table is value-identical.
+    kk = int(k)
+    occ_schema = (
+        "_id " + df.schema[id_col].dataType.simpleString()
+        + ", gram string, m long"
     )
+
+    def _count_windows(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out, g_out, m_out = [], [], []
+            for i, ws in zip(pdf["_id"], pdf["_w"]):
+                if ws is None or len(ws) < kk:
+                    continue
+                c = Counter(
+                    " ".join(ws[j : j + kk])
+                    for j in range(len(ws) - kk + 1)
+                )
+                for g, m in c.items():
+                    ids_out.append(i)
+                    g_out.append(g)
+                    m_out.append(m)
+            yield pd.DataFrame({"_id": ids_out, "gram": g_out, "m": m_out})
+
+    occ = cache.track(toks.mapInPandas(_count_windows, schema=occ_schema))
     dup = (
         occ.groupBy("gram")
         .agg(F.count("*").alias("nd"))  # occ is distinct per (doc, gram)

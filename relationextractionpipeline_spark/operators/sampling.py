@@ -256,26 +256,65 @@ def dsir_weights(
         target_flag.alias("_target"),
         F.concat(w, kgram_join(w, 2)).alias("_grams"),
     )
-    # tracked (caller releases): the explode + per-gram md5 + groupBy below
-    # is the data-sized pass, and it feeds THREE consumers — the bucket
-    # distribution, its totals row (a nested broadcast job), and the
-    # per-doc scoring join.  Uncached, Spark re-executed the whole subtree
-    # for each (measured 3 gram passes per action at bench scale);
-    # persisting the collapsed per-(doc,bucket) table — far smaller than
-    # the gram stream — makes it one pass (guide §5: reuse beats
-    # recompute when the cached frame is the collapsed form).
-    occ = cache.track(
-        base.select("_id", "_target", F.explode("_grams").alias("_gram"))
-        .select(
-            "_id",
-            "_target",
-            F.pmod(
-                hash_bucket(F.col("_gram"), salt), F.lit(int(n_buckets))
-            ).alias("bucket"),
-        )
-        .groupBy("_id", "_target", "bucket")
-        .agg(F.count(F.lit(1)).alias("m"))
+    # The per-(doc, bucket) multiplicity table, collapsed in ONE
+    # mapInPandas pass (guide §4.2): a doc's grams all live in its own
+    # row, so hashing and counting are row-local — the former
+    # explode(5M gram rows) → per-gram md5 Columns → groupBy exchange
+    # shuffled the whole gram stream to produce the same table.  The
+    # Python kernel mirrors ``hash_bucket`` byte-for-byte:
+    # md5(utf8(gram + ":" + salt)), first 8 hex chars as an integer,
+    # mod n_buckets — md5 is md5, so every bucket id is identical to the
+    # Column expression's (verified row-identical at sf0.1) and the SQL
+    # oracle still replays it relationally.  Gram CONSTRUCTION stays in
+    # the JVM (tokens_lower/kgram_join above) so tokenizer semantics
+    # cannot drift between engines.
+    #
+    # Tracked (caller releases): the collapsed table feeds THREE
+    # consumers — the bucket distribution, its totals row (a nested
+    # broadcast job), and the per-doc scoring join; uncached, Spark
+    # re-executed the gram pass for each (measured 3× per action).
+    import hashlib
+
+    nb = int(n_buckets)
+    salt_b = (":" + salt).encode("utf-8")
+    occ_schema = (
+        "_id " + docs.schema[id_col].dataType.simpleString()
+        + ", _target boolean, bucket long, m long"
     )
+
+    def _count_buckets(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out, tg_out, bk_out, m_out = [], [], [], []
+            for i, tg, grams in zip(
+                pdf["_id"], pdf["_target"], pdf["_grams"]
+            ):
+                if grams is None or not len(grams):
+                    continue
+                c = Counter(
+                    int(
+                        hashlib.md5(
+                            g.encode("utf-8") + salt_b
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % nb
+                    for g in grams
+                )
+                for bk, m in c.items():
+                    ids_out.append(i)
+                    tg_out.append(tg)
+                    bk_out.append(bk)
+                    m_out.append(m)
+            yield pd.DataFrame(
+                {"_id": ids_out, "_target": tg_out,
+                 "bucket": bk_out, "m": m_out}
+            )
+
+    occ = cache.track(base.mapInPandas(_count_buckets, schema=occ_schema))
     dist = occ.groupBy("bucket").agg(
         F.sum("m").alias("c_raw"),
         F.sum(F.when(F.col("_target"), F.col("m")).otherwise(F.lit(0))).alias(

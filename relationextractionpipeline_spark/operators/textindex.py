@@ -112,12 +112,40 @@ def ngram_lm_scores(
         .agg(F.count("*").alias("c1"))
     )
     vocab = uni.count()  # scalar: smoothing denominator term
-    occ = cache.track(
-        toks.select("_id", F.explode(bigram_pairs(F.col("_w"))).alias("bg"))
-        .select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .groupBy("_id", "w1", "w2")
-        .agg(F.count("*").alias("m"))
+    # per-(doc, bigram) multiplicities collapsed in ONE mapInPandas pass
+    # (guide §4.2): a doc's tokens live in its own row, so adjacent-pair
+    # counting is row-local — the former explode(bigram structs) →
+    # groupBy shuffled every bigram OCCURRENCE (tokens × corpus rows)
+    # to build the same table, through an interpreted zip_with on top.
+    # Python's zip(ws, ws[1:]) enumerates exactly bigram_pairs' adjacent
+    # (w1, w2) sequence and Counter reproduces the grouped counts, so the
+    # table is value-identical (strings in, integer counts out).
+    occ_schema = (
+        "_id " + docs.schema[id_col].dataType.simpleString()
+        + ", w1 string, w2 string, m long"
     )
+
+    def _count_bigrams(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out, w1_out, w2_out, m_out = [], [], [], []
+            for i, ws in zip(pdf["_id"], pdf["_w"]):
+                if ws is None or len(ws) < 2:
+                    continue
+                c = Counter(zip(ws, ws[1:]))
+                for (a, b), m in c.items():
+                    ids_out.append(i)
+                    w1_out.append(a)
+                    w2_out.append(b)
+                    m_out.append(m)
+            yield pd.DataFrame(
+                {"_id": ids_out, "w1": w1_out, "w2": w2_out, "m": m_out}
+            )
+
+    occ = cache.track(toks.mapInPandas(_count_bigrams, schema=occ_schema))
     bgc = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     stats = bgc.join(uni, "w1").select(
         "w1",
